@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical parquet scans over the driver test tables (TESTDATA.md).
+  *
+  * All engine operators take `(SparkSession, sfDir)` and read through here so
+  * that scans stay declarative: Catalyst pushes filters/column pruning into
+  * the parquet reader (verify with `.explain("formatted")` → `PushedFilters`,
+  * `ReadSchema`). At the 100 TB design point these would be partitioned /
+  * bucketed tables behind a catalog; the API shape is unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

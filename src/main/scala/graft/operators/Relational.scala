@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational breadth (SURVEY.md §2.4–§2.6): the set-oriented re-expression of
+  * the reference's lookups/filters plus the idiomatic Spark surface (joins of
+  * every flavor, hash aggregates, windows, top-k, set ops, rollup).
+  *
+  * Scale notes (100 TB design point):
+  *  - Dimension joins (nation/region/supplier) are `broadcast()` — no shuffle.
+  *  - Fact-fact joins (orders⋈customer, lineitem⋈orders) shuffle on the join
+  *    key; at scale these tables would be co-bucketed on the key so the
+  *    shuffle disappears. AQE handles skew.
+  *  - Aggregates are partial (map-side combine) automatically via hash
+  *    aggregation; every `ORDER BY` in these queries sits on top of an
+  *    already-reduced result (small), except q02/q14 which sort row-level
+  *    output only to make the driver's hash compare deterministic.
+  *  - Every double aggregate is `round()`ed: summation order across
+  *    partitions is nondeterministic, so unrounded doubles would not be
+  *    byte-stable (nor DuckDB-comparable).
+  */
+object Relational {
+
+  /** q01: pricing summary — hash aggregate with map-side combine (TPC-H Q1
+    * shape; the engine analog of the reference's per-record fee arithmetic,
+    * report_generator.py:75-86, made set-oriented).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q02: selective filter + narrow projection — exercises parquet predicate
+    * pushdown and column pruning (the engine form of early validation,
+    * SURVEY §4 "reject before expensive work"). Plan must show PushedFilters
+    * + a 5-column ReadSchema.
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q03: enrichment join + found-filter — J2 (parcel enrichment,
+    * crs_ui_bot.py:234-250 → orders⋈customer) with the F10 null/404 channel
+    * as a post-join filter. Shuffle join on o_custkey; at scale: co-bucket
+    * both tables on custkey.
+    */
+  def enrichOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .filter(col("c_custkey").isNotNull)
+      .select(
+        col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q04: semi join — J1 (auth probe, app.py:30): customers that exist in
+    * orders. Broadcast-able at dim scale; EXISTS in the oracle.
+    */
+  def semiJoinActive(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q05: anti join — the rejection channel of J1/F2: customers with no
+    * orders (NOT EXISTS).
+    */
+  def antiJoinInactive(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q06: geo dimension expansion — J3 (state→county, App.js:16-130 →
+    * region⋈nation), broadcast hash join, zero shuffle.
+    */
+  def geoExpand(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  /** q07: first-of-group — J4 (county default repair = "first of the state's
+    * list", App.js:313-319): earliest order per customer via a ranking
+    * window with a deterministic (o_orderdate, o_orderkey) tie-break.
+    */
+  def firstOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+              col("o_orderdate").as("first_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q08: star join — lineitem ⋈ broadcast(part) ⋈ broadcast(supplier):
+    * revenue by brand. Two broadcast joins, one shuffle (the final agg).
+    */
+  def revenueByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"),
+        count_distinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** q14: analytic windows — running sum / rank / lag per supplier over a
+    * deterministic total order (shipdate, orderkey, linenumber). The running
+    * double sum is order-defined, so both engines add in the same sequence →
+    * bit-identical before rounding. Bounded to suppkey<50 to keep row output
+    * small; the window itself scales (partition-parallel by suppkey).
+    */
+  def supplierRunning(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_suppkey") < 50)
+    val w  = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).cast("long").as("rn"),
+        round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_qty"),
+        round(lag(col("l_quantity"), 1, 0.0).over(w), 2).as("prev_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** q15: top-k — global order-by + limit (the reference's first-match /
+    * limit-1 semantics F9 generalized). Spark plans this as TakeOrderedAndProject
+    * (per-partition top-k + merge, no full sort).
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q16: set operations — union / intersect / except over two customer
+    * selections, tagged so one result covers all three.
+    */
+  def segmentSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich     = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val both     = building.intersect(rich).withColumn("tag", lit("both"))
+    val only     = building.except(rich).withColumn("tag", lit("building_only"))
+    both.unionByName(only)
+      .select(col("tag"), col("c_custkey"))
+      .orderBy(col("tag"), col("c_custkey"))
+  }
+
+  /** q17: rollup — hierarchical aggregate with grouping_id (subtotals +
+    * grand total in one pass, Expand-based).
+    */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"),
+           grouping_id(col("l_returnflag"), col("l_linestatus")).cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q18: distinct counts — exact count_distinct per group (two distinct
+    * aggregates → Expand; at scale prefer the HLL variant, see
+    * `approxDistinct` which the bench runs without an oracle).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** HLL sketch distinct (no oracle — approximate): the 100 TB path for
+    * count-distinct, constant memory per group.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+}
