@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{EventOps, Relational}
+import graft.pipeline.Letter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,9 +15,11 @@ import graft.operators.Relational
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full engagement-letter pipeline (validate → enrich → format → render).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+    Letter.letters(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -34,13 +37,142 @@ object SparkEntry {
     "q17_rollup_pricing"     -> (Relational.rollupPricing _),
     "q18_distinct_counts"    -> (Relational.distinctCounts _),
     "q19_approx_distinct"    -> (Relational.approxDistinct _),
+    "q09_format_percent"     -> (Letter.percentFormatting _),
+    "q10_format_currency"    -> (Letter.currencyFormatting _),
+    "q11_filename_ops"       -> (Letter.filenameOps _),
+    "q12_validation_summary" -> (Letter.validationSummary _),
+    "q13_letter_pipeline"    -> (Letter.letters _),
+    "q20_tumbling_counts"    -> (EventOps.tumblingCounts _),
+    "q21_sessionize"         -> (EventOps.sessionize _),
+    "q22_json_extract"       -> (EventOps.jsonExtract _),
+    "q23_latest_per_key"     -> (EventOps.latestPerUserType _),
   )
+
+  // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
+
+  /** The letter-pipeline request plane (Letter.requests) as a DuckDB CTE. */
+  private val ReqCte: String =
+    """WITH requests AS (
+      |  SELECT o_orderkey AS request_id,
+      |         o_custkey AS cust_id,
+      |         strftime(o_orderdate, '%Y-%m-%d') AS report_date,
+      |         CASE WHEN o_orderkey % 17 = 0 THEN 'not-a-number'
+      |              ELSE CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR) END AS fee,
+      |         CAST((o_orderkey % 5) * 20 AS VARCHAR) AS due_signing,
+      |         CAST((CASE WHEN o_orderkey % 13 = 0 THEN 101 ELSE 100 END) - (o_orderkey % 5) * 20 AS VARCHAR) AS due_completion,
+      |         'Parcel ' || CAST(o_orderkey % 1000 AS VARCHAR) AS property_under_appraisal
+      |  FROM orders)""".stripMargin
+
+  /** `_format_percent` (truncating; DuckDB double→int cast rounds, so trunc). */
+  private def pctSql(x: String): String =
+    s"CASE WHEN try_cast($x AS DOUBLE) IS NOT NULL THEN " +
+    s"CAST(CAST(trunc(try_cast($x AS DOUBLE)) AS BIGINT) AS VARCHAR) || '%' ELSE '' END"
+
+  /** `_format_currency` — same decomposition as Formatters.formatCurrency. */
+  private def curSql(x: String): String = {
+    val d = s"try_cast($x AS DOUBLE)"
+    val r = s"round($d, 2)"
+    val ip = s"CAST(trunc($r) AS BIGINT)"
+    val cents = s"CAST(round(($r - trunc($r)) * 100) AS BIGINT)"
+    s"CASE WHEN $d IS NULL THEN '' " +
+    s"WHEN $d = trunc($d) THEN '$$' || format('{:,}', $ip) " +
+    s"ELSE '$$' || format('{:,}', $ip) || '.' || lpad(CAST($cents AS VARCHAR), 2, '0') END"
+  }
+
+  /** `_format_date` ('Month DD, YYYY', today-fallback). */
+  private def dateSql(x: String): String =
+    s"strftime(coalesce(try_cast($x AS DATE), current_date), '%B %d, %Y')"
+
+  private val ValidPred: String =
+    """try_cast(fee AS DOUBLE) IS NOT NULL AND try_cast(fee AS DOUBLE) > 0
+      |  AND try_cast(due_signing AS DOUBLE) IS NOT NULL AND try_cast(due_signing AS DOUBLE) >= 0
+      |  AND try_cast(due_completion AS DOUBLE) IS NOT NULL AND try_cast(due_completion AS DOUBLE) >= 0
+      |  AND try_cast(due_signing AS DOUBLE) + try_cast(due_completion AS DOUBLE) = 100.0""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for approximate ops (HLL) → driver
     * records a rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "q09_format_percent" ->
+      s"""$ReqCte
+         |SELECT request_id, fee,
+         |  ${pctSql("fee")} AS fee_pct,
+         |  ${pctSql("due_signing")} AS signing_pct
+         |FROM requests ORDER BY request_id""".stripMargin,
+    "q10_format_currency" ->
+      s"""$ReqCte
+         |SELECT request_id, fee, ${curSql("fee")} AS fee_usd
+         |FROM requests ORDER BY request_id""".stripMargin,
+    "q11_filename_ops" ->
+      """SELECT c_custkey,
+        |  'Engagement_Letter_' || translate(c_name, ' /', '__') || '.pdf' AS pdf_name,
+        |  (string_split('reports/2024/' || c_name, '/'))[-1] AS base,
+        |  regexp_extract('attachment; filename="' || c_name || '.pdf"', 'filename="?([^"]+)"?', 1) AS header_name,
+        |  regexp_replace(c_name, '[^0-9.]', '', 'g') AS digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q12_validation_summary" ->
+      s"""$ReqCte
+         |SELECT channel, count(*) AS n FROM (
+         |  SELECT CASE
+         |    WHEN try_cast(fee AS DOUBLE) IS NULL THEN 'bad_fee'
+         |    WHEN NOT (try_cast(fee AS DOUBLE) > 0) THEN 'nonpositive_fee'
+         |    WHEN try_cast(due_signing AS DOUBLE) IS NULL OR try_cast(due_completion AS DOUBLE) IS NULL THEN 'bad_percent'
+         |    WHEN try_cast(due_signing AS DOUBLE) < 0 OR try_cast(due_completion AS DOUBLE) < 0 THEN 'negative_percent'
+         |    WHEN try_cast(due_signing AS DOUBLE) + try_cast(due_completion AS DOUBLE) <> 100.0 THEN 'sum_not_100'
+         |    ELSE 'valid' END AS channel
+         |  FROM requests) t
+         |GROUP BY channel ORDER BY channel""".stripMargin,
+    "q13_letter_pipeline" ->
+      s"""$ReqCte,
+         |valid AS (SELECT * FROM requests WHERE $ValidPred),
+         |joined AS (SELECT v.*, c.c_name FROM valid v JOIN customer c ON v.cust_id = c.c_custkey),
+         |fmt AS (SELECT request_id,
+         |  ${dateSql("report_date")} AS letter_date,
+         |  c_name AS client_name,
+         |  ${curSql("fee")} AS fee_formatted,
+         |  ${pctSql("due_signing")} AS due_signing_pct,
+         |  ${pctSql("due_completion")} AS due_completion_pct,
+         |  'Engagement_Letter_' || translate(c_name, ' /', '__') || '.pdf' AS pdf_filename
+         |FROM joined)
+         |SELECT *,
+         |  'Date: ' || letter_date
+         |  || chr(10) || 'Client: ' || client_name
+         |  || chr(10) || 'Address: Segment ' || due_signing_pct
+         |  || chr(10) || 'Property under appraisal: ' || pdf_filename
+         |  || chr(10) || 'Parcel ID: ' || CAST(request_id AS VARCHAR)
+         |  || chr(10) || 'Fee: ' || fee_formatted
+         |  || chr(10) || 'Due at signing: ' || due_signing_pct
+         |  || chr(10) || 'Due at completion: ' || due_completion_pct
+         |  || chr(10) || 'Initials: __ __ __' || chr(10) || 'Signature: ' AS letter_text
+         |FROM fmt ORDER BY request_id""".stripMargin,
+    "q20_tumbling_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q21_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q22_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(CASE WHEN k IS NULL THEN 1 END) AS null_k
+        |FROM (SELECT event_type, try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q23_latest_per_key" ->
+      """SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+        |  round(value, 2) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

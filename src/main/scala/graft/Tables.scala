@@ -25,7 +25,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which the Spark
+    * vectorized reader rejects; read it as nanos-long (legacy conf) and
+    * truncate to a micros timestamp with *integer* division (a double
+    * division would lose precision above 2^53 ns ≈ 1970+104 days — and
+    * DuckDB's own ns→us conversion truncates identically).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series / event operators (SURVEY.md §2.7) in their *batch* form —
+  * the same computations run as Structured Streaming in
+  * [[graft.streaming.EventsStream]]; batch form is what the DuckDB oracle
+  * can replay.
+  *
+  * Scale notes: tumbling-window aggregation is a single hash aggregate on
+  * (window, type) — partial map-side combine applies. Sessionization is one
+  * shuffle on user_id followed by partition-local windows; state per user is
+  * bounded (the streaming twin bounds it with a watermark instead).
+  */
+object EventOps {
+
+  /** q20: tumbling 1-hour windows per event type — `window()` windowing,
+    * emitted as the window start timestamp (epoch-aligned ⇒ equals
+    * date_trunc in the oracle).
+    */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+              col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** q21: gap-based sessionization (30-minute inactivity gap) — lag +
+    * running conditional sum, the classic batch twin of
+    * `session_window`/`mapGroupsWithState`. Micros arithmetic keeps the
+    * oracle integer-exact.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val byUser  = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs   = 30L * 60 * 1000 * 1000
+    val prev    = lag(col("ts_us"), 1).over(byUser)
+    val isNew   = when(prev.isNull || col("ts_us") - prev > gapUs, 1L).otherwise(0L)
+    e.withColumn("session_seq",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("start_us"),
+           max(col("ts_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** q22: semi-structured extraction — JSON path over the `props` column
+    * (S1: `from_json`/schema-on-read, the engine form of `request.json`).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(col("event_type"),
+             get_json_object(col("props"), "$.k").try_cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           count(when(col("k").isNull, 1)).as("null_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q23: last-update-wins dedup — the reference's newest-wins cancellation
+    * semantics (App.js:355-357) as `max_by`: latest event per (user, type).
+    */
+  def latestPerUserType(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("ts")).as("last_ts"),
+           max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("last_event_id"),
+           round(max_by(col("value"), struct(col("ts"), col("event_id"))), 2).as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+}
