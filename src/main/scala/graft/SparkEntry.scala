@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, Relational}
+import graft.operators.{EventOps, Relational, TextOps}
 import graft.pipeline.Letter
+import graft.functions.PortableHash
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,6 +47,14 @@ object SparkEntry {
     "q21_sessionize"         -> (EventOps.sessionize _),
     "q22_json_extract"       -> (EventOps.jsonExtract _),
     "q23_latest_per_key"     -> (EventOps.latestPerUserType _),
+    "q30_quality_score"      -> (TextOps.qualityScore _),
+    "q31_lang_id"            -> (TextOps.langId _),
+    "q32_token_count"        -> (TextOps.tokenCount _),
+    "q33_fingerprint"        -> (TextOps.fingerprint _),
+    "q34_dedup_exact"        -> (TextOps.dedupExact _),
+    "q35_ngram_jaccard"      -> (TextOps.ngramJaccardPairs _),
+    "q36_minhash_lsh"        -> (TextOps.minhashLshPairs _),
+    "q37_simhash_pairs"      -> (TextOps.simhashPairs _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -88,6 +97,20 @@ object SparkEntry {
       |  AND try_cast(due_signing AS DOUBLE) IS NOT NULL AND try_cast(due_signing AS DOUBLE) >= 0
       |  AND try_cast(due_completion AS DOUBLE) IS NOT NULL AND try_cast(due_completion AS DOUBLE) >= 0
       |  AND try_cast(due_signing AS DOUBLE) + try_cast(due_completion AS DOUBLE) = 100.0""".stripMargin
+
+  // ---- text-operator fragments (mirror graft.operators.TextOps) ----
+
+  private def sqlList(xs: Seq[String]): String = xs.mkString("['", "', '", "']")
+  private val StopEnSqlList = sqlList(Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"))
+  private val StopEsSqlList = sqlList(Seq("el", "la", "de", "y", "en", "que", "los", "un", "por", "con"))
+  private val StopDeSqlList = sqlList(Seq("der", "die", "das", "und", "den", "von", "zu", "mit", "ist", "im"))
+
+  /** Distinct (doc_id, shingle-hash) rows — TextOps.shingleRows in DuckDB. */
+  private val ShingleCtes: String =
+    s"""WITH tok AS (SELECT doc_id, ${PortableHash.tokensSql("text")} AS w FROM documents),
+       |shl AS (SELECT doc_id, ${PortableHash.shinglesSql("w")} AS shs FROM tok),
+       |shr AS (SELECT DISTINCT doc_id, ${PortableHash.h48Sql("s")} % ${PortableHash.M31} AS shash
+       |        FROM (SELECT doc_id, unnest(shs) AS s FROM shl) u)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for approximate ops (HLL) → driver
@@ -173,6 +196,102 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q30_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, ${PortableHash.tokensSql("text")} AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  CAST(len(list_filter(w, x -> list_contains($StopEnSqlList, x))) AS BIGINT) AS n_stop
+         |FROM t)
+         |SELECT doc_id, n_tokens, n_chars_m, n_punct,
+         |  round((n_stop * 1.0) / n_tokens, 4) AS stopword_ratio,
+         |  round((n_alpha * 1.0) / n_chars_m, 4) AS alpha_ratio,
+         |  round((n_punct * 1.0) / n_chars_m, 4) AS punct_ratio,
+         |  round((n_stop * 1.0) / n_tokens + ((n_alpha * 1.0) / n_chars_m) * 0.5
+         |        - ((n_punct * 1.0) / n_chars_m) * 2.0, 4) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q31_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${PortableHash.tokensSql("lower(text)")} AS w FROM documents),
+         |h AS (SELECT doc_id, lang AS labeled_lang,
+         |  CAST(len(list_filter(w, x -> list_contains($StopEnSqlList, x))) AS BIGINT) AS hits_en,
+         |  CAST(len(list_filter(w, x -> list_contains($StopEsSqlList, x))) AS BIGINT) AS hits_es,
+         |  CAST(len(list_filter(w, x -> list_contains($StopDeSqlList, x))) AS BIGINT) AS hits_de
+         |FROM t)
+         |SELECT doc_id, labeled_lang, hits_en, hits_es, hits_de,
+         |  CASE WHEN hits_en + hits_es + hits_de = 0 THEN 'und'
+         |       WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+         |       WHEN hits_es >= hits_de THEN 'es' ELSE 'de' END AS predicted_lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q32_token_count" ->
+      s"""WITH t AS (SELECT doc_id, ${PortableHash.tokensSql("text")} AS w FROM documents)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_ws_tokens,
+         |  CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q33_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${PortableHash.polyFingerprintSql("regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')")} AS fp,
+         |  substr(md5(text), 1, 16) AS md5_16
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies,
+        |  substr(content_md5, 1, 12) AS md5_12
+        |FROM (SELECT doc_id, md5(text) AS content_md5 FROM documents) t
+        |GROUP BY content_md5 ORDER BY keeper_doc_id""".stripMargin,
+    "q35_ngram_jaccard" ->
+      s"""$ShingleCtes
+         |, sizes AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |          FROM shr a JOIN shr b ON a.shash = b.shash AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_inter,
+         |  sa.sz + sb.sz - n_inter AS n_union,
+         |  round((n_inter * 1.0) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE n_inter * 3 >= sa.sz + sb.sz
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q36_minhash_lsh" ->
+      s"""$ShingleCtes
+         |, hsl AS (SELECT doc_id, list(DISTINCT shash) AS hs FROM shr GROUP BY doc_id),
+         |sig AS (SELECT doc_id, hs,
+         |  [list_min([${PortableHash.permutedSql("j", "h")} for h in hs]) for j in generate_series(0, 63)] AS sg
+         |FROM hsl),
+         |bands AS (SELECT doc_id, bi,
+         |  array_to_string([CAST(sg[bi * 4 + k + 1] AS VARCHAR) for k in generate_series(0, 3)], ':') AS band_sig
+         |FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bi) g),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.bi = y.bi AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS n_inter,
+         |  CAST(len(ha.hs) AS BIGINT) + CAST(len(hb.hs) AS BIGINT) AS sz_sum
+         |FROM cand JOIN hsl ha ON doc_a = ha.doc_id JOIN hsl hb ON doc_b = hb.doc_id)
+         |SELECT doc_a, doc_b, n_inter, sz_sum - n_inter AS n_union,
+         |  round((n_inter * 1.0) / (sz_sum - n_inter), 6) AS jaccard
+         |FROM pairs
+         |WHERE n_inter * 5 >= (sz_sum - n_inter) * 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q37_simhash_pairs" ->
+      s"""WITH th AS (SELECT doc_id,
+         |  list_distinct(list_transform(${PortableHash.tokensSql("text")}, t -> ${PortableHash.h48Sql("t")})) AS ths
+         |FROM documents),
+         |sim AS (SELECT doc_id,
+         |  CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in ths]) >= 0
+         |                      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+         |                 for i in generate_series(0, 47)]) AS BIGINT) AS simhash
+         |FROM th),
+         |banded AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 12)) & 4095 AS band_val
+         |           FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bi) g),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.simhash AS sim_a, y.simhash AS sim_b
+         |         FROM banded x JOIN banded y
+         |           ON x.bi = y.bi AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
