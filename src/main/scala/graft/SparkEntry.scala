@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, Relational, TextOps}
+import graft.operators.{EventOps, Relational, SimilarityOps, TextOps}
 import graft.pipeline.Letter
 import graft.functions.PortableHash
+import graft.streaming.EventsStream
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +57,12 @@ object SparkEntry {
     "q35_ngram_jaccard"      -> (TextOps.ngramJaccardPairs _),
     "q36_minhash_lsh"        -> (TextOps.minhashLshPairs _),
     "q37_simhash_pairs"      -> (TextOps.simhashPairs _),
+    "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
+    "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
+    "q42_ann_bucket"         -> (SimilarityOps.annBucketSearch _),
+    "q50_stream_tumbling"    -> (EventsStream.streamingTumbling _),
+    "q51_media_metadata"     -> (Multimodal.mediaMetadata _),
+    "q52_media_features"     -> (Multimodal.mediaFeatures _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -292,6 +300,49 @@ object SparkEntry {
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q40_cosine_topk" ->
+      s"""${SimilarityOps.vectorsCteSql},
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM vecs WHERE vec_id < 10),
+         |joined AS (SELECT query_id, vec_id AS neighbor_id,
+         |    round(${SimilarityOps.dotSql("v", "qv")} / (norm * qn), 6) AS cosine
+         |  FROM vecs CROSS JOIN q WHERE vec_id <> query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM joined)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q41_lsh_neardup" ->
+      s"""${SimilarityOps.vectorsCteSql}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         |  round(${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) AS cosine
+         |FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) >= ${SimilarityOps.NearDupThreshold}
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q42_ann_bucket" ->
+      s"""${SimilarityOps.vectorsCteSql},
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn, bucket FROM vecs WHERE vec_id < 10),
+         |joined AS (SELECT query_id, e.vec_id AS neighbor_id, e.bucket,
+         |    round(${SimilarityOps.dotSql("e.v", "qv")} / (e.norm * qn), 6) AS cosine
+         |  FROM vecs e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM joined)
+         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q50_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q51_media_metadata" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  substr(md5(text), 1, 8) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_media_features" ->
+      s"""WITH h AS (SELECT doc_id, text, ${PortableHash.h48Sql("text")} AS hv FROM documents)
+         |SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  substr(md5(text), 1, 8) AS magic,
+         |  64 + hv % 1857 AS width,
+         |  64 + (hv // 1857) % 1857 AS height,
+         |  1 + hv % 30 AS n_frames
+         |FROM h ORDER BY doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, processed by executor-side batch decode.
+  *
+  * The container has no image/audio codecs, so the *decode step is a
+  * deterministic stub* (`decodeStub` — clearly marked); everything around it
+  * is the real Spark shape a 100 TB media pipeline needs:
+  *  - payloads ride a `BinaryType` column (here: utf-8 bytes of `documents
+  *    .text` standing in for image bytes);
+  *  - decode runs per-partition over a typed `Dataset` (`mapPartitions`), the
+  *    Scala analog of `mapInPandas` batches — one decoder instance per
+  *    partition, never per row;
+  *  - features come back as a flat typed record, ready for downstream
+  *    relational/similarity operators.
+  *
+  * The stub derives every "decoded" feature from md5 arithmetic identical to
+  * the SQL in the oracle, so even the mapPartitions path is hash-checked
+  * against DuckDB (q52) — stub determinism is a feature, not a shortcut.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, byte_len: Long, magic: String,
+                           width: Long, height: Long, n_frames: Long)
+
+  /** Binary ingestion: the documents table with a payload column. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** 48-bit fold of the leading 12 md5 hex digits — JVM twin of
+    * PortableHash.h48 (same value for the same bytes). */
+  private def h48Bytes(payload: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString.substring(0, 12)
+    hex.foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16))
+  }
+
+  /** STUB decoder — stands in for image/audio decode (no codecs in this
+    * environment). Deterministic fake dimensions from the payload hash. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+    val h = h48Bytes(r.payload)
+    MediaFeatures(
+      doc_id = r.doc_id,
+      byte_len = r.payload.length.toLong,
+      magic = hex.substring(0, 8),
+      width = 64L + h % 1857,
+      height = 64L + (h / 1857) % 1857,
+      n_frames = 1L + h % 30)
+  }
+
+  /** The executor-side decode pipeline: typed Dataset → per-partition decode. */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        // one decoder context per partition (the per-partition resource
+        // pattern — crs_ui_bot.py:57-70's singleton, done right)
+        it.map(decodeStub)
+      }
+  }
+
+  /** q52: the decode pipeline as a query (sorted, flat schema). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, dir).toDF().orderBy(col("doc_id"))
+
+  /** q51: pure-expression metadata extraction over the binary column —
+    * the plan-level (codegen) path for cheap metadata, no decode needed.
+    */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        substring(md5(col("payload")), 1, 8).as("magic"))
+      .orderBy(col("doc_id"))
+}

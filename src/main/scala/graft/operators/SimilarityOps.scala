@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Three tiers, mirroring a production ANN stack:
+  *  - q40: brute-force cosine top-k for a *bounded query set* against the full
+  *    corpus — the exact baseline. Scale shape: `broadcast(queries)` ⋈ corpus
+  *    (no shuffle of the big side), per-partition partial top-k via the
+  *    ranking window.
+  *  - q41: sign-LSH (random hyperplane) near-dup pairs — 8-bit sketch →
+  *    bucket equality join → exact cosine verification. The candidate join is
+  *    an equality join on a uniform 8-bit key; never all-pairs.
+  *  - q42: sketch-bucket ANN search — probe only the query's bucket (IVF-style
+  *    cell restriction) then exact-rank inside it.
+  *
+  * Determinism: hyperplane weights are ±1 derived from md5 parity, computed
+  * once in Scala and embedded as literals in both the Spark plan and the
+  * DuckDB oracle; dot products are sequential left-folds in both engines, so
+  * cosines agree bit-for-bit before the 6-decimal rounding.
+  *
+  * All arithmetic is double (`float→double` cast is exact); no UDFs.
+  */
+object SimilarityOps {
+
+  val Dim = 64
+  val Planes = 8
+  val NearDupThreshold = 0.4   // corpus max off-diagonal cos ≈ 0.51
+
+  /** ±1 hyperplane weights from md5("plane:p:i") first-byte parity —
+    * reproducible anywhere md5 exists. */
+  lazy val planeWeights: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Planes, Dim) { (p, i) =>
+      val h = md.digest(s"plane:$p:$i".getBytes("UTF-8"))
+      (java.lang.Byte.toUnsignedInt(h(0)) % 2) * 2 - 1
+    }
+  }
+
+  /** Sequential left-fold dot product (same op order as the oracle). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Corpus with norm and sign-sketch bucket. */
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val sketch: Column = (0 until Planes).map { p =>
+      val w = array(planeWeights(p).map(x => lit(x.toDouble)): _*)
+      when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", sketch)
+  }
+
+  /** q40: exact cosine top-5 neighbors for query vectors vec_id < 10. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(spark, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+      .filter(col("query_id") < 10)
+    val joined = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q41: sign-LSH near-dup pairs — bucket-blocked, exactly verified. */
+  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir).select(col("vec_id"), col("v"), col("norm"), col("bucket"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= NearDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q42: bucket-probed ANN — rank only inside the query's sketch cell. */
+  def annBucketSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(spark, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("bucket"))
+      .filter(col("query_id") < 10)
+    val joined = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- DuckDB oracle fragments ----
+
+  /** `[d1, d2, …]` literal for plane p. */
+  def planeSqlList(p: Int): String =
+    planeWeights(p).map(x => s"$x.0").mkString("[", ", ", "]")
+
+  /** Sequential-fold dot product in DuckDB (same op order as Spark). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"[($a)[i] * ($b)[i] for i in generate_series(1, $Dim)]), (acc, x) -> acc + x)"
+
+  /** The `vectors` CTE: v, norm, bucket. */
+  def vectorsCteSql: String = {
+    val bucket = (0 until Planes).map { p =>
+      s"(CASE WHEN ${dotSql("v", planeSqlList(p))} >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |vecs AS (SELECT vec_id, label, v,
+       |  sqrt(${dotSql("v", "v")}) AS norm,
+       |  $bucket AS bucket
+       |FROM e)""".stripMargin
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.7): the reference's
+  * polling/timeout/keep-alive semantics re-expressed as incremental queries
+  * over the `events` table. The batch twins live in
+  * [[graft.operators.EventOps]]; these run the *same logical plans* through
+  * the streaming engine (file source → stateful agg → memory sink), replaying
+  * the parquet as one incremental batch.
+  *
+  * At scale the file source becomes Kafka/queue input; the aggregation state
+  * lives in the state store, bounded by the watermark; sinks become
+  * `foreachBatch` upserts (the reference's overwrite-by-name semantics,
+  * report_generator.py:64-68).
+  */
+object EventsStream {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q50: hourly tumbling counts per event type, computed incrementally and
+    * drained synchronously through a memory sink. Output equals the batch
+    * q20 plan (same DuckDB oracle shape), demonstrating batch/streaming
+    * unification of the engine.
+    */
+  def streamingTumbling(spark: SparkSession, dir: String): DataFrame = {
+    // Schema must be supplied for a streaming file source; reuse the batch
+    // reader's (nanos-as-long) schema, then apply the same ts conversion.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_tumbling_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")   // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+              col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Watermarked streaming dedup (first-wins within the watermark) — the
+    * streaming twin of the reference's newest-wins cancellation. Exercised by
+    * the test suite; not oracle-declared (append-mode emission depends on
+    * watermark advancement, which a one-shot replay leaves open).
+    */
+  def dedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_dedup_${counter.incrementAndGet()}"
+    val q = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("event_type"), col("event_id"))
+  }
+}
