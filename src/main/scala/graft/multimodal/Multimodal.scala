@@ -31,6 +31,7 @@ object Multimodal {
   /** Binary ingestion: the documents table with a payload column. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)   // decode is CPU-bound: fan out the single-file scan
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
   /** 48-bit fold of the leading 12 md5 hex digits — JVM twin of

@@ -47,6 +47,7 @@ object SimilarityOps {
   /** Corpus with norm and sign-sketch bucket. */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)   // single-file scan → fan out for CPU-bound dot products
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     val sketch: Column = (0 until Planes).map { p =>
       val w = array(planeWeights(p).map(x => lit(x.toDouble)): _*)

@@ -110,9 +110,16 @@ object TextOps {
   }
 
   /** Distinct (doc_id, shingle-hash) rows — shared by the Jaccard/MinHash
-    * operators. Hash values land in [0, M31). */
+    * operators. Hash values land in [0, M31).
+    *
+    * The input is a single small parquet file → one scan partition; the
+    * shingle explosion is CPU-bound narrow work, so fan out to all cores
+    * first (a few-MB shuffle buys 32× parallelism — at 100 TB the scan is
+    * already thousands of partitions and this becomes a no-op to remove).
+    */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     d.select(col("doc_id"),
         explode(shingles(tokens(col("text")))).as("sh"))
       .select(col("doc_id"), (h48(col("sh")) % M31).as("shash"))
@@ -154,12 +161,15 @@ object TextOps {
     * keys, bounded buckets — never from an all-pairs product.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir).cache()
-    val hs = sh.groupBy(col("doc_id")).agg(collect_set(col("shash")).as("hs"))
+    val sh = shingleRows(spark, dir)
+    val hs = sh.groupBy(col("doc_id")).agg(collect_set(col("shash")).as("hs")).cache()
     val sig = hs.withColumn("sig",
       transform(sequence(lit(0), lit(MinHashPerms - 1)),
         j => array_min(transform(col("hs"), h => permuted(j, h)))))
-    val bands = sig.select(col("doc_id"), col("hs"),
+    // Bands carry only (doc_id, band_idx, band_sig): the shingle-hash arrays
+    // re-join *after* candidate dedup, so the 16×-exploded self-join never
+    // shuffles array payloads.
+    val bands = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           bi => concat_ws(":",
             transform(sequence(lit(0), lit(RowsPerBand - 1)),
@@ -168,10 +178,11 @@ object TextOps {
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.band_sig") === col("y.band_sig")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.hs").as("hs_a"), col("y.hs").as("hs_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("n_inter", size(filter(col("hs_a"), h => array_contains(col("hs_b"), h))).cast("long"))
       .withColumn("n_union", size(col("hs_a")).cast("long") + size(col("hs_b")) - col("n_inter"))
       .filter(col("n_inter") * 5 >= col("n_union") * 4)
@@ -189,6 +200,7 @@ object TextOps {
     * (literal-unrolled bit loop keeps shifts codegen-friendly). */
   private def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)   // CPU-bound fan-out
     val th = d.select(col("doc_id"),
         array_distinct(transform(tokens(col("text")), t => h48(t))).as("ths"))
     val bitCols: Column = (0 until SimBits).map { i =>
