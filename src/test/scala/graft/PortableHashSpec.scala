@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash._
+
+/** The cross-engine hash toolkit: ranges, JVM-twin equality, edge cases. */
+class PortableHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JVM twin of h48 (same fold as Multimodal's decoder stub). */
+  private def h48Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .substring(0, 12).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+  }
+
+  test("h48 matches the JVM reference fold and stays in [0, 2^48)") {
+    val rnd = new scala.util.Random(42)
+    val inputs = Seq("", "a", "hello world", "the quick brown fox", "日本語テキスト") ++
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val got = inputs.toDF("s").select(col("s"), h48(col("s")).as("h")).collect()
+    got.foreach { r =>
+      val (s, h) = (r.getString(0), r.getLong(1))
+      assert(h == h48Jvm(s), s"h48 mismatch for '$s'")
+      assert(h >= 0 && h < (1L << 48))
+    }
+  }
+
+  test("shingles: fewer than n tokens yields empty; order preserved") {
+    val r = Seq("a b c d", "a b", "x").toDF("t")
+      .select(shingles(tokens(col("t"))).as("s")).collect()
+    assert(r(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0).isEmpty)
+    assert(r(2).getSeq[String](0).isEmpty)
+  }
+
+  test("permuted stays within [0, M31) and varies across permutation indices") {
+    val df = Seq.tabulate(64)(j => (j.toLong, 123456789L)).toDF("j", "h")
+    val vals = df.select(permuted(col("j"), col("h")).as("p")).collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0 && v < M31))
+    assert(vals.distinct.length > 32, "permutations should differ")
+  }
+
+  test("polyFingerprint is deterministic and bounded") {
+    def run() = Seq("some normalized text").toDF("t")
+      .select(polyFingerprint(col("t"))).collect()(0).getLong(0)
+    val (a, b) = (run(), run())
+    assert(a == b && a >= 0 && a < MFp)
+  }
+}

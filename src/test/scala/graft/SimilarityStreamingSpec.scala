@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventOps, SimilarityOps}
+import graft.streaming.EventsStream
+import graft.multimodal.Multimodal
+
+/** Similarity search, streaming/batch unification, multimodal plumbing. */
+class SimilarityStreamingSpec extends SparkSpec {
+
+  test("cosine top-k ranks are ordered and bounded") {
+    val r = SimilarityOps.cosineTopK(spark, sf001).collect()
+    val byQuery = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rows) =>
+      val cos = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "descending by rank")
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("bucket-probed ANN returns only same-bucket neighbors, subset of exact ranks") {
+    val ann = SimilarityOps.annBucketSearch(spark, sf001).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(_.getAs[Long]("rank") <= 3))
+  }
+
+  test("LSH near-dup pairs verify the cosine threshold") {
+    val p = SimilarityOps.lshNearDupPairs(spark, sf001).collect()
+    assert(p.forall(_.getAs[Double]("cosine") >= SimilarityOps.NearDupThreshold))
+  }
+
+  test("streaming tumbling aggregation equals the batch plan") {
+    val streamed = EventsStream.streamingTumbling(spark, sf001).collect()
+    val batch    = EventOps.tumblingCounts(spark, sf001).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("watermarked streaming dedup emits at most one row per (user,type)") {
+    val d = EventsStream.dedupWithinWatermark(spark, sf001).collect()
+    val keys = d.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(keys.distinct.length == keys.length)
+    assert(d.nonEmpty)
+  }
+
+  test("multimodal decode pipeline matches the expression-only metadata path") {
+    val feat = Multimodal.mediaFeatures(spark, sf001).collect()
+    val meta = Multimodal.mediaMetadata(spark, sf001).collect()
+    assert(feat.length == meta.length)
+    val metaByIds = meta.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    feat.foreach { f =>
+      val m = metaByIds(f.getAs[Long]("doc_id"))
+      assert(f.getAs[Long]("byte_len") == m.getAs[Long]("byte_len"))
+      assert(f.getAs[String]("magic") == m.getAs[String]("magic"))
+      assert(f.getAs[Long]("width") >= 64 && f.getAs[Long]("width") < 64 + 1857)
+      assert(f.getAs[Long]("n_frames") >= 1 && f.getAs[Long]("n_frames") <= 30)
+    }
+  }
+}
