@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, Relational, SimilarityOps, TextOps}
+import graft.operators.{EventOps, Relational, SimilarityOps, Temporal, TextOps}
 import graft.pipeline.Letter
 import graft.functions.PortableHash
 import graft.streaming.EventsStream
@@ -45,6 +45,10 @@ object SparkEntry {
     "q11_filename_ops"       -> (Letter.filenameOps _),
     "q12_validation_summary" -> (Letter.validationSummary _),
     "q13_letter_pipeline"    -> (Letter.letters _),
+    "q24_asof_join"          -> (Temporal.asofJoin _),
+    "q25_range_join"         -> (Temporal.rangeJoin _),
+    "q26_cube_pricing"       -> (Relational.cubePricing _),
+    "q27_percentiles"        -> (Relational.percentiles _),
     "q20_tumbling_counts"    -> (EventOps.tumblingCounts _),
     "q21_sessionize"         -> (EventOps.sessionize _),
     "q22_json_extract"       -> (EventOps.jsonExtract _),
@@ -177,6 +181,37 @@ object SparkEntry {
          |  || chr(10) || 'Due at completion: ' || due_completion_pct
          |  || chr(10) || 'Initials: __ __ __' || chr(10) || 'Signature: ' AS letter_text
          |FROM fmt ORDER BY request_id""".stripMargin,
+    "q24_asof_join" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |             FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q25_range_join" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |             FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |  count(*) AS n_events_next_day, round(sum(value), 2) AS sum_value
+        |FROM ord o JOIN events e
+        |  ON o.o_custkey = e.user_id
+        | AND e.ts >= o.o_orderdate AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+        |GROUP BY 1, 2, 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q26_cube_pricing" ->
+      """SELECT l_returnflag, o_orderpriority,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, o_orderpriority) AS BIGINT) AS gid
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY CUBE(l_returnflag, o_orderpriority)
+        |ORDER BY gid, l_returnflag, o_orderpriority""".stripMargin,
+    "q27_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(min(l_extendedprice), 4) AS p_min,
+        |  round(max(l_extendedprice), 4) AS p_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q20_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

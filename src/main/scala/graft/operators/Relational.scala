@@ -204,6 +204,33 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q26: cube — all grouping-set combinations over (returnflag, priority)
+    * via orders⋈lineitem, with grouping_id disambiguation.
+    */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .cube(col("l_returnflag"), col("o_orderpriority"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"),
+           grouping_id(col("l_returnflag"), col("o_orderpriority")).cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("o_orderpriority"))
+  }
+
+  /** q27: exact percentiles — median/p90 of extended price per return flag
+    * (linear interpolation; sorts are partition-local per group).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(min(col("l_extendedprice")), 4).as("p_min"),
+        round(max(col("l_extendedprice")), 4).as("p_max"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** HLL sketch distinct (no oracle — approximate): the 100 TB path for
     * count-distinct, constant memory per group.
     */
