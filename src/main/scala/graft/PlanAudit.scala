@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the physical-plan properties the engine's scale design depends on
+  * (pushdown, pruning, broadcast, top-k, codegen) for key queries — the
+  * .explain audit loop. Run: `sbt "runMain graft.PlanAudit"`.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    def audit(name: String, wanted: Seq[String]): Unit = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()   // execute THIS plan so AQE finalizes it (codegen visible)
+      val plan = df.queryExecution.executedPlan.toString
+      val missing = wanted.filterNot(plan.contains)
+      println(s"[audit] $name " + (if (missing.isEmpty) "OK: " + wanted.mkString(", ")
+                                   else "MISSING: " + missing.mkString(", ")))
+    }
+    // selective filter must reach the parquet scan, projection must prune
+    audit("q02_filter_project", Seq("PushedFilters: [IsNotNull(l_quantity)", "*(1)"))
+    // dimension joins must broadcast, not shuffle
+    audit("q06_geo_expand", Seq("BroadcastHashJoin"))
+    audit("q08_revenue_by_brand", Seq("BroadcastHashJoin"))
+    // top-k must not globally sort
+    audit("q15_top_orders", Seq("TakeOrderedAndProject"))
+    // aggregates must partial-aggregate map-side
+    audit("q01_pricing_summary", Seq("HashAggregate", "*("))
+    // semi/anti joins planned as such
+    audit("q04_semi_join_active", Seq("LeftSemi"))
+    audit("q05_anti_join_inactive", Seq("LeftAnti"))
+    // read schema pruned to the selected columns
+    val q2df = SparkEntry.queries("q02_filter_project")(spark, dir)
+    q2df.collect()
+    val q2scan = q2df.queryExecution.executedPlan.toString
+    val schemaLine = q2scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("<no ReadSchema>")
+    val pruned = schemaLine.contains("l_orderkey") && !schemaLine.contains("l_shipdate") && !schemaLine.contains("l_tax")
+    println(s"[audit] q02 column pruning " + (if (pruned) "OK (5-col ReadSchema)" else "CHECK: " + schemaLine.trim.take(200)))
+    spark.stop()
+  }
+}
