@@ -49,6 +49,8 @@ object SparkEntry {
     "q25_range_join"         -> (Temporal.rangeJoin _),
     "q26_cube_pricing"       -> (Relational.cubePricing _),
     "q27_percentiles"        -> (Relational.percentiles _),
+    "q28_json_roundtrip"     -> (Relational.jsonRoundtrip _),
+    "q29_explode_geo"        -> (Relational.explodeGeo _),
     "q20_tumbling_counts"    -> (EventOps.tumblingCounts _),
     "q21_sessionize"         -> (EventOps.sessionize _),
     "q22_json_extract"       -> (EventOps.jsonExtract _),
@@ -212,6 +214,23 @@ object SparkEntry {
         |  round(min(l_extendedprice), 4) AS p_min,
         |  round(max(l_extendedprice), 4) AS p_max
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q28_json_roundtrip" ->
+      """SELECT o_orderkey,
+        |  (o_orderkey % 11 <> 0) AS ok,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS rt_status,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS rt_priority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q29_explode_geo" ->
+      """WITH grouped AS (
+        |  SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+        |  FROM nation GROUP BY n_regionkey),
+        |exploded AS (
+        |  SELECT r_name AS region_name, unnest(nations) AS nation_name
+        |  FROM grouped JOIN region ON n_regionkey = r_regionkey)
+        |SELECT region_name,
+        |  CAST(row_number() OVER (PARTITION BY region_name ORDER BY nation_name) - 1 AS BIGINT) AS pos,
+        |  nation_name
+        |FROM exploded ORDER BY region_name, pos""".stripMargin,
     "q20_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

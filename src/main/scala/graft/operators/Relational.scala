@@ -231,6 +231,44 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q28: JSON serde round-trip — S1/S12 (schema-on-read ingest + session
+    * persistence): serialize records with to_json, corrupt a deterministic
+    * subset, re-parse with from_json (PERMISSIVE → null struct = the bad-record
+    * channel, exactly `request.json or {}`).
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val rec = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderpriority"))
+    val js = to_json(struct(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority")))
+    val corrupted = when(col("o_orderkey") % 11 === 0, concat(lit("corrupt"), js)).otherwise(js)
+    val schema = "o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING"
+    rec.withColumn("parsed", from_json(corrupted, org.apache.spark.sql.types.StructType.fromDDL(schema)))
+      .select(col("o_orderkey"),
+        // field-level null check: malformed input yields either a null struct
+        // or an all-null struct depending on parser mode — both read as false
+        col("parsed.o_orderstatus").isNotNull.as("ok"),
+        col("parsed.o_orderstatus").as("rt_status"),
+        col("parsed.o_orderpriority").as("rt_priority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q29: generator/UDTF surface — J3 (state→county expansion): regions with
+    * their nation lists exploded back to rows with positions.
+    */
+  def explodeGeo(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val grouped = n.groupBy(col("n_regionkey"))
+      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+    grouped.select(col("r_name").as("region_name"),
+        posexplode(col("nations")))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "nation_name")
+      .select(col("region_name"), col("pos").cast("long").as("pos"), col("nation_name"))
+      .orderBy(col("region_name"), col("pos"))
+  }
+
   /** HLL sketch distinct (no oracle — approximate): the 100 TB path for
     * count-distinct, constant memory per group.
     */
