@@ -51,6 +51,10 @@ object SparkEntry {
     "q27_percentiles"        -> (Relational.percentiles _),
     "q28_json_roundtrip"     -> (Relational.jsonRoundtrip _),
     "q29_explode_geo"        -> (Relational.explodeGeo _),
+    "q43_date_parts"         -> (Relational.datePartsRollup _),
+    "q44_math_functions"     -> (Relational.mathFunctions _),
+    "q45_null_functions"     -> (Relational.nullFunctions _),
+    "q46_pivot_events"       -> (Relational.pivotEvents _),
     "q20_tumbling_counts"    -> (EventOps.tumblingCounts _),
     "q21_sessionize"         -> (EventOps.sessionize _),
     "q22_json_extract"       -> (EventOps.jsonExtract _),
@@ -231,6 +235,36 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY region_name ORDER BY nation_name) - 1 AS BIGINT) AS pos,
         |  nation_name
         |FROM exploded ORDER BY region_name, pos""".stripMargin,
+    "q43_date_parts" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+        |  count(DISTINCT month(o_orderdate)) AS n_months
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q44_math_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |  round(ln(l_extendedprice + 1.0), 6) AS ln_price,
+        |  abs(l_discount - 0.05) AS abs_disc,
+        |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_q7,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q7,
+        |  l_orderkey % 97 AS mod97
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q45_null_functions" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(round(c_acctbal, 2), 0.0), -1.0) AS bal_or_default,
+        |  greatest(round(c_acctbal, 2), 0.0) AS bal_floor0,
+        |  least(round(c_acctbal, 2), 5000.0) AS bal_cap5k,
+        |  (nullif(round(c_acctbal, 2), 0.0) IS NULL) AS was_zero
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q46_pivot_events" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q20_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

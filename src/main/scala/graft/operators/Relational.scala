@@ -269,6 +269,64 @@ object Relational {
       .orderBy(col("region_name"), col("pos"))
   }
 
+  /** q43: calendar dimension derivation — year/quarter/month/day extraction
+    * with per-period aggregates (the date-function surface).
+    */
+  def datePartsRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),     // DuckDB year() is BIGINT
+        quarter(col("o_orderdate")).cast("long").as("q"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("revenue"),
+           countDistinct(month(col("o_orderdate"))).as("n_months"))
+      .orderBy(col("y"), col("q"))
+  }
+
+  /** q44: math-function surface — sqrt/ln/abs/floor/ceil/mod chains (sqrt is
+    * IEEE-correctly-rounded in both engines; ln agrees well inside the
+    * 6-decimal rounding).
+    */
+  def mathFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_orderkey") % 100 === 0)
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(log(col("l_extendedprice") + 1.0), 6).as("ln_price"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        floor(col("l_quantity") / 7.0).cast("long").as("floor_q7"),
+        ceil(col("l_quantity") / 7.0).cast("long").as("ceil_q7"),
+        (col("l_orderkey") % 97).as("mod97"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q45: null-handling surface — coalesce / nullif / greatest / least with
+    * engineered null channels.
+    */
+  def nullFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val balOrNull = nullif(round(col("c_acctbal"), 2), lit(0.0))
+    c.select(
+        col("c_custkey"),
+        coalesce(balOrNull, lit(-1.0)).as("bal_or_default"),
+        greatest(round(col("c_acctbal"), 2), lit(0.0)).as("bal_floor0"),
+        least(round(col("c_acctbal"), 2), lit(5000.0)).as("bal_cap5k"),
+        isnull(balOrNull).as("was_zero"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q46: pivot — event counts per user across the (fixed, deterministic)
+    * event-type domain; conditional aggregation under the hood, one shuffle.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+  }
+
   /** HLL sketch distinct (no oracle — approximate): the 100 TB path for
     * count-distinct, constant memory per group.
     */
