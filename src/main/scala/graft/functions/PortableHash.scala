@@ -29,8 +29,15 @@ object PortableHash {
   private def hexVal(ch: Column): Column =
     (ascii(ch) - 48 - when(ascii(ch) >= 97, 39).otherwise(0)).cast("long")
 
-  /** First 12 hex digits of md5(s) folded to a 48-bit non-negative long. */
-  def h48(s: Column): Column =
+  /** First 12 hex digits of md5(s) folded to a 48-bit non-negative long —
+    * evaluated by the native codegen'd [[H48]] expression (hot path); the
+    * built-in composition below is kept as the reference implementation and
+    * cross-checked against it in PortableHashSpec.
+    */
+  def h48(s: Column): Column = H48(s)
+
+  /** Built-in-only rendition of [[h48]] (reference semantics). */
+  def h48Builtin(s: Column): Column =
     aggregate(split(substring(md5(s), 1, 12), ""), lit(0L),
       (acc, ch) => acc * 16 + hexVal(ch))
 

@@ -26,6 +26,16 @@ class PortableHashSpec extends SparkSpec {
     }
   }
 
+  test("native H48 expression equals the built-in composition everywhere") {
+    val rnd = new scala.util.Random(7)
+    val inputs = Seq("", "x", "多字节 mixed ascii") ++
+      Seq.fill(300)(rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    val bad = inputs.toDF("s")
+      .select(h48(col("s")).as("native"), h48Builtin(col("s")).as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(bad == 0)
+  }
+
   test("shingles: fewer than n tokens yields empty; order preserved") {
     val r = Seq("a b c d", "a b", "x").toDF("t")
       .select(shingles(tokens(col("t"))).as("s")).collect()
