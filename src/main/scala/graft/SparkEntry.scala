@@ -51,6 +51,7 @@ object SparkEntry {
     "q27_percentiles"        -> (Relational.percentiles _),
     "q28_json_roundtrip"     -> (Relational.jsonRoundtrip _),
     "q29_explode_geo"        -> (Relational.explodeGeo _),
+    "q47_salted_agg"         -> (EventOps.saltedAgg _),
     "q43_date_parts"         -> (Relational.datePartsRollup _),
     "q44_math_functions"     -> (Relational.mathFunctions _),
     "q45_null_functions"     -> (Relational.nullFunctions _),
@@ -235,6 +236,10 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY region_name ORDER BY nation_name) - 1 AS BIGINT) AS pos,
         |  nation_name
         |FROM exploded ORDER BY region_name, pos""".stripMargin,
+    "q47_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q43_date_parts" ->
       """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,

@@ -66,6 +66,30 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** q47: salted two-phase aggregation — the skew-resilient form of a
+    * hot-key groupBy: spray each key across `nSalts` partial groups, combine
+    * partials, then merge per key. Result is *identical* to the direct
+    * aggregation (the oracle runs the direct form), demonstrating that the
+    * skew mitigation is semantics-preserving. At 100 TB this is the pattern
+    * for power-law keys when AQE's skew handling isn't enough (e.g.
+    * aggregating by a viral user_id).
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val nSalts = 16
+    val e = Tables.events(spark, dir)
+    val partial = e
+      .withColumn("salt", (col("event_id") % nSalts).cast("int"))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"),
+           min(col("ts")).as("pmin"), max(col("ts")).as("pmax"))
+    partial.groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"),
+           round(sum(col("pv")), 2).as("total_value"),
+           min(col("pmin")).as("first_ts"),
+           max(col("pmax")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   /** q23: last-update-wins dedup — the reference's newest-wins cancellation
     * semantics (App.js:355-357) as `max_by`: latest event per (user, type).
     */

@@ -20,6 +20,10 @@ object EventsStream {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  case class Ev(user_id: Long, ts_us: Long)
+  case class Sess(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+  case class St(start: Long, end: Long, n: Long)
+
   /** q50: hourly tumbling counts per event type, computed incrementally and
     * drained synchronously through a memory sink. Output equals the batch
     * q20 plan (same DuckDB oracle shape), demonstrating batch/streaming
@@ -46,6 +50,46 @@ object EventsStream {
       .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
               col("event_type"), col("n"), col("total_value"))
       .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Arbitrary stateful processing (`flatMapGroupsWithState`): streaming
+    * sessionization with per-user custom state — the escalation path when
+    * `session_window` can't express the state machine (SURVEY §2.7). Emits a
+    * session whenever a ≥30-minute gap closes it; the per-user *open* session
+    * at end-of-replay stays in state (watermark semantics), so callers
+    * compare against batch sessions minus each user's last one.
+    */
+  def streamingSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000 * 1000
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_sess_${counter.incrementAndGet()}"
+    val events = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us")).as[Ev]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[St, Sess](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[St]) =>
+          // one-shot replay: the whole group arrives in one batch, sorted here
+          val sorted = evs.map(_.ts_us).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
+          var st = state.getOption.getOrElse(St(-1L, -1L, 0L))
+          sorted.foreach { t =>
+            if (st.n == 0L) st = St(t, t, 1L)
+            else if (t - st.end > gapUs) { out += Sess(uid, st.start, st.end, st.n); st = St(t, t, 1L) }
+            else st = St(st.start, t, st.n + 1)
+          }
+          state.update(st)   // open session stays in state
+          out.iterator
+      }
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("start_us"))
   }
 
   /** Watermarked streaming dedup (first-wins within the watermark) — the

@@ -37,6 +37,20 @@ class SimilarityStreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stateful streaming sessionization emits exactly the batch sessions minus each user's open one") {
+    val streamed = EventsStream.streamingSessionize(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+                 r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    val batchAll = EventOps.sessionize(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+                 r.getAs[Long]("start_us"), r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+    val lastSeq = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val closed = batchAll.filter(s => s._2 != lastSeq(s._1))
+      .map(s => (s._1, s._3, s._4, s._5)).toSet
+    assert(streamed == closed)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermarked streaming dedup emits at most one row per (user,type)") {
     val d = EventsStream.dedupWithinWatermark(spark, sf001).collect()
     val keys = d.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
