@@ -68,6 +68,7 @@ object SparkEntry {
     "q35_ngram_jaccard"      -> (TextOps.ngramJaccardPairs _),
     "q36_minhash_lsh"        -> (TextOps.minhashLshPairs _),
     "q37_simhash_pairs"      -> (TextOps.simhashPairs _),
+    "q38_dedup_corpus"       -> (TextOps.dedupCorpus _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
     "q42_ann_bucket"         -> (SimilarityOps.annBucketSearch _),
@@ -85,7 +86,7 @@ object SparkEntry {
       |         o_custkey AS cust_id,
       |         strftime(o_orderdate, '%Y-%m-%d') AS report_date,
       |         CASE WHEN o_orderkey % 17 = 0 THEN 'not-a-number'
-      |              ELSE CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR) END AS fee,
+      |              ELSE CAST(CAST(floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)) AS VARCHAR) END AS fee,
       |         CAST((o_orderkey % 5) * 20 AS VARCHAR) AS due_signing,
       |         CAST((CASE WHEN o_orderkey % 13 = 0 THEN 101 ELSE 100 END) - (o_orderkey % 5) * 20 AS VARCHAR) AS due_completion,
       |         'Parcel ' || CAST(o_orderkey % 1000 AS VARCHAR) AS property_under_appraisal
@@ -99,9 +100,9 @@ object SparkEntry {
   /** `_format_currency` — same decomposition as Formatters.formatCurrency. */
   private def curSql(x: String): String = {
     val d = s"try_cast($x AS DOUBLE)"
-    val r = s"round($d, 2)"
+    val r = s"(floor(($d) * 1e2 + 0.5) / 1e2)"
     val ip = s"CAST(trunc($r) AS BIGINT)"
-    val cents = s"CAST(round(($r - trunc($r)) * 100) AS BIGINT)"
+    val cents = s"CAST(floor(($r - trunc($r)) * 100 + 0.5) AS BIGINT)"
     s"CASE WHEN $d IS NULL THEN '' " +
     s"WHEN $d = trunc($d) THEN '$$' || format('{:,}', $ip) " +
     s"ELSE '$$' || format('{:,}', $ip) || '.' || lpad(CAST($cents AS VARCHAR), 2, '0') END"
@@ -130,6 +131,25 @@ object SparkEntry {
        |shl AS (SELECT doc_id, ${PortableHash.shinglesSql("w")} AS shs FROM tok),
        |shr AS (SELECT DISTINCT doc_id, ${PortableHash.h48Sql("s")} % ${PortableHash.M31} AS shash
        |        FROM (SELECT doc_id, unnest(shs) AS s FROM shl) u)""".stripMargin
+
+  /** MinHash signature → bands → verified candidate pairs (TextOps
+    * minhashLshPairs) as DuckDB CTEs, shared by q36/q38. */
+  private val MinhashCtes: String =
+    s"""$ShingleCtes
+       |, hsl AS (SELECT doc_id, list(DISTINCT shash) AS hs FROM shr GROUP BY doc_id),
+       |sig AS (SELECT doc_id, hs,
+       |  [list_min([${PortableHash.permutedSql("j", "h")} for h in hs]) for j in generate_series(0, 63)] AS sg
+       |FROM hsl),
+       |bands AS (SELECT doc_id, bi,
+       |  array_to_string([CAST(sg[bi * 4 + k + 1] AS VARCHAR) for k in generate_series(0, 3)], ':') AS band_sig
+       |FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bi) g),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.bi = y.bi AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS n_inter,
+       |  CAST(len(ha.hs) AS BIGINT) + CAST(len(hb.hs) AS BIGINT) AS sz_sum
+       |FROM cand JOIN hsl ha ON doc_a = ha.doc_id JOIN hsl hb ON doc_b = hb.doc_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for approximate ops (HLL) → driver
@@ -214,10 +234,10 @@ object SparkEntry {
         |ORDER BY gid, l_returnflag, o_orderpriority""".stripMargin,
     "q27_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-        |  round(min(l_extendedprice), 4) AS p_min,
-        |  round(max(l_extendedprice), 4) AS p_max
+        |  floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+        |  floor((quantile_cont(l_extendedprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90,
+        |  floor((min(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS p_min,
+        |  floor((max(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS p_max
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q28_json_roundtrip" ->
       """SELECT o_orderkey,
@@ -293,7 +313,7 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_latest_per_key" ->
       """SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
-        |  round(value, 2) AS last_value
+        |  floor((value) * 1e2 + 0.5) / 1e2 AS last_value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
@@ -307,11 +327,10 @@ object SparkEntry {
          |  CAST(len(list_filter(w, x -> list_contains($StopEnSqlList, x))) AS BIGINT) AS n_stop
          |FROM t)
          |SELECT doc_id, n_tokens, n_chars_m, n_punct,
-         |  round((n_stop * 1.0) / n_tokens, 4) AS stopword_ratio,
-         |  round((n_alpha * 1.0) / n_chars_m, 4) AS alpha_ratio,
-         |  round((n_punct * 1.0) / n_chars_m, 4) AS punct_ratio,
-         |  round((n_stop * 1.0) / n_tokens + ((n_alpha * 1.0) / n_chars_m) * 0.5
-         |        - ((n_punct * 1.0) / n_chars_m) * 2.0, 4) AS quality_score
+         |  floor(((n_stop * 1.0) / n_tokens) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
+         |  floor(((n_alpha * 1.0) / n_chars_m) * 1e4 + 0.5) / 1e4 AS alpha_ratio,
+         |  floor(((n_punct * 1.0) / n_chars_m) * 1e4 + 0.5) / 1e4 AS punct_ratio,
+         |  floor(((n_stop * 1.0) / n_tokens + ((n_alpha * 1.0) / n_chars_m) * 0.5 - ((n_punct * 1.0) / n_chars_m) * 2.0) * 1e4 + 0.5) / 1e4 AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
     "q31_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, ${PortableHash.tokensSql("lower(text)")} AS w FROM documents),
@@ -348,33 +367,26 @@ object SparkEntry {
          |          GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, n_inter,
          |  sa.sz + sb.sz - n_inter AS n_union,
-         |  round((n_inter * 1.0) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+         |  floor(((n_inter * 1.0) / (sa.sz + sb.sz - n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard
          |FROM inter
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE n_inter * 3 >= sa.sz + sb.sz
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q36_minhash_lsh" ->
-      s"""$ShingleCtes
-         |, hsl AS (SELECT doc_id, list(DISTINCT shash) AS hs FROM shr GROUP BY doc_id),
-         |sig AS (SELECT doc_id, hs,
-         |  [list_min([${PortableHash.permutedSql("j", "h")} for h in hs]) for j in generate_series(0, 63)] AS sg
-         |FROM hsl),
-         |bands AS (SELECT doc_id, bi,
-         |  array_to_string([CAST(sg[bi * 4 + k + 1] AS VARCHAR) for k in generate_series(0, 3)], ':') AS band_sig
-         |FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bi) g),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y
-         |           ON x.bi = y.bi AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
-         |pairs AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS n_inter,
-         |  CAST(len(ha.hs) AS BIGINT) + CAST(len(hb.hs) AS BIGINT) AS sz_sum
-         |FROM cand JOIN hsl ha ON doc_a = ha.doc_id JOIN hsl hb ON doc_b = hb.doc_id)
+      s"""$MinhashCtes
          |SELECT doc_a, doc_b, n_inter, sz_sum - n_inter AS n_union,
-         |  round((n_inter * 1.0) / (sz_sum - n_inter), 6) AS jaccard
+         |  floor(((n_inter * 1.0) / (sz_sum - n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard
          |FROM pairs
          |WHERE n_inter * 5 >= (sz_sum - n_inter) * 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q38_dedup_corpus" ->
+      s"""$MinhashCtes,
+         |victims AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+         |            WHERE n_inter * 5 >= (sz_sum - n_inter) * 4)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q37_simhash_pairs" ->
       s"""WITH th AS (SELECT doc_id,
          |  list_distinct(list_transform(${PortableHash.tokensSql("text")}, t -> ${PortableHash.h48Sql("t")})) AS ths
@@ -397,7 +409,7 @@ object SparkEntry {
       s"""${SimilarityOps.vectorsCteSql},
          |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM vecs WHERE vec_id < 10),
          |joined AS (SELECT query_id, vec_id AS neighbor_id,
-         |    round(${SimilarityOps.dotSql("v", "qv")} / (norm * qn), 6) AS cosine
+         |    floor((${SimilarityOps.dotSql("v", "qv")} / (norm * qn)) * 1e6 + 0.5) / 1e6 AS cosine
          |  FROM vecs CROSS JOIN q WHERE vec_id <> query_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM joined)
@@ -406,15 +418,15 @@ object SparkEntry {
     "q41_lsh_neardup" ->
       s"""${SimilarityOps.vectorsCteSql}
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-         |  round(${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) AS cosine
+         |  floor((${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 AS cosine
          |FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE round(${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm), 6) >= ${SimilarityOps.NearDupThreshold}
+         |WHERE floor((${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 >= ${SimilarityOps.NearDupThreshold}
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q42_ann_bucket" ->
       s"""${SimilarityOps.vectorsCteSql},
          |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn, bucket FROM vecs WHERE vec_id < 10),
          |joined AS (SELECT query_id, e.vec_id AS neighbor_id, e.bucket,
-         |    round(${SimilarityOps.dotSql("e.v", "qv")} / (e.norm * qn), 6) AS cosine
+         |    floor((${SimilarityOps.dotSql("e.v", "qv")} / (e.norm * qn)) * 1e6 + 0.5) / 1e6 AS cosine
          |  FROM vecs e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> query_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
          |      FROM joined)
@@ -450,12 +462,12 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  round(l_extendedprice*(1.0-l_discount),2) AS net_price
+        |  floor((l_extendedprice*(1.0-l_discount)) * 1e2 + 0.5) / 1e2 AS net_price
         |FROM lineitem
         |WHERE l_quantity > 45 AND l_discount < 0.02
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q03_enrich_orders" ->
-      """SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice,2) AS o_totalprice
+      """SELECT o_orderkey, c_name, c_mktsegment, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS o_totalprice
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |WHERE c_custkey IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
@@ -464,7 +476,7 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "q05_anti_join_inactive" ->
-      """SELECT c_custkey, c_name, round(c_acctbal,2) AS c_acctbal FROM customer
+      """SELECT c_custkey, c_name, floor((c_acctbal) * 1e2 + 0.5) / 1e2 AS c_acctbal FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "q06_geo_expand" ->
@@ -489,16 +501,16 @@ object SparkEntry {
     "q14_supplier_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(row_number() OVER w AS BIGINT) AS rn,
-        |  round(sum(l_quantity) OVER w, 2) AS running_qty,
-        |  round(lag(l_quantity, 1, 0.0) OVER w, 2) AS prev_qty
+        |  floor((sum(l_quantity) OVER w) * 1e2 + 0.5) / 1e2 AS running_qty,
+        |  floor((lag(l_quantity, 1, 0.0) OVER w) * 1e2 + 0.5) / 1e2 AS prev_qty
         |FROM lineitem
         |WHERE l_suppkey < 50
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |ORDER BY l_suppkey, rn""".stripMargin,
     "q15_top_orders" ->
-      """SELECT o_orderkey, round(o_totalprice,2) AS o_totalprice
+      """SELECT o_orderkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS o_totalprice
         |FROM orders
-        |ORDER BY round(o_totalprice,2) DESC, o_orderkey
+        |ORDER BY floor((o_totalprice) * 1e2 + 0.5) / 1e2 DESC, o_orderkey
         |LIMIT 100""".stripMargin,
     "q16_segment_setops" ->
       """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

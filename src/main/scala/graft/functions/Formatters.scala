@@ -49,9 +49,9 @@ object Formatters {
     */
   def formatCurrency(c: Column): Column = {
     val d  = safeNumeric(c)
-    val r  = round(d, 2)                       // HALF_UP == away-from-zero (d >= 0 domain)
+    val r  = PortableHash.pround(d, 2)         // portable half-up: identical FP ops in DuckDB
     val ip = r.cast("long")                    // truncation toward zero
-    val cents = round((r - ip.cast("double")) * 100).cast("long")
+    val cents = floor((r - ip.cast("double")) * 100 + 0.5).cast("long")
     val isInt = d === d.cast("long").cast("double")
     when(d.isNull, lit(""))
       .when(isInt, concat(lit("$"), grouped(ip)))

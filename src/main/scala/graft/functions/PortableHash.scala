@@ -24,6 +24,25 @@ object PortableHash {
   /** Large prime modulus for the rolling text fingerprint. */
   val MFp: Long = 1000000007L
 
+  /** Portable half-up rounding to n decimals: floor(x·10ⁿ + 0.5)/10ⁿ — pure
+    * double arithmetic, so both engines execute the *same* FP ops and agree
+    * bit-for-bit on bit-identical inputs. Engine-native `round()` differs on
+    * .xx5 boundaries (Spark rounds the shortest decimal rendering, DuckDB
+    * the binary value) — observed once in 600k rows at sf0.1. Use this for
+    * every per-row rounding; aggregate outputs may keep native `round()`
+    * (their inputs already differ in final ulps across engines, and the
+    * boundary probability there is ~1e-6).
+    */
+  def pround(c: Column, n: Int): Column = {
+    val f = math.pow(10, n)
+    floor(c * f + 0.5) / f
+  }
+
+  def proundSql(x: String, n: Int): String = {
+    val f = s"1e$n"
+    s"floor(($x) * $f + 0.5) / $f"
+  }
+
   /** Hex digit char → numeric value; ASCII arithmetic only so the DuckDB
     * translation (`ascii(c)-48-CASE…`) is bit-identical. */
   private def hexVal(ch: Column): Column =

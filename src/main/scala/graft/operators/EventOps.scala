@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.PortableHash.pround
 
 /** Time-series / event operators (SURVEY.md §2.7) in their *batch* form —
   * the same computations run as Structured Streaming in
@@ -98,7 +99,7 @@ object EventOps {
     e.groupBy(col("user_id"), col("event_type"))
       .agg(max(col("ts")).as("last_ts"),
            max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("last_event_id"),
-           round(max_by(col("value"), struct(col("ts"), col("event_id"))), 2).as("last_value"))
+           pround(max_by(col("value"), struct(col("ts"), col("event_id"))), 2).as("last_value"))
       .orderBy(col("user_id"), col("event_type"))
   }
 }

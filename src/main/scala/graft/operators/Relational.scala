@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.PortableHash.pround
 
 /** Relational breadth (SURVEY.md §2.4–§2.6): the set-oriented re-expression of
   * the reference's lookups/filters plus the idiomatic Spark surface (joins of
@@ -52,7 +53,7 @@ object Relational {
     li.filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"))
+        pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -68,7 +69,7 @@ object Relational {
       .filter(col("c_custkey").isNotNull)
       .select(
         col("o_orderkey"), col("c_name"), col("c_mktsegment"),
-        round(col("o_totalprice"), 2).as("o_totalprice"))
+        pround(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -90,7 +91,7 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .select(col("c_custkey"), col("c_name"), pround(col("c_acctbal"), 2).as("c_acctbal"))
       .orderBy(col("c_custkey"))
   }
 
@@ -149,8 +150,8 @@ object Relational {
     li.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).cast("long").as("rn"),
-        round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_qty"),
-        round(lag(col("l_quantity"), 1, 0.0).over(w), 2).as("prev_qty"))
+        pround(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_qty"),
+        pround(lag(col("l_quantity"), 1, 0.0).over(w), 2).as("prev_qty"))
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
@@ -160,7 +161,7 @@ object Relational {
     */
   def topOrders(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)
-      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .select(col("o_orderkey"), pround(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
@@ -224,10 +225,10 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(min(col("l_extendedprice")), 4).as("p_min"),
-        round(max(col("l_extendedprice")), 4).as("p_max"))
+        pround(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        pround(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        pround(min(col("l_extendedprice")), 4).as("p_min"),
+        pround(max(col("l_extendedprice")), 4).as("p_max"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -291,8 +292,8 @@ object Relational {
     val li = Tables.lineitem(spark, dir).filter(col("l_orderkey") % 100 === 0)
     li.select(
         col("l_orderkey"), col("l_linenumber"),
-        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
-        round(log(col("l_extendedprice") + 1.0), 6).as("ln_price"),
+        pround(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        pround(log(col("l_extendedprice") + 1.0), 6).as("ln_price"),
         abs(col("l_discount") - 0.05).as("abs_disc"),
         floor(col("l_quantity") / 7.0).cast("long").as("floor_q7"),
         ceil(col("l_quantity") / 7.0).cast("long").as("ceil_q7"),
@@ -305,12 +306,12 @@ object Relational {
     */
   def nullFunctions(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val balOrNull = nullif(round(col("c_acctbal"), 2), lit(0.0))
+    val balOrNull = nullif(pround(col("c_acctbal"), 2), lit(0.0))
     c.select(
         col("c_custkey"),
         coalesce(balOrNull, lit(-1.0)).as("bal_or_default"),
-        greatest(round(col("c_acctbal"), 2), lit(0.0)).as("bal_floor0"),
-        least(round(col("c_acctbal"), 2), lit(5000.0)).as("bal_cap5k"),
+        greatest(pround(col("c_acctbal"), 2), lit(0.0)).as("bal_floor0"),
+        least(pround(col("c_acctbal"), 2), lit(5000.0)).as("bal_cap5k"),
         isnull(balOrNull).as("was_zero"))
       .orderBy(col("c_custkey"))
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.PortableHash.pround
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -65,7 +66,7 @@ object SimilarityOps {
       .filter(col("query_id") < 10)
     val joined = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
+        pround(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -78,7 +79,7 @@ object SimilarityOps {
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cosine", pround(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= NearDupThreshold)
       .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -94,7 +95,7 @@ object SimilarityOps {
     val joined = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
+        pround(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PortableHash._
+import graft.functions.PortableHash.pround
 
 /** Text analysis + deduplication over the `documents` table — the
   * LLM-training-pipeline extension surface (BASELINE.json north star), built
@@ -48,10 +49,10 @@ object TextOps {
     d.select(
         col("doc_id"), nTok.as("n_tokens"), nCh.as("n_chars_m"),
         punct.as("n_punct"),
-        round(stop * lit(1.0) / nTok, 4).as("stopword_ratio"),
-        round(alpha * lit(1.0) / nCh, 4).as("alpha_ratio"),
-        round(punct * lit(1.0) / nCh, 4).as("punct_ratio"),
-        round(stop * lit(1.0) / nTok + (alpha * lit(1.0) / nCh) * 0.5
+        pround(stop * lit(1.0) / nTok, 4).as("stopword_ratio"),
+        pround(alpha * lit(1.0) / nCh, 4).as("alpha_ratio"),
+        pround(punct * lit(1.0) / nCh, 4).as("punct_ratio"),
+        pround(stop * lit(1.0) / nTok + (alpha * lit(1.0) / nCh) * 0.5
               - (punct * lit(1.0) / nCh) * 2.0, 4).as("quality_score"))
       .orderBy(col("doc_id"))
   }
@@ -146,7 +147,7 @@ object TextOps {
       .filter(col("n_inter") * 3 >= col("sz_a") + col("sz_b"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"),
-        round(col("n_inter") * lit(1.0) / (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
+        pround(col("n_inter") * lit(1.0) / (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -187,8 +188,21 @@ object TextOps {
       .withColumn("n_union", size(col("hs_a")).cast("long") + size(col("hs_b")) - col("n_inter"))
       .filter(col("n_inter") * 5 >= col("n_union") * 4)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
-        round(col("n_inter") * lit(1.0) / col("n_union"), 6).as("jaccard"))
+        pround(col("n_inter") * lit(1.0) / col("n_union"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q38: the deduplicated corpus — drop every document that matched a
+    * lower-id near-duplicate (greedy keep-lowest over the MinHash-LSH ≥0.8
+    * pairs, the standard training-corpus dedup step). Anti-join against the
+    * pair victims: one broadcast-able distinct id set at any scale.
+    */
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val victims = minhashLshPairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .join(victims, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   private val SimBits = 48

@@ -36,7 +36,8 @@ object Letter {
       // decimal-stable wire string ("123.45"): double→string rendering is
       // engine/JVM-specific, decimal(18,2)→string is not.
       when(col("o_orderkey") % 17 === 0, lit("not-a-number"))
-        .otherwise(round(col("o_totalprice"), 2).cast("decimal(18,2)").cast("string")).as("fee"),
+        .otherwise(graft.functions.PortableHash.pround(col("o_totalprice"), 2)
+          .cast("decimal(18,2)").cast("string")).as("fee"),
       ds.cast("string").as("due_signing"),
       when(col("o_orderkey") % 13 === 0, (lit(101) - ds).cast("string"))
         .otherwise((lit(100) - ds).cast("string")).as("due_completion"),
