@@ -345,9 +345,10 @@ object SparkEntry {
          |       WHEN hits_es >= hits_de THEN 'es' ELSE 'de' END AS predicted_lang
          |FROM h ORDER BY doc_id""".stripMargin,
     "q32_token_count" ->
-      s"""WITH t AS (SELECT doc_id, ${PortableHash.tokensSql("text")} AS w FROM documents)
+      s"""WITH t AS (SELECT doc_id, text, ${PortableHash.tokensSql("text")} AS w FROM documents)
          |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_ws_tokens,
-         |  CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+         |  CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_regex_pieces
          |FROM t ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->
       s"""SELECT doc_id,
@@ -424,7 +425,9 @@ object SparkEntry {
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q42_ann_bucket" ->
       s"""${SimilarityOps.vectorsCteSql},
-         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn, bucket FROM vecs WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn, xor(bucket, f) AS bucket
+         |      FROM vecs CROSS JOIN (SELECT unnest(${(0L +: (0 until SimilarityOps.Planes).map(p => 1L << p)).mkString("[", ", ", "]")}) AS f) p
+         |      WHERE vec_id < 10),
          |joined AS (SELECT query_id, e.vec_id AS neighbor_id, e.bucket,
          |    floor((${SimilarityOps.dotSql("e.v", "qv")} / (e.norm * qn)) * 1e6 + 0.5) / 1e6 AS cosine
          |  FROM vecs e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> query_id),

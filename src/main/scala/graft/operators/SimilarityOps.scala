@@ -85,13 +85,20 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** q42: bucket-probed ANN — rank only inside the query's sketch cell. */
+  /** q42: multi-probe bucket ANN — search the query's sketch cell plus every
+    * cell at Hamming distance 1 (9 of 256 cells): the standard multi-probe
+    * LSH trade — ~28× less work than brute force with usable recall even on
+    * a near-orthogonal corpus.
+    */
   def annBucketSearch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = vectors(spark, dir)
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("bucket"))
-      .filter(col("query_id") < 10)
+    val probes = array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))): _*)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), explode(probes).as("flip"), col("bucket"))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
+      .drop("flip")
     val joined = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),

@@ -83,7 +83,10 @@ object TextOps {
         col("doc_id"),
         size(toks).cast("long").as("n_ws_tokens"),
         aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
-          .as("n_subword_est"))
+          .as("n_subword_est"),
+        // BPE-ish regex pieces: letter runs, digit runs, single symbols
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .cast("long").as("n_regex_pieces"))
       .orderBy(col("doc_id"))
   }
 

