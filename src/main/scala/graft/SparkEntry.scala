@@ -72,9 +72,11 @@ object SparkEntry {
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
     "q42_ann_bucket"         -> (SimilarityOps.annBucketSearch _),
+    "q48_sliding_counts"     -> (EventOps.slidingCounts _),
     "q50_stream_tumbling"    -> (EventsStream.streamingTumbling _),
     "q51_media_metadata"     -> (Multimodal.mediaMetadata _),
     "q52_media_features"     -> (Multimodal.mediaFeatures _),
+    "q53_frame_sample"       -> (Multimodal.frameSample _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -435,6 +437,20 @@ object SparkEntry {
          |      FROM joined)
          |SELECT query_id, neighbor_id, bucket, cosine, rank FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q48_sliding_counts" ->
+      """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - k * 900000000) AS win_start,
+        |  event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q53_frame_sample" ->
+      s"""WITH h AS (SELECT doc_id, ${PortableHash.h48Sql("text")} AS hv FROM documents),
+         |f AS (SELECT doc_id, 1 + hv % 30 AS n_frames FROM h),
+         |fr AS (SELECT doc_id, n_frames,
+         |       unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM f)
+         |SELECT doc_id, frame_idx,
+         |  substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 8) AS frame_sig
+         |FROM fr WHERE frame_idx % 5 = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q50_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

@@ -72,6 +72,23 @@ object Multimodal {
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, dir).toDF().orderBy(col("doc_id"))
 
+  /** q53: frame sampling — expand each media payload into its (stub-decoded)
+    * frame index rows, keeping every k-th frame (deterministic stride
+    * sampling; the Spark shape of video frame extraction: generator + narrow
+    * projection, no shuffle until the consumer aggregates).
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val stride = 5
+    mediaFeatures(spark, dir)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        // stub frame fingerprint: deterministic per (doc, frame)
+        substring(md5(concat(col("doc_id"), lit(":"), col("frame_idx"))), 1, 8).as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** q51: pure-expression metadata extraction over the binary column —
     * the plan-level (codegen) path for cheap metadata, no decode needed.
     */

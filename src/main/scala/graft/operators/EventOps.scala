@@ -30,6 +30,19 @@ object EventOps {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** q48: sliding windows — 1-hour windows every 15 minutes (each event in 4
+    * overlapping windows; Spark plans this as a window explode + hash agg).
+    * The oracle reconstructs the same epoch-aligned window starts
+    * arithmetically.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("win_start"),
+              col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** q21: gap-based sessionization (30-minute inactivity gap) — lag +
     * running conditional sum, the classic batch twin of
     * `session_window`/`mapGroupsWithState`. Micros arithmetic keeps the
