@@ -73,6 +73,8 @@ object SparkEntry {
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
     "q42_ann_bucket"         -> (SimilarityOps.annBucketSearch _),
     "q48_sliding_counts"     -> (EventOps.slidingCounts _),
+    "q49_window_breadth"     -> (Relational.windowBreadth _),
+    "q54_string_breadth"     -> (Relational.stringBreadth _),
     "q50_stream_tumbling"    -> (EventsStream.streamingTumbling _),
     "q51_media_metadata"     -> (Multimodal.mediaMetadata _),
     "q52_media_features"     -> (Multimodal.mediaFeatures _),
@@ -437,6 +439,27 @@ object SparkEntry {
          |      FROM joined)
          |SELECT query_id, neighbor_id, bucket, cosine, rank FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q49_window_breadth" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  floor((c_acctbal) * 1e2 + 0.5) / 1e2 AS bal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |  floor((cume_dist() OVER w) * 1e6 + 0.5) / 1e6 AS cume,
+        |  lead(c_custkey, 1, -1) OVER w AS next_custkey
+        |FROM customer WHERE c_custkey <= 2000
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY floor((c_acctbal) * 1e2 + 0.5) / 1e2, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q54_string_breadth" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS lev_to_first,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+        |  reverse(c_name) AS rev_name,
+        |  substr(c_name, 1, 8) AS prefix8,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |  split_part(c_name, '#', 2) AS num_part,
+        |  repeat('*', CAST(c_custkey % 5 AS INT) + 1) AS stars
+        |FROM customer WHERE c_custkey <= 1000
+        |ORDER BY c_custkey""".stripMargin,
     "q48_sliding_counts" ->
       """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - k * 900000000) AS win_start,
         |  event_type, count(*) AS n

@@ -328,6 +328,40 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q49: ranking-window breadth — ntile / percent_rank / cume_dist / lead
+    * over a deterministic per-segment order.
+    */
+  def windowBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") <= 2000)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(pround(col("c_acctbal"), 2), col("c_custkey"))
+    c.select(
+        col("c_mktsegment"), col("c_custkey"),
+        pround(col("c_acctbal"), 2).as("bal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        pround(percent_rank().over(w), 6).as("pct_rank"),
+        pround(cume_dist().over(w), 6).as("cume"),
+        lead(col("c_custkey"), 1, -1L).over(w).as("next_custkey"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** q54: string-function breadth — levenshtein / pad / repeat / reverse /
+    * slice / position / split_part over customer names.
+    */
+  def stringBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") <= 1000)
+    c.select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).cast("long").as("lev_to_first"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+        reverse(col("c_name")).as("rev_name"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("num_part"),
+        repeat(lit("*"), (col("c_custkey") % 5).cast("int") + 1).as("stars"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** HLL sketch distinct (no oracle — approximate): the 100 TB path for
     * count-distinct, constant memory per group.
     */
