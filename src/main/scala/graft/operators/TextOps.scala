@@ -163,32 +163,43 @@ object TextOps {
     * ≥ 0.8 verification (5·|∩| ≥ 4·|∪|, integer-exact). The 100 TB path:
     * candidates come from equality joins on (band, signature) — uniform hash
     * keys, bounded buckets — never from an all-pairs product.
+    *
+    * Physical shape (everything whole-stage-codegen'd, no interpreted
+    * higher-order functions, no array payloads in any shuffle):
+    *  - signatures: ONE hash aggregate over the (doc_id, shash) rows with 64
+    *    `min(permuted(j, shash))` aggregates — partial-aggregated map-side,
+    *    so the shuffle carries 5k rows × 64 longs, not 260k shingles;
+    *  - candidates: band-bucket equi-join on (band_idx, band_sig) strings;
+    *  - exact verification: re-join the candidate pairs to the shingle rows
+    *    on (doc, shash) and COUNT matches per pair — a broadcast-able join
+    *    (candidates ≪ corpus) replacing per-pair O(|A|·|B|) interpreted
+    *    array intersection. A candidate pair sharing zero shingles drops out
+    *    of the inner join, which is harmless: it cannot pass J ≥ 0.8.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir)
-    val hs = sh.groupBy(col("doc_id")).agg(collect_set(col("shash")).as("hs")).cache()
-    val sig = hs.withColumn("sig",
-      transform(sequence(lit(0), lit(MinHashPerms - 1)),
-        j => array_min(transform(col("hs"), h => permuted(j, h)))))
-    // Bands carry only (doc_id, band_idx, band_sig): the shingle-hash arrays
-    // re-join *after* candidate dedup, so the 16×-exploded self-join never
-    // shuffles array payloads.
-    val bands = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          bi => concat_ws(":",
-            transform(sequence(lit(0), lit(RowsPerBand - 1)),
-              k => element_at(col("sig"), bi * RowsPerBand + k + 1).cast("string"))))))
+    val sh = shingleRows(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val minAggs = (0 until MinHashPerms).map(j =>
+      min(permuted(lit(j), col("shash"))).as(s"m$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = array((0 until Bands).map(bi =>
+      concat_ws(":", (0 until RowsPerBand).map(k =>
+        col(s"m${bi * RowsPerBand + k}").cast("string")): _*)): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.band_sig") === col("y.band_sig")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("n_inter", size(filter(col("hs_a"), h => array_contains(col("hs_b"), h))).cast("long"))
-      .withColumn("n_union", size(col("hs_a")).cast("long") + size(col("hs_b")) - col("n_inter"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shash")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shash")), Seq("doc_b", "shash"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
       .filter(col("n_inter") * 5 >= col("n_union") * 4)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         pround(col("n_inter") * lit(1.0) / col("n_union"), 6).as("jaccard"))
@@ -213,19 +224,28 @@ object TextOps {
   private val SimBandBits = SimBits / SimBands     // 12 bits per band
   private val MaxHamming = 3                       // < SimBands ⇒ pigeonhole-complete
 
-  /** Per-document 48-bit SimHash from distinct unigram token hashes
-    * (literal-unrolled bit loop keeps shifts codegen-friendly). */
+  /** Per-document 48-bit SimHash from distinct unigram token hashes.
+    *
+    * Physical shape: explode tokens → distinct (doc_id, token-hash) → ONE
+    * hash aggregate with 48 codegen'd `sum(±1)` bit-balance aggregates
+    * (partial-aggregated map-side), then fold the 48 balances into the
+    * fingerprint. This replaces 48 interpreted `aggregate()` passes over a
+    * per-doc array (CodegenFallback — the old hot spot) with whole-stage
+    * codegen end-to-end, and the shuffle carries one row per distinct
+    * (doc, token) instead of token arrays.
+    */
   private def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)   // CPU-bound fan-out
-    val th = d.select(col("doc_id"),
-        array_distinct(transform(tokens(col("text")), t => h48(t))).as("ths"))
-    val bitCols: Column = (0 until SimBits).map { i =>
-      val balance = aggregate(col("ths"), lit(0L),
-        (acc, h) => acc + (shiftright(h, i).bitwiseAND(1) * 2 - 1))
-      when(balance >= 0, lit(1L) * (1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    th.select(col("doc_id"), bitCols.as("simhash"))
+    val th = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), h48(col("tok")).as("th"))
+      .distinct()
+    val balAggs = (0 until SimBits).map(i =>
+      sum(shiftright(col("th"), i).bitwiseAND(1) * 2 - 1).as(s"b$i"))
+    val bal = th.groupBy(col("doc_id")).agg(balAggs.head, balAggs.tail: _*)
+    val simhash: Column = (0 until SimBits).map(i =>
+      when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    bal.select(col("doc_id"), simhash.as("simhash"))
   }
 
   /** q37: SimHash near-dup pairs — band the 48-bit fingerprint into 4×12-bit
@@ -239,14 +259,15 @@ object TextOps {
         posexplode(array((0 until SimBands).map(b =>
           shiftright(col("simhash"), b * SimBandBits).bitwiseAND((1 << SimBandBits) - 1)): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
+    // Hamming cut applied as a join predicate (codegen'd, before the
+    // dedup shuffle) so dropDuplicates only shuffles surviving pairs.
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.band_val") === col("y.band_val")
-          && col("x.doc_id") < col("y.doc_id"))
+          && col("x.doc_id") < col("y.doc_id")
+          && bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= MaxHamming)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-              col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-      .filter(col("hamming") <= MaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
