@@ -185,8 +185,14 @@ object TextOps {
     val bandCols = array((0 until Bands).map(bi =>
       concat_ws(":", (0 until RowsPerBand).map(k =>
         col(s"m${bi * RowsPerBand + k}").cast("string")): _*)): _*)
+    // One row per (doc, band) — tiny relative to the shingle set. Cache it so
+    // the self-join's two sides read the materialized bands instead of each
+    // re-running the 64-aggregate signature pipeline (AQE then sizes the join
+    // from real stats; at corpus scale this stays a shuffled equi-join on
+    // uniform band-signature keys).
     val bands = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
+      .cache()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.band_sig") === col("y.band_sig")
           && col("x.doc_id") < col("y.doc_id"))
