@@ -35,6 +35,10 @@ object PlanAudit {
     // semi/anti joins planned as such
     audit("q04_semi_join_active", Seq("LeftSemi"))
     audit("q05_anti_join_inactive", Seq("LeftAnti"))
+    // IVF probe join must broadcast the query side, never shuffle the corpus
+    audit("q55_ivf_ann", Seq("BroadcastHashJoin"))
+    // embedding dedup: anti-join with a broadcast victim set
+    audit("q39_embedding_dedup", Seq("LeftAnti", "BroadcastHashJoin"))
     // read schema pruned to the selected columns
     val q2df = SparkEntry.queries("q02_filter_project")(spark, dir)
     q2df.collect()

@@ -69,13 +69,16 @@ object SparkEntry {
     "q36_minhash_lsh"        -> (TextOps.minhashLshPairs _),
     "q37_simhash_pairs"      -> (TextOps.simhashPairs _),
     "q38_dedup_corpus"       -> (TextOps.dedupCorpus _),
+    "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
     "q42_ann_bucket"         -> (SimilarityOps.annBucketSearch _),
+    "q55_ivf_ann"            -> (SimilarityOps.ivfAnn _),
     "q48_sliding_counts"     -> (EventOps.slidingCounts _),
     "q49_window_breadth"     -> (Relational.windowBreadth _),
     "q54_string_breadth"     -> (Relational.stringBreadth _),
     "q50_stream_tumbling"    -> (EventsStream.streamingTumbling _),
+    "q56_stream_enrich"      -> (EventsStream.streamStaticEnrich _),
     "q51_media_metadata"     -> (Multimodal.mediaMetadata _),
     "q52_media_features"     -> (Multimodal.mediaFeatures _),
     "q53_frame_sample"       -> (Multimodal.frameSample _),
@@ -427,6 +430,37 @@ object SparkEntry {
          |FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE floor((${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 >= ${SimilarityOps.NearDupThreshold}
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q39_embedding_dedup" ->
+      s"""${SimilarityOps.vectorsCteSql},
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE floor((${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 >= ${SimilarityOps.NearDupThreshold}),
+         |victims AS (SELECT DISTINCT vec_b AS doc_id FROM pairs)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q55_ivf_ann" ->
+      s"""${SimilarityOps.vectorsCteSql},
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM vecs WHERE vec_id < ${SimilarityOps.IvfK}),
+         |scored AS (SELECT vec_id, v, norm, cent_id,
+         |    ${SimilarityOps.dotSql("v", "cv")} / (norm * cn) AS ccos
+         |  FROM vecs CROSS JOIN cents),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+         |           FROM scored),
+         |assigned AS (SELECT vec_id, v, norm, cent_id AS cell FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, v AS qv, norm AS qn, cent_id AS cell
+         |           FROM ranked WHERE vec_id < 10 AND crn <= ${SimilarityOps.IvfProbes}),
+         |joined AS (SELECT query_id, a.vec_id AS neighbor_id, a.cell,
+         |    floor((${SimilarityOps.dotSql("a.v", "qv")} / (a.norm * qn)) * 1e6 + 0.5) / 1e6 AS cosine
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM joined)
+         |SELECT query_id, neighbor_id, cell, cosine, rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q56_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q42_ann_bucket" ->
       s"""${SimilarityOps.vectorsCteSql},
          |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn, xor(bucket, f) AS bucket

@@ -85,6 +85,62 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q39: embedding-cosine near-dup dedup — the greedy keep-lowest corpus
+    * sweep (q38's shape) driven by *embedding* similarity instead of lexical
+    * shingles: any document whose vector matched a lower-id near-duplicate
+    * (sign-LSH blocked, exact-cosine verified, q41) is dropped. `documents`
+    * and `embeddings` are row-aligned (doc_id = vec_id). The victim set is a
+    * distinct-id projection — broadcast-able at any corpus scale, so the
+    * final anti-join never shuffles the big side.
+    */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val victims = lshNearDupPairs(spark, dir).select(col("vec_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val IvfK = 16       // centroid count (vec_id < IvfK serve as the codebook)
+  val IvfProbes = 2   // cells probed per query (nprobe)
+
+  /** q55: IVF-style ANN — the coarse-quantizer scale path. A fixed codebook
+    * of [[IvfK]] centroids (deterministic: the first K corpus vectors, so the
+    * oracle reproduces them exactly) partitions the corpus into cells by
+    * max-cosine assignment; each query probes only its [[IvfProbes]] nearest
+    * cells and exact-ranks inside them.
+    *
+    * Scale shape: assignment is corpus ⨯ broadcast(codebook) — narrow,
+    * linear, no shuffle of the big side; the probe join is
+    * broadcast(queries) ⋈ cell — each query touches ~nprobe/K of the corpus.
+    * At 100 TB the cell id doubles as the partition/bucket key so a probe
+    * reads only its cells' files (partition pruning on `cell`).
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(spark, dir)
+    val cents = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val ranked = scored.withColumn("crn", row_number().over(byVec))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 10 && col("crn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
+        col("cent_id").as("cell"))
+    val joined = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        pround(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q42: multi-probe bucket ANN — search the query's sketch cell plus every
     * cell at Hamming distance 1 (9 of 256 cells): the standard multi-probe
     * LSH trade — ~28× less work than brute force with usable recall even on

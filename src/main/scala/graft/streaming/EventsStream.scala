@@ -92,6 +92,33 @@ object EventsStream {
     spark.table(name).orderBy(col("user_id"), col("start_us"))
   }
 
+  /** q56: stream-static enrichment — the streaming twin of the reference's
+    * enrichment join (SURVEY §2.4 J2): an unbounded event stream joined to a
+    * broadcast dimension snapshot, then incrementally aggregated. This is the
+    * canonical Kafka-topic ⋈ dimension-table shape; the static side is
+    * re-resolvable per micro-batch, so dimension updates are picked up
+    * without restarting the query. Output equals the batch join+agg (same
+    * DuckDB oracle).
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_enrich_${counter.incrementAndGet()}"
+    val dim = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+    val q = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .join(dim, Seq("user_id"))                       // stream ⋈ static (broadcast)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("c_mktsegment"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Watermarked streaming dedup (first-wins within the watermark) — the
     * streaming twin of the reference's newest-wins cancellation. Exercised by
     * the test suite; not oracle-declared (append-mode emission depends on

@@ -44,6 +44,41 @@ class SimilarityStreamingSpec extends SparkSpec {
     assert(p.forall(_.getAs[Double]("cosine") >= SimilarityOps.NearDupThreshold))
   }
 
+  test("embedding dedup drops exactly the higher-id member of every near-dup pair") {
+    val pairs = SimilarityOps.lshNearDupPairs(spark, sf001).collect()
+    val victims = pairs.map(_.getAs[Long]("vec_b")).toSet
+    val kept = SimilarityOps.embeddingDedup(spark, sf001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(victims.forall(v => !kept.contains(v)), "no victim survives")
+    val total = Tables.documents(spark, sf001).count()
+    assert(kept.size == total - victims.size, "everything else survives")
+  }
+
+  test("IVF ANN probes only assigned cells and agrees with exact ranking inside them") {
+    val r = SimilarityOps.ivfAnn(spark, sf001).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("rank") <= 3))
+    assert(r.forall(row => row.getAs[Long]("cell") < SimilarityOps.IvfK))
+    // recall@3 vs brute force — report (coverage metric on a structureless corpus)
+    val exact = SimilarityOps.cosineTopK(spark, sf001).filter(col("rank") <= 3).collect()
+      .map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))).toSet
+    val ivf = r.map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))).toSet
+    info(f"IVF recall@3 = ${(exact & ivf).size.toDouble / exact.size}%.2f")
+  }
+
+  test("stream-static enrichment equals the batch join+aggregate") {
+    val streamed = EventsStream.streamStaticEnrich(spark, sf001).collect()
+    val batch = Tables.events(spark, sf001)
+      .join(Tables.customer(spark, sf001)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")), Seq("user_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+      .collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("streaming tumbling aggregation equals the batch plan") {
     val streamed = EventsStream.streamingTumbling(spark, sf001).collect()
     val batch    = EventOps.tumblingCounts(spark, sf001).collect()
