@@ -37,6 +37,19 @@ object PlanAudit {
     audit("q05_anti_join_inactive", Seq("LeftAnti"))
     // IVF probe join must broadcast the query side, never shuffle the corpus
     audit("q55_ivf_ann", Seq("BroadcastHashJoin"))
+    // similarity hot path must stay whole-stage-codegen'd: the native
+    // dot_product projection must sit inside a `*(n)` codegen span (the HOF
+    // composition it replaced was CodegenFallback and broke the span)
+    audit("q40_cosine_topk", Seq("BroadcastNestedLoopJoin"))
+    val q40 = SparkEntry.queries("q40_cosine_topk")(spark, dir)
+    q40.collect()
+    val dotLines = q40.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("== Initial Plan =="))   // audit the AQE final plan only
+      .filter(_.contains("dot_product(")).toSeq
+    val dotCodegen = dotLines.nonEmpty && dotLines.forall(_.matches(""".*\*\(\d+\).*"""))
+    println(s"[audit] q40 dot_product codegen " +
+      (if (dotCodegen) "OK (all dot_product ops inside *(n) spans)"
+       else "CHECK: " + dotLines.map(_.trim.take(120)).mkString(" | ")))
     // embedding dedup: anti-join with a broadcast victim set
     audit("q39_embedding_dedup", Seq("LeftAnti", "BroadcastHashJoin"))
     // read schema pruned to the selected columns

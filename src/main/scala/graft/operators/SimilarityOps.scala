@@ -41,9 +41,12 @@ object SimilarityOps {
     }
   }
 
-  /** Sequential left-fold dot product (same op order as the oracle). */
+  /** Sequential left-fold dot product (same op order as the oracle) — the
+    * native codegen'd [[graft.functions.DotProduct]], proven value-identical
+    * to the built-in `aggregate(zip_with(...))` composition (PortableHashSpec).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct(a, b)
 
   /** Corpus with norm and sign-sketch bucket. */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {

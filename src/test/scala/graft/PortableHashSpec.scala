@@ -36,6 +36,25 @@ class PortableHashSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("native DotProduct expression is bit-equal to the built-in fold on real embeddings") {
+    import graft.functions.DotProduct
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val builtinDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // self-pairs plus a shifted-pair join: exercises many (a, b) combinations
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") % 37 === col("b.vec_id") % 37)
+    val bad = pairs.select(
+        DotProduct(col("a.v"), col("b.v")).as("native"),
+        builtinDot(col("a.v"), col("b.v")).as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(bad == 0)
+    // null / shape semantics match: mismatched lengths and null elements -> NULL
+    val odd = Seq((Seq(1.0, 2.0), Seq(1.0)), (Seq(1.0), Seq(2.0))).toDF("x", "y")
+    val r = odd.select(DotProduct(col("x"), col("y")).as("d")).collect()
+    assert(r(0).isNullAt(0) && r(1).getDouble(0) == 2.0)
+  }
+
   test("shingles: fewer than n tokens yields empty; order preserved") {
     val r = Seq("a b c d", "a b", "x").toDF("t")
       .select(shingles(tokens(col("t"))).as("s")).collect()
