@@ -52,6 +52,7 @@ object SparkEntry {
     "q28_json_roundtrip"     -> (Relational.jsonRoundtrip _),
     "q29_explode_geo"        -> (Relational.explodeGeo _),
     "q47_salted_agg"         -> (EventOps.saltedAgg _),
+    "q57_salted_join"        -> (EventOps.saltedJoin _),
     "q43_date_parts"         -> (Relational.datePartsRollup _),
     "q44_math_functions"     -> (Relational.mathFunctions _),
     "q45_null_functions"     -> (Relational.nullFunctions _),
@@ -267,6 +268,10 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
         |  min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q57_salted_join" ->
+      """SELECT event_id, user_id, event_type, c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
     "q43_date_parts" ->
       """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,

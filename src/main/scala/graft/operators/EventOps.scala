@@ -104,6 +104,29 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** q57: salted skew-safe JOIN — the join-side twin of q47's salted
+    * aggregation. When one join key dominates (a celebrity user, a null-ish
+    * default key), the shuffle partition holding it becomes the straggler.
+    * Fix: append a salt ∈ [0, N) to the fact side's key and replicate each
+    * dimension row N times (one per salt), joining on (key, salt) — every
+    * hot key now spreads over N partitions. Result proven identical to the
+    * direct join (the oracle runs the unsalted form). At scale N is sized to
+    * the observed skew (or AQE's skew-join split handles moderate cases
+    * without any rewrite).
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nSalts = 8
+    val e = Tables.events(spark, dir)
+      .withColumn("salt", (col("event_id") % nSalts).cast("int"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+      .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
+    e.join(dim, Seq("user_id", "salt"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy(col("event_id"))
+  }
+
   /** q23: last-update-wins dedup — the reference's newest-wins cancellation
     * semantics (App.js:355-357) as `max_by`: latest event per (user, type).
     */

@@ -119,6 +119,50 @@ object EventsStream {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** `foreachBatch` upsert sink — the reference's overwrite-by-name archive
+    * semantics (report_generator.py:64-68: regenerating a letter replaces the
+    * file with the same name) as a streaming merge: each micro-batch is
+    * merged into a keyed parquet target, newest (ts, event_id) wins per
+    * (user_id, event_type). This is the standard idempotent-upsert pattern
+    * where the sink has no native MERGE — at scale the target would be a
+    * transactional table format and the merge a keyed MERGE INTO; the
+    * batch-side logic (union + ranking window) is identical.
+    *
+    * Returns the final target contents. Exercised by the test suite against
+    * the batch latest-per-key plan (q23); not oracle-declared (side-effecting
+    * sink, not a query).
+    */
+  def foreachBatchUpsert(spark: SparkSession, dir: String, targetDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val q = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val existing =
+          try sp.read.parquet(targetDir)
+          catch { case _: Throwable => sp.emptyDataFrame.to(batch.schema) }
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val merged = existing.unionByName(batch)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        // write via a staging dir: the merge reads the live target, so an
+        // in-place overwrite would clobber its own input mid-scan
+        val staging = targetDir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(targetDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(targetDir)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Watermarked streaming dedup (first-wins within the watermark) — the
     * streaming twin of the reference's newest-wins cancellation. Exercised by
     * the test suite; not oracle-declared (append-mode emission depends on

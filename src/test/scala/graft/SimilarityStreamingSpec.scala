@@ -100,6 +100,30 @@ class SimilarityStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch upsert target converges to the batch latest-per-key state") {
+    val target = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    val upserted = EventsStream.foreachBatchUpsert(spark, sf001, target).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+                 r.getAs[Long]("event_id")))
+    val batch = EventOps.latestPerUserType(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+                 r.getAs[Long]("last_event_id")))
+    assert(upserted.toSeq == batch.toSeq)
+    assert(upserted.nonEmpty)
+  }
+
+  test("salted join equals the direct join") {
+    val salted = EventOps.saltedJoin(spark, sf001).collect()
+    val direct = Tables.events(spark, sf001)
+      .join(Tables.customer(spark, sf001), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy(col("event_id"))
+      .collect()
+    assert(salted.length == direct.length && salted.nonEmpty)
+    salted.zip(direct).foreach { case (s, d) => assert(s == d) }
+  }
+
   test("watermarked streaming dedup emits at most one row per (user,type)") {
     val d = EventsStream.dedupWithinWatermark(spark, sf001).collect()
     val keys = d.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
