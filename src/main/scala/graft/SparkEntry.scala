@@ -80,6 +80,7 @@ object SparkEntry {
     "q54_string_breadth"     -> (Relational.stringBreadth _),
     "q50_stream_tumbling"    -> (EventsStream.streamingTumbling _),
     "q56_stream_enrich"      -> (EventsStream.streamStaticEnrich _),
+    "q58_stream_join"        -> (EventsStream.streamStreamJoin _),
     "q51_media_metadata"     -> (Multimodal.mediaMetadata _),
     "q52_media_features"     -> (Multimodal.mediaFeatures _),
     "q53_frame_sample"       -> (Multimodal.frameSample _),
@@ -268,6 +269,13 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
         |  min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q58_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, buy_id""".stripMargin,
     "q57_salted_join" ->
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey

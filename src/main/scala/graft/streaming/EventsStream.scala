@@ -119,6 +119,36 @@ object EventsStream {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** q58: stream-stream interval join — click→purchase attribution within a
+    * 30-minute window, both sides watermarked (the watermark bounds the join
+    * state the engine must retain: a click can only match purchases up to 30
+    * minutes later, so once the purchase watermark passes click_ts + 30min
+    * the click's state is evicted). Inner join ⇒ every match is emitted
+    * exactly once regardless of trigger boundaries, so a one-shot replay
+    * equals the batch interval join (the DuckDB oracle).
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_join_${counter.incrementAndGet()}"
+    def side(evType: String, prefix: String) =
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("event_type") === evType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val q = side("click", "click").join(side("purchase", "buy"),
+        expr("""click_user = buy_user AND
+                buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 30 MINUTES"""))
+      .select(col("click_user").as("user_id"), col("click_id"), col("buy_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("click_id"), col("buy_id"))
+  }
+
   /** `foreachBatch` upsert sink — the reference's overwrite-by-name archive
     * semantics (report_generator.py:64-68: regenerating a letter replaces the
     * file with the same name) as a streaming merge: each micro-batch is

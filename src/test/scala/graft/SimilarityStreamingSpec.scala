@@ -124,6 +124,23 @@ class SimilarityStreamingSpec extends SparkSpec {
     salted.zip(direct).foreach { case (s, d) => assert(s == d) }
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventsStream.streamStreamJoin(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"), r.getAs[Long]("buy_id")))
+    val e = Tables.events(spark, sf001)
+    val batch = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .join(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"), col("event_id").as("buy_id")), Seq("user_id"))
+      .filter(col("buy_ts") >= col("click_ts") &&
+              col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("buy_id"))
+      .orderBy(col("click_id"), col("buy_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"), r.getAs[Long]("buy_id")))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermarked streaming dedup emits at most one row per (user,type)") {
     val d = EventsStream.dedupWithinWatermark(spark, sf001).collect()
     val keys = d.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
