@@ -111,7 +111,7 @@ object SparkEntry {
     val d = s"try_cast($x AS DOUBLE)"
     val r = s"(floor(($d) * 1e2 + 0.5) / 1e2)"
     val ip = s"CAST(trunc($r) AS BIGINT)"
-    val cents = s"CAST(floor(($r - trunc($r)) * 100 + 0.5) AS BIGINT)"
+    val cents = s"CAST(floor(abs($r - trunc($r)) * 100 + 0.5) AS BIGINT)"
     s"CASE WHEN $d IS NULL THEN '' " +
     s"WHEN $d = trunc($d) THEN '$$' || format('{:,}', $ip) " +
     s"ELSE '$$' || format('{:,}', $ip) || '.' || lpad(CAST($cents AS VARCHAR), 2, '0') END"

@@ -31,10 +31,13 @@ object Formatters {
   /** P2 `_format_percent`: numeric-string → "NN%" with *truncating* int cast
     * (Python `int(float(x))` truncates toward zero); "" on parse failure.
     * DuckDB oracle must use `trunc()` (its double→int cast rounds).
+    * Values outside int64 (and NaN/Inf) take the "" failure channel — the
+    * truncating cast is `try_cast` so no input can throw (ANSI casts abort
+    * the whole job on one bad record at scale; property-tested total).
     */
   def formatPercent(c: Column): Column = {
-    val d = safeNumeric(c)
-    when(d.isNotNull, concat(d.cast("long").cast("string"), lit("%")))
+    val i = safeNumeric(c).try_cast("long")
+    when(i.isNotNull, concat(i.cast("string"), lit("%")))
       .otherwise(lit(""))
   }
 
@@ -50,10 +53,12 @@ object Formatters {
   def formatCurrency(c: Column): Column = {
     val d  = safeNumeric(c)
     val r  = PortableHash.pround(d, 2)         // portable half-up: identical FP ops in DuckDB
-    val ip = r.cast("long")                    // truncation toward zero
-    val cents = floor((r - ip.cast("double")) * 100 + 0.5).cast("long")
-    val isInt = d === d.cast("long").cast("double")
-    when(d.isNull, lit(""))
+    val ip = r.try_cast("long")                // truncation toward zero; null outside int64
+    // cents from the |fractional| part — the sign lives on the integer part
+    // (a negative remainder would otherwise render "$-70.-7")
+    val cents = floor(abs(r - ip.cast("double")) * 100 + 0.5).try_cast("long")
+    val isInt = d === d.try_cast("long").cast("double")
+    when(d.isNull || ip.isNull, lit(""))       // parse failure OR beyond-int64/NaN/Inf
       .when(isInt, concat(lit("$"), grouped(ip)))
       .otherwise(concat(lit("$"), grouped(ip), lit("."), lpad(cents.cast("string"), 2, "0")))
   }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Formatters
+
+/** Property-based laws for the LOCKED scalar semantics (SURVEY §5.3):
+  * totality (never throw, null/"" channels on failure), idempotence of the
+  * normalizers, and output-shape invariants — sampled from scalacheck
+  * generators and evaluated through the real Spark expressions.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic scalacheck samples (fixed seed — reproducible CI). */
+  private def samples[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(42L))
+
+  private val nastyStrings: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.asciiPrintableStr,
+    Gen.numStr,
+    Gen.const(""),
+    Gen.const(" "),
+    Gen.const(" pad "),
+    Gen.const("1e308"),
+    Gen.const("-0.0"),
+    Gen.const("NaN"),
+    Gen.const("Infinity"),
+    Gen.const("12.34.56"),
+    Gen.const("  42  "),
+    Gen.oneOf("多字节", "héllo wörld", "a/b c", "100%", "$1,000.50"))
+
+  test("safeNumeric is total: arbitrary strings yield a double or null, never an error") {
+    val df = samples(nastyStrings, 400).toDF("s")
+      .select(col("s"), Formatters.safeNumeric(col("s")).as("d"))
+    val rows = df.collect()   // would throw under ANSI cast semantics
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) assert(!r.getDouble(1).isNaN || r.getString(0).trim.equalsIgnoreCase("nan"))
+    }
+  }
+
+  test("formatPercent is total and shaped: '' or optional-sign digits + '%'") {
+    val rows = samples(nastyStrings, 400).toDF("s")
+      .select(Formatters.formatPercent(col("s")).as("p")).collect()
+    rows.foreach { r =>
+      val p = r.getString(0)
+      assert(p == "" || p.matches("-?\\d+%"), s"bad percent shape: '$p'")
+    }
+  }
+
+  test("formatCurrency is total and shaped: '' or $-prefixed grouped number") {
+    val doubles = Gen.oneOf(
+      Gen.choose(-1e9, 1e9),
+      Gen.choose(-100.0, 100.0),
+      Gen.oneOf(0.0, -0.0, 1000.0, 1000.5, 999999.99, 0.005))
+    val rows = samples(doubles, 400).map(_.toString).toDF("s")
+      .select(Formatters.formatCurrency(col("s")).as("c")).collect()
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(c == "" || c.matches("\\$-?[\\d,]+(\\.\\d{2})?"), s"bad currency shape: '$c'")
+    }
+  }
+
+  test("sanitizeName is idempotent and never emits separators") {
+    val df = samples(nastyStrings, 400).toDF("s")
+    val rows = df.select(
+        Formatters.sanitizeName(col("s")).as("once"),
+        Formatters.sanitizeName(Formatters.sanitizeName(col("s"))).as("twice"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "sanitize ∘ sanitize = sanitize")
+      assert(!r.getString(0).exists(ch => ch == ' ' || ch == '/'))
+    }
+  }
+
+  test("digitClamp is idempotent and emits only [0-9.]") {
+    val rows = samples(nastyStrings, 400).toDF("s")
+      .select(
+        Formatters.digitClamp(col("s")).as("once"),
+        Formatters.digitClamp(Formatters.digitClamp(col("s"))).as("twice"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "clamp ∘ clamp = clamp")
+      assert(r.getString(0).forall(ch => ch.isDigit || ch == '.'))
+    }
+  }
+
+  test("cleanText is idempotent and NBSP-free") {
+    val rows = samples(nastyStrings, 400).toDF("s")
+      .select(
+        Formatters.cleanText(col("s")).as("once"),
+        Formatters.cleanText(Formatters.cleanText(col("s"))).as("twice"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(!r.getString(0).contains(" "))
+      assert(r.getString(0) == r.getString(0).trim)
+    }
+  }
+
+  test("formatDate is total: arbitrary strings render 'Month DD, YYYY' (today on bad parse)") {
+    val rows = samples(nastyStrings, 200).toDF("s")
+      .select(Formatters.formatDate(col("s")).as("d")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0).matches("[A-Z][a-z]+ \\d{2}, \\d{4}"), s"bad date shape: '${r.getString(0)}'")
+    }
+  }
+}
