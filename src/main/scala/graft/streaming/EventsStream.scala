@@ -20,6 +20,30 @@ object EventsStream {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Number of state-store partitions for the streaming queries below.
+    *
+    * A stateful streaming operator fixes its state partitioning to
+    * `spark.sql.shuffle.partitions` at first start, and every micro-batch
+    * then reads+writes a delta file per partition per state store — for the
+    * interval join that is 4 stores × partitions × batches of filesystem
+    * round-trips, a pure fixed cost at local replay scale (the 100k-row
+    * replay fits comfortably in 8 partitions). On a real cluster this knob
+    * is sized to executor count × cores like any shuffle; it only needs to
+    * be smaller than the batch default here because the replayed state is
+    * tiny. Results are partitioning-independent.
+    */
+  private val StatePartitions = 8
+
+  /** Run `f` with the session's shuffle partitioning lowered to
+    * [[StatePartitions]] (picked up by the streaming query at `.start()`),
+    * restoring the caller's setting afterwards.
+    */
+  private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class Sess(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
   case class St(start: Long, end: Long, n: Long)
@@ -42,10 +66,12 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
                col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-    val q = stream.writeStream
-      .format("memory").queryName(name).outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
               col("event_type"), col("n"), col("total_value"))
@@ -86,9 +112,11 @@ object EventsStream {
           state.update(st)   // open session stays in state
           out.iterator
       }
-    val q = sessions.toDF().writeStream
-      .format("memory").queryName(name).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = sessions.toDF().writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).orderBy(col("user_id"), col("start_us"))
   }
 
@@ -106,14 +134,16 @@ object EventsStream {
     val name = s"stream_enrich_${counter.incrementAndGet()}"
     val dim = broadcast(Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
-    val q = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .join(dim, Seq("user_id"))                       // stream ⋈ static (broadcast)
-      .groupBy(col("c_mktsegment"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-      .writeStream.format("memory").queryName(name).outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .join(dim, Seq("user_id"))                     // stream ⋈ static (broadcast)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .select(col("c_mktsegment"), col("event_type"), col("n"), col("total_value"))
       .orderBy(col("c_mktsegment"), col("event_type"))
@@ -139,13 +169,15 @@ object EventsStream {
           timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"),
           col("event_id").as(s"${prefix}_id"))
         .withWatermark(s"${prefix}_ts", "1 hour")
-    val q = side("click", "click").join(side("purchase", "buy"),
-        expr("""click_user = buy_user AND
-                buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 30 MINUTES"""))
-      .select(col("click_user").as("user_id"), col("click_id"), col("buy_id"))
-      .writeStream.format("memory").queryName(name).outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = side("click", "click").join(side("purchase", "buy"),
+          expr("""click_user = buy_user AND
+                  buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 30 MINUTES"""))
+        .select(col("click_user").as("user_id"), col("click_id"), col("buy_id"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).orderBy(col("click_id"), col("buy_id"))
   }
 
@@ -166,7 +198,7 @@ object EventsStream {
     import org.apache.spark.sql.expressions.Window
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val q = spark.readStream.schema(rawSchema)
+    val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
@@ -187,8 +219,10 @@ object EventsStream {
         merged.write.mode("overwrite").parquet(staging)
         sp.read.parquet(staging).write.mode("overwrite").parquet(targetDir)
       }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = stream.start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(targetDir)
       .orderBy(col("user_id"), col("event_type"))
   }
@@ -202,16 +236,18 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_dedup_${counter.incrementAndGet()}"
-    val q = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-      .writeStream.format("memory").queryName(name).outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).orderBy(col("user_id"), col("event_type"), col("event_id"))
   }
 }
