@@ -22,6 +22,7 @@ object Bench {
     }
     spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()   // per-query cold cache; no cross-query cache pollution
       System.gc()   // keep GC pauses out of individual query timings
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

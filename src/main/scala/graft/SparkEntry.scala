@@ -81,6 +81,11 @@ object SparkEntry {
     "q50_stream_tumbling"    -> (EventsStream.streamingTumbling _),
     "q56_stream_enrich"      -> (EventsStream.streamStaticEnrich _),
     "q58_stream_join"        -> (EventsStream.streamStreamJoin _),
+    "q59_scrub_pii"          -> (TextOps.scrubPii _),
+    "q60_repetition_stats"   -> (TextOps.repetitionStats _),
+    "q61_corpus_mix"         -> (TextOps.corpusMix _),
+    "q62_dedup_clusters"     -> (TextOps.dedupClusters _),
+    "q63_label_centroids"    -> (SimilarityOps.labelCentroids _),
     "q51_media_metadata"     -> (Multimodal.mediaMetadata _),
     "q52_media_features"     -> (Multimodal.mediaFeatures _),
     "q53_frame_sample"       -> (Multimodal.frameSample _),
@@ -159,6 +164,25 @@ object SparkEntry {
        |  CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS n_inter,
        |  CAST(len(ha.hs) AS BIGINT) + CAST(len(hb.hs) AS BIGINT) AS sz_sum
        |FROM cand JOIN hsl ha ON doc_a = ha.doc_id JOIN hsl hb ON doc_b = hb.doc_id)""".stripMargin
+
+  /** SimHash fingerprint → bands → candidate pairs (TextOps.simhashPairs) as
+    * a DuckDB CTE body (no WITH keyword so q62 can prefix WITH RECURSIVE);
+    * shared by q37/q62. */
+  private val SimhashCteBody: String =
+    s"""th AS (SELECT doc_id,
+       |  list_distinct(list_transform(${PortableHash.tokensSql("text")}, t -> ${PortableHash.h48Sql("t")})) AS ths
+       |FROM documents),
+       |sim AS (SELECT doc_id,
+       |  CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in ths]) >= 0
+       |                      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+       |                 for i in generate_series(0, 47)]) AS BIGINT) AS simhash
+       |FROM th),
+       |banded AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 12)) & 4095 AS band_val
+       |           FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bi) g),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                x.simhash AS sim_a, y.simhash AS sim_b
+       |         FROM banded x JOIN banded y
+       |           ON x.bi = y.bi AND x.band_val = y.band_val AND x.doc_id < y.doc_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for approximate ops (HLL) → driver
@@ -409,23 +433,74 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "q37_simhash_pairs" ->
-      s"""WITH th AS (SELECT doc_id,
-         |  list_distinct(list_transform(${PortableHash.tokensSql("text")}, t -> ${PortableHash.h48Sql("t")})) AS ths
-         |FROM documents),
-         |sim AS (SELECT doc_id,
-         |  CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in ths]) >= 0
-         |                      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
-         |                 for i in generate_series(0, 47)]) AS BIGINT) AS simhash
-         |FROM th),
-         |banded AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 12)) & 4095 AS band_val
-         |           FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bi) g),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |                x.simhash AS sim_a, y.simhash AS sim_b
-         |         FROM banded x JOIN banded y
-         |           ON x.bi = y.bi AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+      s"""WITH $SimhashCteBody
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q62_dedup_clusters" ->
+      s"""WITH RECURSIVE $SimhashCteBody,
+         |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p2
+         |          UNION ALL SELECT doc_b, doc_a FROM p2),
+         |reach(n, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON r.n = e.a),
+         |lab AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, sz.cluster_size
+         |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+    "q59_scrub_pii" ->
+      s"""WITH notes AS (
+         |  SELECT c_custkey,
+         |    'Reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+         |    || '@mail.example or call +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         |    || '; profile https://ex.example/u/' || CAST(c_custkey AS VARCHAR) || ' soon.' AS note
+         |  FROM customer)
+         |SELECT c_custkey, note,
+         |  CAST(len(regexp_extract_all(note, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(note, '${TextOps.UrlRe}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(note, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(note,
+         |    '${TextOps.PhoneRe}', '[PHONE]', 'g'),
+         |    '${TextOps.UrlRe}', '[URL]', 'g'),
+         |    '${TextOps.EmailRe}', '[EMAIL]', 'g') AS scrubbed
+         |FROM notes ORDER BY c_custkey""".stripMargin,
+    "q60_repetition_stats" ->
+      s"""WITH tok AS (SELECT doc_id, ${PortableHash.tokensSql("text")} AS w FROM documents),
+         |gr AS (SELECT doc_id, unnest(${PortableHash.shinglesSql("w", 2)}) AS gram FROM tok),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+         |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct,
+         |              CAST(max(c) AS BIGINT) AS top_count
+         |       FROM cnt GROUP BY 1)
+         |SELECT doc_id, n_bigrams, n_distinct, top_count,
+         |  floor((top_count * 1.0 / n_bigrams) * 1e6 + 0.5) / 1e6 AS top_share,
+         |  top_count * 5 >= n_bigrams AS repetitive
+         |FROM st ORDER BY doc_id""".stripMargin,
+    "q61_corpus_mix" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, ${PortableHash.tokensSql("text")} AS w FROM documents),
+         |m AS (SELECT doc_id, lang,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  CAST(len(list_filter(w, x -> list_contains($StopEnSqlList, x))) AS BIGINT) AS n_stop
+         |FROM t),
+         |s AS (SELECT doc_id, lang,
+         |  floor(((n_stop * 1.0) / n_tokens + ((n_alpha * 1.0) / n_chars_m) * 0.5
+         |        - ((n_punct * 1.0) / n_chars_m) * 2.0) * 1e4 + 0.5) / 1e4 AS quality
+         |FROM m),
+         |r AS (SELECT lang, doc_id, quality,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+         |FROM s)
+         |SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 30
+         |ORDER BY lang, rank""".stripMargin,
+    "q63_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
+        |  count(*) AS n_vecs
+        |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q40_cosine_topk" ->
       s"""${SimilarityOps.vectorsCteSql},
          |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM vecs WHERE vec_id < 10),

@@ -190,4 +190,23 @@ object SimilarityOps {
        |  $bucket AS bucket
        |FROM e)""".stripMargin
   }
+
+  /** q63: per-label centroid vectors — the distributed vector mean that
+    * clustering / IVF training and embedding-drift monitoring run constantly.
+    * Shape: `posexplode` the vectors into (label, dim, component) rows and
+    * hash-aggregate an average per (label, dim) — one shuffle on uniform
+    * small keys, partial sums map-side, and NO per-partition array state, so
+    * it scales to any dimension × corpus size (the per-group alternative of
+    * `aggregate()` over collected arrays would hold whole vectors per group
+    * in memory). Components are summed as doubles (float→double is exact).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim_idx"))
+      .agg(round(avg(col("col").cast("double")), 4).as("centroid"),
+           count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("dim_idx"))
+  }
 }

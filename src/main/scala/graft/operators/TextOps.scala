@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PortableHash._
@@ -222,6 +223,166 @@ object TextOps {
     Tables.documents(spark, dir)
       .join(victims, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII patterns shared with the oracle SQL — plain character classes only,
+    * so Java regex (Spark) and RE2 (DuckDB) agree exactly. */
+  val EmailRe = "[A-Za-z0-9_]+@[A-Za-z.]+"
+  val UrlRe   = "https://[A-Za-z0-9./]+"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** The synthesized contact-note column (the test corpus carries no PII, so
+    * the fixture derives one deterministically from `customer` — same trick
+    * as the letter pipeline's request plane). */
+  private def contactNote: Column =
+    concat(lit("Reach "), col("c_name"),
+      lit(" at user"), col("c_custkey").cast("string"),
+      lit("@mail.example or call +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit("; profile https://ex.example/u/"), col("c_custkey").cast("string"),
+      lit(" soon."))
+
+  /** q59: PII scrubbing — the redaction pass every training-data pipeline
+    * runs before anything else: count and mask emails / URLs / phone numbers
+    * with anchor tokens. Pure per-row regex projection: narrow, codegen'd,
+    * trivially parallel at any scale (no shuffle until the final
+    * presentation sort).
+    */
+  def scrubPii(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), contactNote.as("note"))
+    c.select(
+        col("c_custkey"), col("note"),
+        regexp_count(col("note"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("note"), lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count(col("note"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("note"), PhoneRe, "[PHONE]"),
+            UrlRe, "[URL]"),
+          EmailRe, "[EMAIL]").as("scrubbed"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q60: repetition statistics (the Gopher-style "most common n-gram
+    * coverage" quality signal): per document, total / distinct bigram counts
+    * and the share of the single most frequent bigram, with an integer-exact
+    * repetitiveness flag (top covers ≥ 20%). Shape: explode → two hash
+    * aggregates keyed by doc — partial-aggregated map-side, uniform keys.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)   // single-file scan fan-out
+    val grams = d.select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+           count(lit(1)).as("n_distinct"),
+           max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_count"),
+        pround(col("top_count") * lit(1.0) / col("n_bigrams"), 6).as("top_share"),
+        (col("top_count") * 5 >= col("n_bigrams")).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Blended prose-quality score (stopword / alpha / punctuation signals) —
+    * the q30 scoring expression, factored for reuse by the corpus-mix
+    * sampler. */
+  private def qualityOf(text: Column): Column = {
+    val toks  = tokens(text)
+    val nTok  = size(toks).cast("long")
+    val nCh   = length(text).cast("long")
+    val punct = (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+    val alpha = (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("long")
+    val stop  = hits(toks, StopEn)
+    pround(stop * lit(1.0) / nTok + (alpha * lit(1.0) / nCh) * 0.5
+         - (punct * lit(1.0) / nCh) * 2.0, 4)
+  }
+
+  private val MixPerLang = 30
+
+  /** q61: training-corpus mix — stratified top-k selection: the best 30
+    * documents per language by quality score (deterministic tie-break on
+    * doc_id). The standard "fill each language's token budget with its
+    * highest-quality documents" sampling step; one ranking window per
+    * language partition, no global sort until presentation.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scored = d.select(col("doc_id"), col("lang"), qualityOf(col("text")).as("quality"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= MixPerLang)
+      .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  private val MaxCcIterations = 20
+
+  /** q62: duplicate-cluster assignment — connected components over the
+    * SimHash near-dup pair graph by iterative min-label propagation (the
+    * proper generalization of q38's greedy pairwise dedup: transitive
+    * near-dup chains A~B~C collapse into ONE cluster even when A,C never
+    * pair directly). Every document gets a cluster_id = the smallest doc_id
+    * reachable through near-dup edges; singletons keep their own id.
+    *
+    * Scale design: each round is one equi-join (edges ⋈ labels on a uniform
+    * id key) + one min-aggregate — all distributed; the driver only checks
+    * an empty-diff convergence flag. Rounds = graph diameter, small for
+    * near-dup graphs (dup clusters are dense). Each round's labels are
+    * materialized with `localCheckpoint` — labels_{n+1} references labels_n
+    * twice (union + convergence diff), so without lineage truncation the
+    * logical plan doubles per round and the optimizer, not the data, blows
+    * the heap. On a cluster this becomes reliable `checkpoint` to durable
+    * storage (localCheckpoint is not executor-loss-tolerant); for
+    * billion-edge graphs the large-star/small-star variant (same join/agg
+    * primitives, alternating edge rewrites) bounds rounds to O(log n).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    // The label state is tiny relative to the batch shuffle width (one row
+    // per doc, shrinking fan-in joins); run the loop's many small stages
+    // under a narrower shuffle like the streaming state queries do.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      var converged = false
+      var iter = 0
+      while (!converged && iter < MaxCcIterations) {
+        val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("label"))
+        val m = labels.union(msgs)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        // Pointer jumping: follow my label's label (labels are doc_ids, and
+        // min-labels are monotone non-increasing, so label(label(d)) ≤
+        // label(d)). This halves label-chain lengths every round —
+        // convergence in O(log diameter) rounds instead of O(diameter).
+        val next = m.as("a")
+          .join(m.select(col("doc_id").as("label"), col("label").as("ll")).as("b"),
+            Seq("label"), "left")
+          .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          .localCheckpoint()
+        // Any graph with an edge needs ≥2 rounds, so the convergence probe
+        // (a diff-join job) only starts paying for itself from round 3.
+        val changed =
+          if (iter < 2) 1L
+          else next.as("n")
+            .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+            .filter(col("n.label") =!= col("p.label"))
+            .limit(1).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 
