@@ -52,6 +52,25 @@ object PlanAudit {
        else "CHECK: " + dotLines.map(_.trim.take(120)).mkString(" | ")))
     // embedding dedup: anti-join with a broadcast victim set
     audit("q39_embedding_dedup", Seq("LeftAnti", "BroadcastHashJoin"))
+    // PII scrub is a pure narrow projection: no exchange before the
+    // presentation sort, and the regexes run inside a codegen span
+    val q59 = SparkEntry.queries("q59_scrub_pii")(spark, dir)
+    q59.collect()
+    val q59plan = q59.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q59shuffles = "Exchange".r.findAllIn(q59plan).size
+    println(s"[audit] q59 narrow scrub " +
+      (if (q59shuffles <= 1) s"OK ($q59shuffles exchange: presentation sort only)"
+       else s"CHECK: $q59shuffles exchanges"))
+    // repetition stats: both aggregates partial-aggregate map-side
+    audit("q60_repetition_stats", Seq("HashAggregate"))
+    // corpus mix: the rank<=30 filter must push a partial WindowGroupLimit
+    // below the shuffle (map-side top-30 per language — the shuffle carries
+    // at most 30 rows per language per input partition, not the corpus)
+    audit("q61_corpus_mix", Seq("WindowGroupLimit", "Partial"))
+    // centroids: exploded rows feed a partial-aggregated hash agg (never
+    // per-group array state)
+    audit("q63_label_centroids", Seq("Generate posexplode", "HashAggregate"))
     // read schema pruned to the selected columns
     val q2df = SparkEntry.queries("q02_filter_project")(spark, dir)
     q2df.collect()
