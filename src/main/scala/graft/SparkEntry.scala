@@ -48,6 +48,8 @@ object SparkEntry {
     "q24_asof_join"          -> (Temporal.asofJoin _),
     "q25_range_join"         -> (Temporal.rangeJoin _),
     "q26_cube_pricing"       -> (Relational.cubePricing _),
+    "q64_grouping_sets"      -> (Relational.groupingSetsPricing _),
+    "q65_array_ops"          -> (Relational.arrayOps _),
     "q27_percentiles"        -> (Relational.percentiles _),
     "q28_json_roundtrip"     -> (Relational.jsonRoundtrip _),
     "q29_explode_geo"        -> (Relational.explodeGeo _),
@@ -265,6 +267,26 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY CUBE(l_returnflag, o_orderpriority)
         |ORDER BY gid, l_returnflag, o_orderpriority""".stripMargin,
+    "q64_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q65_array_ops" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(l_linenumber)) AS lines,
+        |    list(CAST(trunc(l_quantity) AS BIGINT)) AS qtys
+        |  FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(lines) AS INT) AS n_lines,
+        |  array_to_string(lines[1:3], ',') AS first3,
+        |  CAST(len(list_distinct(qtys)) AS INT) AS n_distinct_qty,
+        |  list_contains(lines, 7) AS has_line7,
+        |  lines[-1] AS max_line
+        |FROM g ORDER BY l_orderkey""".stripMargin,
     "q27_percentiles" ->
       """SELECT l_returnflag,
         |  floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,

@@ -191,6 +191,39 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q64: explicit GROUPING SETS — the general form behind rollup/cube
+    * (q17/q26): per-flag totals, per-status totals, and the grand total in
+    * ONE pass (a single Expand + hash aggregate, not three scans).
+    */
+  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"),
+           grouping_id(col("l_returnflag"), col("l_linestatus")).cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q65: array-function breadth — per-order line arrays built by a hash
+    * aggregate, then transformed with the higher-order array surface
+    * (sort/slice/distinct/contains/element_at/join). Outputs stay scalar so
+    * the oracle compare is type-exact. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_orderkey") % 100 === 0)
+    val grouped = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+           collect_list(col("l_quantity").cast("long")).as("qtys"))
+    grouped.select(
+        col("l_orderkey"),
+        size(col("lines")).as("n_lines"),
+        array_join(transform(slice(col("lines"), 1, 3), _.cast("string")), ",").as("first3"),
+        size(array_distinct(col("qtys"))).as("n_distinct_qty"),
+        array_contains(col("lines"), 7).as("has_line7"),
+        element_at(col("lines"), -1).as("max_line"))
+      .orderBy(col("l_orderkey"))
+  }
+
   /** q18: distinct counts — exact count_distinct per group (two distinct
     * aggregates → Expand; at scale prefer the HLL variant, see
     * `approxDistinct` which the bench runs without an oracle).
