@@ -50,6 +50,7 @@ object SparkEntry {
     "q26_cube_pricing"       -> (Relational.cubePricing _),
     "q64_grouping_sets"      -> (Relational.groupingSetsPricing _),
     "q65_array_ops"          -> (Relational.arrayOps _),
+    "q66_map_ops"            -> (EventOps.mapOps _),
     "q27_percentiles"        -> (Relational.percentiles _),
     "q28_json_roundtrip"     -> (Relational.jsonRoundtrip _),
     "q29_explode_geo"        -> (Relational.explodeGeo _),
@@ -287,6 +288,13 @@ object SparkEntry {
         |  list_contains(lines, 7) AS has_line7,
         |  lines[-1] AS max_line
         |FROM g ORDER BY l_orderkey""".stripMargin,
+    "q66_map_ops" ->
+      """SELECT user_id,
+        |  CAST(count(DISTINCT event_type) AS INT) AS n_types,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q27_percentiles" ->
       """SELECT l_returnflag,
         |  floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,

@@ -30,6 +30,26 @@ object EventOps {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** q66: map-function surface — per-user event-type histogram as a real
+    * MapType column (`map_from_entries` over a grouped collect), then
+    * map_keys / element_at / size extraction. The oracle verifies the same
+    * values relationally (maps are a Spark-side representation choice, not
+    * a semantic one). Outputs stay scalar for the type-exact compare.
+    */
+  def mapOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val counts = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("types_csv"),
+        coalesce(element_at(col("m"), lit("click")), lit(0L)).as("n_clicks"),
+        coalesce(element_at(col("m"), lit("purchase")), lit(0L)).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
   /** q48: sliding windows — 1-hour windows every 15 minutes (each event in 4
     * overlapping windows; Spark plans this as a window explode + hash agg).
     * The oracle reconstructs the same epoch-aligned window starts
