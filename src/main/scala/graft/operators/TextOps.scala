@@ -339,7 +339,11 @@ object TextOps {
     * primitives, alternating edge rewrites) bounds rounds to O(log n).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the pair pipeline ONCE before mirroring: the undirected
+    // edge union references `pairs` twice, which would otherwise run the
+    // whole SimHash pipeline per branch.
     val pairs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
@@ -354,7 +358,12 @@ object TextOps {
       var converged = false
       var iter = 0
       while (!converged && iter < MaxCcIterations) {
-        val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        // labels are one (id, id) pair per doc — broadcast while they fit.
+        // The hint matters because RDD-backed localCheckpoints hide size
+        // stats from AQE (it would otherwise plan a full edge shuffle per
+        // round); past broadcast scale the same plan degrades gracefully to
+        // a shuffled equi-join by removing the hint.
+        val msgs = edges.join(broadcast(labels), edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("label"))
         val m = labels.union(msgs)
           .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
