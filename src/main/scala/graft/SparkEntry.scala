@@ -92,6 +92,7 @@ object SparkEntry {
     "q51_media_metadata"     -> (Multimodal.mediaMetadata _),
     "q52_media_features"     -> (Multimodal.mediaFeatures _),
     "q53_frame_sample"       -> (Multimodal.frameSample _),
+    "q67_media_embed_knn"    -> (Multimodal.mediaEmbedKnn _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -626,6 +627,25 @@ object SparkEntry {
          |  substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 8) AS frame_sig
          |FROM fr WHERE frame_idx % 5 = 0
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q67_media_embed_knn" -> {
+      val dim = Multimodal.EmbedDim
+      val dot = (a: String, b: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"[($a)[i] * ($b)[i] for i in generate_series(1, $dim)]), (acc, x) -> acc + x)"
+      s"""WITH ev AS (SELECT doc_id,
+         |  [CAST(${PortableHash.h48Sql("text || ':' || i")} % 2001 - 1000 AS DOUBLE) / 1000.0
+         |   for i in generate_series(0, ${dim - 1})] AS v
+         |FROM documents),
+         |vecs AS (SELECT doc_id, v, sqrt(${dot("v", "v")}) AS norm FROM ev),
+         |q AS (SELECT doc_id AS query_id, v AS qv, norm AS qn FROM vecs WHERE doc_id < 10),
+         |joined AS (SELECT query_id, e.doc_id AS neighbor_id,
+         |    floor((${dot("e.v", "qv")} / (e.norm * qn)) * 1e6 + 0.5) / 1e6 AS cosine
+         |  FROM vecs e CROSS JOIN q WHERE e.doc_id <> query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM joined)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
     "q50_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

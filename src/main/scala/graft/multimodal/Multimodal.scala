@@ -98,4 +98,38 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("byte_len"),
         substring(md5(col("payload")), 1, 8).as("magic"))
       .orderBy(col("doc_id"))
+
+  val EmbedDim = 8
+
+  /** q67: media → embedding → kNN, the end-to-end multimodal retrieval
+    * shape (extract a feature vector from each payload, then search it).
+    * The "model forward pass" is a deterministic stub like [[decodeStub]]
+    * (md5-derived components in [-1, 1] — no codecs/models in this
+    * environment), but the pipeline is the real one: per-payload vector
+    * extraction as a narrow codegen'd projection, norms precomputed,
+    * bounded query set broadcast against the corpus, per-partition top-k.
+    * Every step is integer-derived so the DuckDB oracle hash-matches the
+    * whole pipeline including the extracted vectors.
+    */
+  def mediaEmbedKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHash.{h48, pround}
+    import graft.functions.DotProduct
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val vec = array((0 until EmbedDim).map { i =>
+      ((h48(concat(col("text"), lit(s":$i"))) % 2001) - 1000).cast("double") / 1000.0
+    }: _*)
+    val vecs = d.select(col("doc_id"), vec.as("v"))
+      .withColumn("norm", sqrt(DotProduct(col("v"), col("v"))))
+    val q = vecs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val joined = vecs.join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        pround(DotProduct(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
