@@ -88,6 +88,7 @@ object SparkEntry {
     "q60_repetition_stats"   -> (TextOps.repetitionStats _),
     "q61_corpus_mix"         -> (TextOps.corpusMix _),
     "q62_dedup_clusters"     -> (TextOps.dedupClusters _),
+    "q68_holdout_split"      -> (TextOps.holdoutSplit _),
     "q63_label_centroids"    -> (SimilarityOps.labelCentroids _),
     "q51_media_metadata"     -> (Multimodal.mediaMetadata _),
     "q52_media_features"     -> (Multimodal.mediaFeatures _),
@@ -526,6 +527,15 @@ object SparkEntry {
          |FROM s)
          |SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 30
          |ORDER BY lang, rank""".stripMargin,
+    "q68_holdout_split" ->
+      s"""WITH b AS (SELECT lang, n_chars,
+         |  CASE WHEN ${PortableHash.h48Sql("text")} % 100 < 80 THEN 'train'
+         |       WHEN ${PortableHash.h48Sql("text")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q63_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,

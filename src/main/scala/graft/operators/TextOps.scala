@@ -317,6 +317,24 @@ object TextOps {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** q68: deterministic corpus splitting — train/val/test assignment by
+    * content-hash bucket (80/10/10), the reproducible alternative to RNG
+    * sampling: membership depends only on the document bytes, so it is
+    * stable across runs, engines, partitionings and corpus growth (a doc
+    * never migrates between splits when new data arrives). Pure narrow
+    * projection + one aggregation.
+    */
+  def holdoutSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val bucket = h48(col("text")) % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    d.select(col("lang"), split.as("split"), col("n_chars"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   private val MaxCcIterations = 20
 
   /** q62: duplicate-cluster assignment — connected components over the
