@@ -52,6 +52,7 @@ object SparkEntry {
     "q65_array_ops"          -> (Relational.arrayOps _),
     "q66_map_ops"            -> (EventOps.mapOps _),
     "q27_percentiles"        -> (Relational.percentiles _),
+    "q69_approx_percentiles" -> (Relational.approxPercentiles _),
     "q28_json_roundtrip"     -> (Relational.jsonRoundtrip _),
     "q29_explode_geo"        -> (Relational.explodeGeo _),
     "q47_salted_agg"         -> (EventOps.saltedAgg _),

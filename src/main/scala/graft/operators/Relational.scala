@@ -251,6 +251,22 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag"), col("o_orderpriority"))
   }
 
+  /** q69: approximate percentiles — the scale path for q27: a mergeable
+    * GK/KLL-style sketch with bounded state per group instead of a per-group
+    * sort, so quantiles of a 100 TB column cost one pass + constant-size
+    * merges. Approximate by design → declared rows-only (like the HLL q19);
+    * ApproxSpec bounds its error against the exact q27 values.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("ap90"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q27: exact percentiles — median/p90 of extended price per return flag
     * (linear interpolation; sorts are partition-local per group).
     */
