@@ -61,6 +61,7 @@ object SparkEntry {
     "q44_math_functions"     -> (Relational.mathFunctions _),
     "q45_null_functions"     -> (Relational.nullFunctions _),
     "q46_pivot_events"       -> (Relational.pivotEvents _),
+    "q70_unpivot_events"     -> (Relational.unpivotEvents _),
     "q20_tumbling_counts"    -> (EventOps.tumblingCounts _),
     "q21_sessionize"         -> (EventOps.sessionize _),
     "q22_json_extract"       -> (EventOps.jsonExtract _),
@@ -367,6 +368,10 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q70_unpivot_events" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q20_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

@@ -377,6 +377,23 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q70: unpivot/melt — the inverse of q46's pivot: the wide per-user
+    * histogram back to long (user_id, event_type, n) form, dropping the
+    * fill-zeros so the round trip reproduces the sparse groupBy exactly
+    * (which is what the oracle computes directly). Wide→long reshaping is
+    * a narrow Expand (one output row per value column per input row) — no
+    * shuffle beyond the pivot's own aggregation.
+    */
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val wide = pivotEvents(spark, dir)
+    wide.unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** q49: ranking-window breadth — ntile / percent_rank / cume_dist / lead
     * over a deterministic per-segment order.
     */
