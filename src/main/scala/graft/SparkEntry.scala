@@ -64,6 +64,7 @@ object SparkEntry {
     "q70_unpivot_events"     -> (Relational.unpivotEvents _),
     "q20_tumbling_counts"    -> (EventOps.tumblingCounts _),
     "q21_sessionize"         -> (EventOps.sessionize _),
+    "q71_session_window"     -> (EventOps.sessionWindowAgg _),
     "q22_json_extract"       -> (EventOps.jsonExtract _),
     "q23_latest_per_key"     -> (EventOps.latestPerUserType _),
     "q30_quality_score"      -> (TextOps.qualityScore _),
@@ -387,6 +388,15 @@ object SparkEntry {
         |  max(ts_us) - min(ts_us) AS duration_us
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q71_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     "q22_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k,

@@ -86,6 +86,26 @@ object EventOps {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** q71: built-in `session_window` aggregation as a first-class declared
+    * query (the streaming-native gap-session operator; ConnectorSpec proves
+    * it equal to the lag form modulo the boundary convention). Boundary
+    * semantics: a session's window extends `gap` past its LAST event and
+    * windows are half-open, so a follow-up event exactly `gap` later starts
+    * a NEW session — the oracle's is_new predicate is therefore `>= gap`
+    * where q21's lag form uses `> gap`. Emitted as epoch micros (window end
+    * = last event + gap).
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"), session_window(col("ts").cast("timestamp"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   /** q22: semi-structured extraction — JSON path over the `props` column
     * (S1: `from_json`/schema-on-read, the engine form of `request.json`).
     */
