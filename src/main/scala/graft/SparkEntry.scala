@@ -62,6 +62,8 @@ object SparkEntry {
     "q45_null_functions"     -> (Relational.nullFunctions _),
     "q46_pivot_events"       -> (Relational.pivotEvents _),
     "q70_unpivot_events"     -> (Relational.unpivotEvents _),
+    "q72_date_spine"         -> (Relational.dateSpine _),
+    "q73_share_of_total"     -> (Relational.shareOfTotal _),
     "q20_tumbling_counts"    -> (EventOps.tumblingCounts _),
     "q21_sessionize"         -> (EventOps.sessionize _),
     "q71_session_window"     -> (EventOps.sessionWindowAgg _),
@@ -373,6 +375,21 @@ object SparkEntry {
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    "q72_date_spine" ->
+      """WITH b AS (SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |daily AS (SELECT o_orderdate AS day, count(*) AS n,
+        |                 round(sum(o_totalprice), 2) AS revenue
+        |          FROM orders GROUP BY 1)
+        |SELECT s.day, coalesce(d.n, 0) AS n_orders, coalesce(d.revenue, 0.0) AS revenue
+        |FROM spine s LEFT JOIN daily d USING (day)
+        |ORDER BY s.day""".stripMargin,
+    "q73_share_of_total" ->
+      """WITH g AS (SELECT l_returnflag, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, round(rev, 2) AS revenue,
+        |  floor((rev / sum(rev) OVER ()) * 1e6 + 0.5) / 1e6 AS share
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "q20_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

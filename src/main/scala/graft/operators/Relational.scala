@@ -394,6 +394,43 @@ object Relational {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q72: date-spine gap filling — generate the full calendar between the
+    * corpus's first and last order date and left-join daily counts onto it,
+    * zero-filling silent days (the standard time-series densification step
+    * dashboards and trend models need). The spine is generated, not stored:
+    * a `sequence` + `explode` over one aggregated row, broadcast against
+    * the daily aggregate.
+    */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val daily = o.groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy(col("day"))
+  }
+
+  /** q73: share-of-total — each group's fraction of the grand total via an
+    * unpartitioned window sum (ratio_to_report): one aggregation plus one
+    * single-partition window over the tiny aggregate, never over the fact.
+    */
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val byFlag = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val w = Window.partitionBy()
+    byFlag.select(
+        col("l_returnflag"),
+        round(col("rev"), 2).as("revenue"),
+        pround(col("rev") / sum(col("rev")).over(w), 6).as("share"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q49: ranking-window breadth — ntile / percent_rank / cume_dist / lead
     * over a deterministic per-segment order.
     */
