@@ -64,6 +64,9 @@ object SparkEntry {
     "q70_unpivot_events"     -> (Relational.unpivotEvents _),
     "q72_date_spine"         -> (Relational.dateSpine _),
     "q73_share_of_total"     -> (Relational.shareOfTotal _),
+    "q74_above_seg_avg"      -> (Relational.aboveSegmentAverage _),
+    "q75_string_agg"         -> (Relational.stringAgg _),
+    "q76_histogram"          -> (Relational.histogram _),
     "q20_tumbling_counts"    -> (EventOps.tumblingCounts _),
     "q21_sessionize"         -> (EventOps.sessionize _),
     "q71_session_window"     -> (EventOps.sessionWindowAgg _),
@@ -390,6 +393,23 @@ object SparkEntry {
         |SELECT l_returnflag, round(rev, 2) AS revenue,
         |  floor((rev / sum(rev) OVER ()) * 1e6 + 0.5) / 1e6 AS share
         |FROM g ORDER BY l_returnflag""".stripMargin,
+    "q74_above_seg_avg" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment,
+        |  floor(c_acctbal * 1e2 + 0.5) / 1e2 AS bal,
+        |  floor(avg(c_acctbal) OVER (PARTITION BY c_mktsegment) * 1e2 + 0.5) / 1e2 AS seg_avg
+        |FROM customer)
+        |SELECT c_custkey, c_mktsegment, bal, seg_avg FROM t
+        |WHERE bal > seg_avg ORDER BY c_custkey""".stripMargin,
+    "q75_string_agg" ->
+      """SELECT r_name AS region_name, count(*) AS n_nations,
+        |  array_to_string(list_sort(list(n_name)), '|') AS nations_list
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region_name""".stripMargin,
+    "q76_histogram" ->
+      """WITH b AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer),
+        |t AS (SELECT CAST(least(floor((c_acctbal - lo) / (hi - lo) * 10), 9) AS BIGINT) AS bucket
+        |      FROM customer CROSS JOIN b)
+        |SELECT bucket, count(*) AS n FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q20_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

@@ -431,6 +431,53 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q74: above-group-average filter — the window-aggregate form of a
+    * correlated subquery (`bal > avg(bal) over segment`): one pass, no
+    * self-join, no subquery re-execution per row.
+    */
+  def aboveSegmentAverage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+    c.select(col("c_custkey"), col("c_mktsegment"),
+        pround(col("c_acctbal"), 2).as("bal"),
+        pround(avg(col("c_acctbal")).over(w), 2).as("seg_avg"))
+      .filter(col("bal") > col("seg_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q75: string aggregation (listagg) — deterministic by sorting the
+    * collected values before joining; the grouped-collect shuffle carries
+    * value lists only for the grouped keys.
+    */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"))
+      .agg(count(lit(1)).as("n_nations"),
+           array_join(sort_array(collect_list(col("n_name"))), "|").as("nations_list"))
+      .orderBy(col("region_name"))
+  }
+
+  private val HistBuckets = 10
+
+  /** q76: numeric histogram — fixed-width bucketing of account balances
+    * over the observed [min, max] range: two passes (bounds, then a
+    * bucket-keyed count), both partial-aggregated; the bucket arithmetic is
+    * identical integer-derived FP in both engines.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val b = c.agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+    c.crossJoin(broadcast(b))
+      .select(least(
+          floor((col("c_acctbal") - col("lo")) / (col("hi") - col("lo")) * HistBuckets),
+          lit(HistBuckets - 1)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** q49: ranking-window breadth — ntile / percent_rank / cume_dist / lead
     * over a deterministic per-segment order.
     */
