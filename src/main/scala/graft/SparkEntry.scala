@@ -67,6 +67,8 @@ object SparkEntry {
     "q74_above_seg_avg"      -> (Relational.aboveSegmentAverage _),
     "q75_string_agg"         -> (Relational.stringAgg _),
     "q76_histogram"          -> (Relational.histogram _),
+    "q77_moving_avg"         -> (Relational.movingAverage _),
+    "q78_value_windows"      -> (Relational.valueWindows _),
     "q20_tumbling_counts"    -> (EventOps.tumblingCounts _),
     "q21_sessionize"         -> (EventOps.sessionize _),
     "q71_session_window"     -> (EventOps.sessionWindowAgg _),
@@ -410,6 +412,30 @@ object SparkEntry {
         |t AS (SELECT CAST(least(floor((c_acctbal - lo) / (hi - lo) * 10), 9) AS BIGINT) AS bucket
         |      FROM customer CROSS JOIN b)
         |SELECT bucket, count(*) AS n FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q77_moving_avg" ->
+      """WITH b AS (SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |daily AS (SELECT o_orderdate AS day, count(*) AS n FROM orders GROUP BY 1),
+        |series AS (SELECT s.day, coalesce(d.n, 0) AS n_orders,
+        |                  CAST(epoch(CAST(s.day AS TIMESTAMP)) // 86400 AS BIGINT) AS epoch_day
+        |           FROM spine s LEFT JOIN daily d USING (day))
+        |SELECT day, n_orders,
+        |  floor((avg(n_orders) OVER w) * 1e4 + 0.5) / 1e4 AS ma7,
+        |  CAST(sum(n_orders) OVER w AS BIGINT) AS sum7
+        |FROM series
+        |WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q78_value_windows" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  floor(c_acctbal * 1e2 + 0.5) / 1e2 AS bal,
+        |  first_value(c_custkey) OVER w AS poorest_key,
+        |  last_value(c_custkey) OVER w AS richest_key,
+        |  nth_value(c_custkey, 2) OVER w AS second_key
+        |FROM customer WHERE c_custkey <= 2000
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY floor(c_acctbal * 1e2 + 0.5) / 1e2, c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
     "q20_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

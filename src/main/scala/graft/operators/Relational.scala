@@ -478,6 +478,37 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** q77: trailing 7-day moving average over the dense daily series — a
+    * RANGE frame (interval-bounded, not row-counted): correct even if the
+    * series had gaps, and the frame arithmetic is exact (integer sums and
+    * counts divided once).
+    */
+  def movingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dateSpine(spark, dir).select(col("day"), col("n_orders"))
+    val byDay = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      .select(col("day"), col("n_orders"),
+        pround(avg(col("n_orders")).over(byDay), 4).as("ma7"),
+        sum(col("n_orders")).over(byDay).as("sum7"))
+      .orderBy(col("day"))
+  }
+
+  /** q78: value window functions — first/last/nth over an interval frame
+    * per segment with a deterministic tie-broken order.
+    */
+  def valueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") <= 2000)
+    val bal = pround(col("c_acctbal"), 2)
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(bal, col("c_custkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.select(col("c_custkey"), col("c_mktsegment"), bal.as("bal"),
+        first(col("c_custkey")).over(full).as("poorest_key"),
+        last(col("c_custkey")).over(full).as("richest_key"),
+        nth_value(col("c_custkey"), 2).over(full).as("second_key"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** q49: ranking-window breadth — ntile / percent_rank / cume_dist / lead
     * over a deterministic per-segment order.
     */
