@@ -40,6 +40,7 @@ object SparkEntry {
     "q17_rollup_pricing"     -> (Relational.rollupPricing _),
     "q18_distinct_counts"    -> (Relational.distinctCounts _),
     "q19_approx_distinct"    -> (Relational.approxDistinct _),
+    "q79_kmv_distinct"       -> (Relational.kmvDistinct _),
     "q09_format_percent"     -> (Letter.percentFormatting _),
     "q10_format_currency"    -> (Letter.currencyFormatting _),
     "q11_filename_ops"       -> (Letter.filenameOps _),
@@ -436,6 +437,18 @@ object SparkEntry {
         |             ORDER BY floor(c_acctbal * 1e2 + 0.5) / 1e2, c_custkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY c_custkey""".stripMargin,
+    "q79_kmv_distinct" ->
+      s"""WITH h AS (SELECT l_returnflag, l_partkey,
+         |  ${PortableHash.h48Sql("CAST(l_partkey AS VARCHAR)")} AS hv FROM lineitem),
+         |g AS (SELECT l_returnflag,
+         |        list_sort(list_distinct(list(hv))) AS ks,
+         |        count(DISTINCT l_partkey) AS exact_distinct
+         |      FROM h GROUP BY 1)
+         |SELECT l_returnflag,
+         |  CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS BIGINT)
+         |       ELSE CAST((63 * 281474976710656) // ks[64] AS BIGINT) END AS kmv_est,
+         |  exact_distinct
+         |FROM g ORDER BY l_returnflag""".stripMargin,
     "q20_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

@@ -224,6 +224,26 @@ object Relational {
       .orderBy(col("l_orderkey"))
   }
 
+  /** q79: KMV distinct sketch — the custom typed-Aggregator tier (SURVEY
+    * §2.8), chosen over HLL for the sketch because "K smallest distinct
+    * hashes" is deterministic under any partitioning and reproducible in
+    * any engine with the same hash: the DuckDB oracle computes the
+    * *identical* estimate, so even the sketch path is hash-checked (q19's
+    * HLL can only be rows-checked). Bounded K-long state per group,
+    * partial-aggregated and tree-merged like any algebraic aggregate.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KmvSketch, PortableHash}
+    val kmv = udaf(KmvSketch)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey"),
+        PortableHash.h48(col("l_partkey").cast("string")).as("hv"))
+    li.groupBy(col("l_returnflag"))
+      .agg(kmv(col("hv")).as("kmv_est"),
+           count_distinct(col("l_partkey")).as("exact_distinct"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q18: distinct counts — exact count_distinct per group (two distinct
     * aggregates → Expand; at scale prefer the HLL variant, see
     * `approxDistinct` which the bench runs without an oracle).

@@ -24,6 +24,30 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch estimates track exact distinct within 35% and are partitioning-invariant") {
+    val rows = Relational.kmvDistinct(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("kmv_est").toDouble
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(math.abs(est - exact) / exact < 0.35, s"KMV off: $est vs $exact")
+    }
+    // determinism under a different physical partitioning: K-smallest-distinct
+    // is merge-order independent, so the estimate must be bit-identical
+    import org.apache.spark.sql.functions.{col, udaf}
+    import graft.functions.{KmvSketch, PortableHash}
+    val li = Tables.lineitem(spark, sf01)
+      .repartition(3, col("l_orderkey"))   // different layout than the query's scan
+      .select(col("l_returnflag"), PortableHash.h48(col("l_partkey").cast("string")).as("hv"))
+    val kmv = udaf(KmvSketch)
+    val again = li.groupBy(col("l_returnflag"))
+      .agg(kmv(col("hv")).as("kmv_est"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("kmv_est")).toMap
+    rows.foreach { r =>
+      assert(again(r.getAs[String]("l_returnflag")) == r.getAs[Long]("kmv_est"))
+    }
+  }
+
   test("HLL distinct counts track exact distinct counts within 5%") {
     val exact = Relational.distinctCounts(spark, sf01).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts")).toMap
