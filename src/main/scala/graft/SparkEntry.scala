@@ -93,6 +93,7 @@ object SparkEntry {
     "q49_window_breadth"     -> (Relational.windowBreadth _),
     "q54_string_breadth"     -> (Relational.stringBreadth _),
     "q50_stream_tumbling"    -> (EventsStream.streamingTumbling _),
+    "q80_stream_sliding"     -> (EventsStream.streamingSliding _),
     "q56_stream_enrich"      -> (EventsStream.streamStaticEnrich _),
     "q58_stream_join"        -> (EventsStream.streamStreamJoin _),
     "q59_scrub_pii"          -> (TextOps.scrubPii _),
@@ -716,6 +717,11 @@ object SparkEntry {
         |FROM customer WHERE c_custkey <= 1000
         |ORDER BY c_custkey""".stripMargin,
     "q48_sliding_counts" ->
+      """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - k * 900000000) AS win_start,
+        |  event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q80_stream_sliding" ->
       """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - k * 900000000) AS win_start,
         |  event_type, count(*) AS n
         |FROM events CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) g

@@ -120,6 +120,32 @@ object EventsStream {
     spark.table(name).orderBy(col("user_id"), col("start_us"))
   }
 
+  /** q80: incremental sliding-window counts — the streaming twin of the
+    * batch q48 plan (1-hour windows every 15 minutes): each event lands in
+    * 4 overlapping windows, maintained incrementally in the state store.
+    * Output equals the batch window explode + hash agg (same oracle shape).
+    */
+  def streamingSliding(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_sliding_${counter.incrementAndGet()}"
+    withStatePartitions(spark) {
+      val q = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("win_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .select(col("win_start").cast("timestamp_ntz").as("win_start"),
+              col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** q56: stream-static enrichment — the streaming twin of the reference's
     * enrichment join (SURVEY §2.4 J2): an unbounded event stream joined to a
     * broadcast dimension snapshot, then incrementally aggregated. This is the
