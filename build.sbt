@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// All suites share one SparkSession (SparkSpec.getOrCreate); several tests
+// temporarily mutate session confs (broadcast threshold, skew/bloom-filter
+// knobs) and assert plan shapes, so concurrent suites would race on the
+// shared conf. Run suites sequentially in the forked JVM.
+Test / parallelExecution := false
 run / fork := true
 // Forked run output goes straight to stdout, NOT through sbt's logger —
 // the bench harness parses the JSON result line and the default

@@ -27,7 +27,9 @@ class PartitionPruningSpec extends SparkSpec {
     assert(n > 0, "expected 1995 orders")
 
     val plan = j.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruningexpression"),
+    // match the prefix: the plan printer may truncate
+    // "dynamicpruningexpression(...)" inside the PartitionFilters list
+    assert(plan.contains("dynamicpruning"),
       s"expected dynamic partition pruning in:\n${plan.take(2000)}")
 
     // and the pruned scan must equal a direct single-year read
