@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, Relational, SimilarityOps, Temporal, TextOps}
+import graft.operators.{Analytics, EventOps, Relational, SimilarityOps, Temporal, TextOps}
 import graft.pipeline.Letter
 import graft.functions.PortableHash
 import graft.streaming.EventsStream
@@ -106,6 +106,20 @@ object SparkEntry {
     "q52_media_features"     -> (Multimodal.mediaFeatures _),
     "q53_frame_sample"       -> (Multimodal.frameSample _),
     "q67_media_embed_knn"    -> (Multimodal.mediaEmbedKnn _),
+    "q81_stream_sessions"    -> (EventsStream.streamingSessionize _),
+    "q82_stat_moments"       -> (Analytics.statMoments _),
+    "q83_ntile_deciles"      -> (Analytics.ntileDeciles _),
+    "q84_funnel"             -> (Analytics.funnel _),
+    "q85_cohort_retention"   -> (Analytics.cohortRetention _),
+    "q86_order_streaks"      -> (Analytics.orderStreaks _),
+    "q87_tfidf_terms"        -> (TextOps.tfidfTerms _),
+    "q88_vocab_growth"       -> (TextOps.vocabGrowth _),
+    "q89_collocations"       -> (TextOps.collocations _),
+    "q90_chunk_dedup"        -> (Multimodal.chunkDedup _),
+    "q91_quantized_recall"   -> (SimilarityOps.quantizedRecall _),
+    "q92_stratified_sample"  -> (TextOps.stratifiedSample _),
+    "q93_skew_profile"       -> (Analytics.skewProfile _),
+    "q94_peak_hour"          -> (Analytics.peakHour _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -854,5 +868,174 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q81_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |sess AS (SELECT user_id, sid, count(*) AS n_events,
+        |                min(ts_us) AS start_us, max(ts_us) AS end_us
+        |         FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS mx FROM sess) t
+        |WHERE sid < mx
+        |ORDER BY user_id, start_us""".stripMargin,
+    "q82_stat_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept_price_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q83_ntile_deciles" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment,
+        |             floor(c_acctbal * 1e2 + 0.5) / 1e2 AS bal FROM customer),
+        |d AS (SELECT *, CAST(ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY bal, c_custkey) AS BIGINT) AS decile FROM t)
+        |SELECT c_mktsegment, decile, count(*) AS n,
+        |  min(bal) AS lo_bal, max(bal) AS hi_bal, round(avg(bal), 4) AS avg_bal
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q84_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS t_click FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS t_buy FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT n_users, n_viewed, n_clicked_after_view, n_purchased_after_click,
+        |  floor((n_viewed * 1.0 / n_users) * 1e6 + 0.5) / 1e6 AS view_rate,
+        |  floor((n_clicked_after_view * 1.0 / n_viewed) * 1e6 + 0.5) / 1e6 AS click_through,
+        |  floor((n_purchased_after_click * 1.0 / n_clicked_after_view) * 1e6 + 0.5) / 1e6 AS purchase_through
+        |FROM (SELECT count(DISTINCT user_id) AS n_users FROM events) a,
+        |     (SELECT count(*) AS n_viewed FROM v) b,
+        |     (SELECT count(*) AS n_clicked_after_view FROM c) c2,
+        |     (SELECT count(*) AS n_purchased_after_click FROM p) d""".stripMargin,
+    "q85_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |co AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+        |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+        |  CAST(datediff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN co ON a.user_id = co.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q86_order_streaks" ->
+      """WITH mo AS (SELECT DISTINCT o_custkey,
+        |              CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo_idx FROM orders),
+        |i AS (SELECT o_custkey, mo_idx,
+        |        mo_idx - row_number() OVER (PARTITION BY o_custkey ORDER BY mo_idx) AS grp FROM mo),
+        |st AS (SELECT o_custkey, grp, count(*) AS streak_len FROM i GROUP BY 1, 2)
+        |SELECT o_custkey, count(*) AS n_streaks,
+        |  CAST(sum(streak_len) AS BIGINT) AS n_active_months,
+        |  CAST(max(streak_len) AS BIGINT) AS max_streak
+        |FROM st GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "q87_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${PortableHash.tokensSql("lower(text)")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+         |        CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df, tf.term) AS BIGINT) AS rank
+         |      FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, tf, df,
+         |  floor((tf * ln((n_docs * 1.0) / df)) * 1e4 + 0.5) / 1e4 AS tfidf
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q88_vocab_growth" ->
+      s"""WITH tok AS (SELECT lang, unnest(${PortableHash.tokensSql("lower(text)")}) AS term FROM documents),
+         |tc AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+         |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |      FROM tc GROUP BY 1)
+         |SELECT lang, n_tokens, n_types, n_hapax,
+         |  floor((n_types * 1.0 / n_tokens) * 1e6 + 0.5) / 1e6 AS type_token_ratio,
+         |  floor((n_hapax * 1.0 / n_types) * 1e6 + 0.5) / 1e6 AS hapax_share
+         |FROM g ORDER BY lang""".stripMargin,
+    "q89_collocations" ->
+      s"""WITH t AS (SELECT lang, ${PortableHash.tokensSql("lower(text)")} AS w FROM documents),
+         |uni AS (SELECT lang, term, count(*) AS c
+         |        FROM (SELECT lang, unnest(w) AS term FROM t) u GROUP BY 1, 2),
+         |ba AS (SELECT lang, bg, count(*) AS c_xy
+         |       FROM (SELECT lang, unnest(${PortableHash.shinglesSql("w", 2)}) AS bg FROM t) u GROUP BY 1, 2),
+         |tot AS (SELECT u.lang, n_uni, n_bi FROM
+         |          (SELECT lang, CAST(sum(c) AS BIGINT) AS n_uni FROM uni GROUP BY 1) u
+         |          JOIN (SELECT lang, CAST(sum(c_xy) AS BIGINT) AS n_bi FROM ba GROUP BY 1) b ON u.lang = b.lang),
+         |r AS (SELECT ba.lang, ba.bg, ba.c_xy, ux.c AS c_x, uy.c AS c_y, tot.n_uni, tot.n_bi,
+         |        CAST(row_number() OVER (PARTITION BY ba.lang ORDER BY ba.c_xy DESC, ba.bg) AS BIGINT) AS rank
+         |      FROM ba
+         |      JOIN uni ux ON ba.lang = ux.lang AND split_part(ba.bg, ' ', 1) = ux.term
+         |      JOIN uni uy ON ba.lang = uy.lang AND split_part(ba.bg, ' ', 2) = uy.term
+         |      JOIN tot ON ba.lang = tot.lang
+         |      WHERE ba.c_xy >= 3)
+         |SELECT lang, rank, bg AS bigram, c_xy, c_x, c_y,
+         |  floor(ln((c_xy * 1.0 * n_uni * n_uni) / (n_bi * 1.0 * c_x * c_y)) * 1e4 + 0.5) / 1e4 AS pmi
+         |FROM r WHERE rank <= 15 ORDER BY lang, rank""".stripMargin,
+    "q90_chunk_dedup" ->
+      """WITH ch AS (SELECT doc_id, text,
+        |              unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)) AS ci
+        |            FROM documents),
+        |h AS (SELECT doc_id, md5(substr(text, ci * 64 + 1, 64)) AS m FROM ch),
+        |g AS (SELECT m, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+        |             min(doc_id) AS keeper_doc_id
+        |      FROM h GROUP BY m)
+        |SELECT substr(m, 1, 12) AS md5_12, n_copies, n_docs, keeper_doc_id
+        |FROM g WHERE n_copies > 1 ORDER BY md5_12""".stripMargin,
+    "q91_quantized_recall" ->
+      s"""${SimilarityOps.vectorsCteSql},
+         |qz AS (SELECT vec_id, v, norm,
+         |         [CAST(floor(v[i] / norm * ${SimilarityOps.QuantScale} + 0.5) AS BIGINT)
+         |          for i in generate_series(1, ${SimilarityOps.Dim})] AS qv
+         |       FROM vecs),
+         |q AS (SELECT vec_id AS query_id, v AS fqv, norm AS qn, qv AS qqv FROM qz WHERE vec_id < 10),
+         |j AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |        floor((${SimilarityOps.dotSql("e.v", "fqv")} / (e.norm * qn)) * 1e6 + 0.5) / 1e6 AS cosine,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          [e.qv[i] * qqv[i] for i in generate_series(1, ${SimilarityOps.Dim})]), (a, b) -> a + b) AS qdot
+         |      FROM qz e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS frank,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS qrank
+         |      FROM j),
+         |ov AS (SELECT a.query_id, count(*) AS cnt
+         |       FROM (SELECT query_id, neighbor_id FROM r WHERE frank <= ${SimilarityOps.RecallK}) a
+         |       JOIN (SELECT query_id, neighbor_id FROM r WHERE qrank <= ${SimilarityOps.RecallK}) b
+         |         USING (query_id, neighbor_id)
+         |       GROUP BY 1)
+         |SELECT q.query_id, coalesce(cnt, CAST(0 AS BIGINT)) AS n_overlap,
+         |  floor((coalesce(cnt, CAST(0 AS BIGINT)) * 1.0 / ${SimilarityOps.RecallK}) * 1e2 + 0.5) / 1e2 AS recall
+         |FROM q LEFT JOIN ov ON q.query_id = ov.query_id ORDER BY q.query_id""".stripMargin,
+    "q92_stratified_sample" ->
+      s"""WITH b AS (SELECT lang, n_chars,
+         |  ${PortableHash.h48Sql("text || ':sample'")} % 100 AS bucket,
+         |  CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 25 WHEN 'de' THEN 50
+         |            WHEN 'fr' THEN 40 WHEN 'zh' THEN 20 ELSE 15 END AS rate
+         |FROM documents)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+         |  CAST(max(rate) AS BIGINT) AS target_pct,
+         |  floor((sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) * 100.0 / count(*)) * 1e4 + 0.5) / 1e4 AS actual_pct
+         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    "q93_skew_profile" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n_orders) OVER () AS BIGINT) AS total,
+        |        CAST(row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS rank,
+        |        CAST(sum(n_orders) OVER (ORDER BY n_orders DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        |      FROM c)
+        |SELECT rank, o_custkey, n_orders,
+        |  floor((n_orders * 1.0 / total) * 1e6 + 0.5) / 1e6 AS share,
+        |  floor((cum_n * 1.0 / total) * 1e6 + 0.5) / 1e6 AS cum_share
+        |FROM t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q94_peak_hour" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_start, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT *, n * 1000000 -
+        |        (CAST(datediff('day', DATE '2024-01-01', CAST(hour_start AS DATE)) AS BIGINT) * 24
+        |         + hour(hour_start)) AS score
+        |      FROM h)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+        |  max_by(hour_start, score) AS peak_hour,
+        |  CAST(max_by(n, score) AS BIGINT) AS peak_n
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -99,6 +99,46 @@ object Multimodal {
         substring(md5(col("payload")), 1, 8).as("magic"))
       .orderBy(col("doc_id"))
 
+  val ChunkSize = 64
+
+  /** q90: chunk-level binary dedup — split every media payload into
+    * fixed-size chunks, content-hash each chunk, and report the chunks that
+    * occur more than once across the corpus (count, distinct carriers,
+    * lowest-id keeper). This is the storage-dedup primitive (CAS blocks /
+    * video segment dedup); on real media the splitter would be
+    * content-defined (rolling-hash boundaries), which is the same explode →
+    * hash → aggregate shape.
+    *
+    * Scale: generator + narrow projection per payload, then ONE hash
+    * aggregate keyed by chunk hash — uniform by construction, map-side
+    * partials, no skew. The payload itself never shuffles (only 12-char
+    * hash prefixes and counts do).
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload").cast("string").as("text"))
+    val nChunks = ceil(length(col("text")) / lit(ChunkSize.toDouble)).cast("int")
+    val chunks = d
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0), nChunks - 1)).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        substring_index_chunk(col("text"), col("ci")))
+    chunks
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+           count_distinct(col("doc_id")).as("n_docs"),
+           min(col("doc_id")).as("keeper_doc_id"))
+      .filter(col("n_copies") > 1)
+      .select(substring(col("chunk_md5"), 1, 12).as("md5_12"),
+        col("n_copies"), col("n_docs"), col("keeper_doc_id"))
+      .orderBy(col("md5_12"))
+  }
+
+  /** md5 of the ci-th fixed-size chunk of `text` (1-based substring math
+    * identical to the oracle's). */
+  private def substring_index_chunk(text: org.apache.spark.sql.Column,
+                                    ci: org.apache.spark.sql.Column) =
+    md5(text.substr(ci * ChunkSize + 1, lit(ChunkSize)).cast("binary")).as("chunk_md5")
+
   val EmbedDim = 8
 
   /** q67: media → embedding → kNN, the end-to-end multimodal retrieval

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PortableHash.pround
+
+/** Statistical + behavioral-analytics operators — the profiling layer every
+  * large-scale pipeline runs over its fact tables before/after a backfill:
+  * distribution moments, quantile bucketing, funnel/cohort behavior, streak
+  * detection, and skew diagnostics.
+  *
+  * Scale design (100 TB):
+  *  - Moments/correlations are single-pass hash aggregates (Spark's built-in
+  *    moment aggregates partial-aggregate map-side; no second pass over data).
+  *  - Ranking windows are always PARTITIONed (segment / language / user) —
+  *    never a global single-partition window over the fact table; global
+  *    steps happen only after aggregation has shrunk the data.
+  *  - Funnel/cohort shapes are min-aggregates + equi-joins on user_id — the
+  *    canonical uniform-key shuffle; no session state on the driver.
+  */
+object Analytics {
+
+  /** q82: distribution moments — count/avg/stddev/variance plus the bivariate
+    * family (corr, covar, least-squares slope+intercept) per return flag; the
+    * one-pass profiling aggregate (all built-in declarative aggregates with
+    * map-side partials; DuckDB implements the identical estimators).
+    */
+  def statMoments(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_price_qty"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept_price_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q83: quantile bucketing — account-balance deciles *within each market
+    * segment* (the partitioned form: ntile windows stay parallel across
+    * segments; a global decile at scale would instead use approx quantile
+    * bounds + a broadcast range join). Deterministic total order via
+    * (rounded balance, custkey).
+    */
+  def ntileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), pround(col("c_acctbal"), 2).as("bal"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("bal"), col("c_custkey"))
+    c.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+           min(col("bal")).as("lo_bal"),
+           max(col("bal")).as("hi_bal"),
+           round(avg(col("bal")), 4).as("avg_bal"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  /** q84: ordered funnel — view → click → purchase with strict temporal
+    * progression per user (each stage's timestamp must follow the previous
+    * stage's). Three min-aggregates chained by equi-joins on user_id; the
+    * final row is the classic conversion report.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+    // single-row stage counts composed in-plan (no driver-side actions)
+    val nAll  = e.select(col("user_id")).distinct().agg(count(lit(1)).as("n_users"))
+    val nView = views.agg(count(lit(1)).as("n_viewed"))
+    val nClick = clicks.agg(count(lit(1)).as("n_clicked_after_view"))
+    val nBuy = buys.agg(count(lit(1)).as("n_purchased_after_click"))
+    nAll.crossJoin(nView).crossJoin(nClick).crossJoin(nBuy)
+      .select(col("*"),
+        pround(col("n_viewed") * lit(1.0) / col("n_users"), 6).as("view_rate"),
+        pround(col("n_clicked_after_view") * lit(1.0) / col("n_viewed"), 6).as("click_through"),
+        pround(col("n_purchased_after_click") * lit(1.0) / col("n_clicked_after_view"), 6).as("purchase_through"))
+  }
+
+  /** q85: weekly cohort retention — users grouped by first-activity week,
+    * counted in each subsequent activity week (the retention triangle).
+    * Two hash aggregates + one equi-join on user_id; offsets are integer
+    * day-diffs over `date_trunc('week', …)` so both engines agree exactly.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      // emit the week as a (tz-free) timestamp — the cross-engine-stable
+      // wire type for date-like keys (DuckDB DATE decodes as midnight ts)
+      .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** q86: gaps-and-islands — consecutive-month ordering streaks per customer
+    * (month_index − row_number is constant within a run of consecutive
+    * months: the classic islands trick, all integer arithmetic). Windows are
+    * partitioned by customer; nothing global until the tiny presentation
+    * sort.
+    */
+  def orderStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val months = o.select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("mo_idx"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("mo_idx"))
+    val islands = months
+      .withColumn("grp", col("mo_idx") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(count(lit(1)).as("streak_len"), min(col("mo_idx")).as("start_mo"))
+    islands.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_streaks"),
+           sum(col("streak_len")).as("n_active_months"),
+           max(col("streak_len")).as("max_streak"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q93: skew diagnostics — the heavy-hitter profile of a join/agg key
+    * (orders per customer): top-20 keys with share and cumulative share of
+    * all rows. This is the operator you run BEFORE choosing a salting or
+    * broadcast strategy; the global window runs over the already-aggregated
+    * key counts, never the fact rows.
+    */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val wRank = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+    val withTotal = counts
+      .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cum_n", sum(col("n_orders")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withTotal.filter(col("rank") <= 20)
+      .select(col("rank"), col("o_custkey"), col("n_orders"),
+        pround(col("n_orders") * lit(1.0) / col("total"), 6).as("share"),
+        pround(col("cum_n") * lit(1.0) / col("total"), 6).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  /** q94: deterministic argmax (`max_by`) — the busiest hour per event type,
+    * picked by a composite integer score (count ↑, then earlier hour wins)
+    * so ties cannot make the answer engine- or partitioning-dependent.
+    * One hash aggregate over hourly pre-aggregates; max_by carries a single
+    * (value, score) pair through the partial aggregation — constant state.
+    */
+  def peakHour(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourly = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    // integer hour index since 2024-01-01 (test data epoch); score favors
+    // larger n, then the EARLIER hour — unique per (type, hour)
+    val hourIdx = (datediff(col("hour_start").cast("date"), lit("2024-01-01").cast("date")).cast("long") * 24
+      + hour(col("hour_start")))
+    val scored = hourly.withColumn("score", col("n") * 1000000L - hourIdx)
+    scored.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_total"),
+           max_by(col("hour_start"), col("score")).as("peak_hour"),
+           max_by(col("n"), col("score")).as("peak_n"))
+      .select(col("event_type"), col("n_total"), col("peak_hour"), col("peak_n"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -168,6 +168,53 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val QuantScale = 127   // int8 quantization range
+  val RecallK = 10
+
+  /** q91: quantization-recall audit — int8-quantize the normalized vectors
+    * (q_i = ⌊127·x_i/‖x‖ + 0.5⌋, the standard symmetric int8 scheme), rank
+    * neighbors by INTEGER quantized dot product, and measure top-10 recall
+    * against the exact float ranking. This is the accept/reject gate before
+    * shipping a quantized index at scale: 4× less memory/bandwidth iff
+    * recall holds.
+    *
+    * Determinism: quantized components derive from bit-identical doubles on
+    * both engines, so the integer dots are exact; overlap counting is a join
+    * on integer ids. Scale shape: both rankings are broadcast(queries) ⋈
+    * corpus with per-partition partial top-k — the quantized pass would run
+    * against the int8 index, the float pass against a sampled audit slice.
+    */
+  def quantizedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(spark, dir)
+      .withColumn("qv", transform(col("v"),
+        x => floor(x / col("norm") * QuantScale + 0.5).cast("long")))
+      .cache()
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("fqv"),
+        col("norm").as("qn"), col("qv").as("qqv"))
+    val joined = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pround(dot(col("v"), col("fqv")) / (col("norm") * col("qn")), 6).as("cosine"),
+        aggregate(zip_with(col("qv"), col("qqv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+    val wf = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("neighbor_id"))
+    val ranked = joined
+      .withColumn("frank", row_number().over(wf))
+      .withColumn("qrank", row_number().over(wq))
+    val exact = ranked.filter(col("frank") <= RecallK).select(col("query_id"), col("neighbor_id"))
+    val quant = ranked.filter(col("qrank") <= RecallK).select(col("query_id"), col("neighbor_id"))
+    val overlap = exact.join(quant, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("cnt"))
+    // left-join from the query list so a zero-overlap query still reports 0
+    q.select(col("query_id")).join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("cnt"), lit(0L)).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        pround(col("n_overlap") * lit(1.0) / RecallK, 2).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   // ---- DuckDB oracle fragments ----
 
   /** `[d1, d2, …]` literal for plane p. */

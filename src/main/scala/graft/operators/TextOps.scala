@@ -345,8 +345,9 @@ object TextOps {
     * reachable through near-dup edges; singletons keep their own id.
     *
     * Scale design: each round is one equi-join (edges ⋈ labels on a uniform
-    * id key) + one min-aggregate — all distributed; the driver only checks
-    * an empty-diff convergence flag. Rounds = graph diameter, small for
+    * id key) + one min-aggregate — all distributed; the driver only reads a
+    * single scalar per round (sum of labels — monotone under min-label
+    * propagation, so an unchanged sum IS convergence, no diff join needed). Rounds = graph diameter, small for
     * near-dup graphs (dup clusters are dense). Each round's labels are
     * materialized with `localCheckpoint` — labels_{n+1} references labels_n
     * twice (union + convergence diff), so without lineage truncation the
@@ -375,6 +376,11 @@ object TextOps {
     try {
       var converged = false
       var iter = 0
+      // Convergence probe: min-label propagation is monotone (labels only
+      // ever decrease), so the label vector is fixed iff sum(label) is
+      // unchanged — ONE cheap column aggregate per round instead of a
+      // self-join diff against the previous labels.
+      var prevSum = -1L
       while (!converged && iter < MaxCcIterations) {
         // labels are one (id, id) pair per doc — broadcast while they fit.
         // The hint matters because RDD-backed localCheckpoints hide size
@@ -394,16 +400,10 @@ object TextOps {
             Seq("label"), "left")
           .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
           .localCheckpoint()
-        // Any graph with an edge needs ≥2 rounds, so the convergence probe
-        // (a diff-join job) only starts paying for itself from round 3.
-        val changed =
-          if (iter < 2) 1L
-          else next.as("n")
-            .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-            .filter(col("n.label") =!= col("p.label"))
-            .limit(1).count()
+        val curSum = next.agg(sum(col("label"))).head.getLong(0)
         labels = next
-        converged = changed == 0
+        converged = curSum == prevSum
+        prevSum = curSum
         iter += 1
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -411,6 +411,119 @@ object TextOps {
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q87: TF-IDF characteristic terms — top-3 terms per document ranked by
+    * (tf desc, df asc, term asc): the ranking keys are all INTEGERS so the
+    * order is engine-exact; the reported tf·idf score is a rounded display
+    * value (ln parity across engines is proven by q44). Shape: explode →
+    * tf hash-agg (uniform (doc,term) keys) → df hash-agg over the tf rows →
+    * broadcast-able vocabulary join back → per-doc ranking window.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val tok = d.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    // tf feeds both the vocabulary aggregate (df) and the final join — cache
+    // the small (doc,term,tf) table so the tokenize+agg pipeline runs once
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).cache()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df"), col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        pround(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** q88: vocabulary growth (Heaps-law profile) per language — token
+    * occurrences vs distinct types vs hapax legomena. Two stacked hash
+    * aggregates on uniform keys; the per-language row count is tiny.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val tc = d.select(col("lang"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        pround(col("n_types") * lit(1.0) / col("n_tokens"), 6).as("type_token_ratio"),
+        pround(col("n_hapax") * lit(1.0) / col("n_types"), 6).as("hapax_share"))
+      .orderBy(col("lang"))
+  }
+
+  private val CollocMinCount = 3
+  private val CollocTopK = 15
+
+  /** q89: bigram collocations — top-15 bigrams per language by frequency with
+    * PMI = ln(p(xy) / (p(x)·p(y))). Candidate ranking uses integer counts
+    * only (engine-exact); PMI is a rounded display value computed with the
+    * same double-op order on both sides. Unigram/bigram totals ride a
+    * broadcast join of per-language scalars.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val toks = d.select(col("lang"), tokens(lower(col("text"))).as("w"))
+    // uni is read three times (totals + two unigram joins), biAll twice
+    // (ranking + totals) — cache the small count tables, not the corpus
+    val uni = toks.select(col("lang"), explode(col("w")).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c")).cache()
+    val biAll = toks.select(col("lang"), explode(shingles(col("w"), 2)).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c_xy")).cache()
+    val bi = biAll.filter(col("c_xy") >= CollocMinCount)
+    val totals = uni.groupBy(col("lang")).agg(sum(col("c")).as("n_uni"))
+      .join(biAll.groupBy(col("lang")).agg(sum(col("c_xy")).as("n_bi")), "lang")
+    val split = bi
+      .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("bg"), lit(" "), lit(2)))
+    val joined = split
+      .join(uni.select(col("lang"), col("term").as("w1"), col("c").as("c_x")), Seq("lang", "w1"))
+      .join(uni.select(col("lang"), col("term").as("w2"), col("c").as("c_y")), Seq("lang", "w2"))
+      .join(broadcast(totals), "lang")
+    val w = Window.partitionBy(col("lang")).orderBy(col("c_xy").desc, col("bg"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= CollocTopK)
+      .select(col("lang"), col("rank"), col("bg").as("bigram"),
+        col("c_xy"), col("c_x"), col("c_y"),
+        pround(log((col("c_xy") * lit(1.0) * col("n_uni") * col("n_uni"))
+                 / (col("n_bi") * lit(1.0) * col("c_x") * col("c_y"))), 4).as("pmi"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Per-language sampling percentages for q92 (deterministic hash-rate
+    * stratified sampling). */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 10, "es" -> 25, "de" -> 50, "fr" -> 40, "zh" -> 20)
+
+  /** q92: deterministic stratified sampling — each language keeps a fixed
+    * percentage of documents selected by content-hash bucket (reproducible
+    * across runs/engines/partitionings, unlike RNG `sampleBy`; the same
+    * mechanism as q68's holdout split, with per-stratum rates). Pure narrow
+    * projection + one aggregate.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val bucket = h48(concat(col("text"), lit(":sample"))) % 100
+    val rate = SampleRates.foldLeft(lit(15): Column) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    d.select(col("lang"), col("n_chars"), bucket.as("bucket"), rate.as("rate"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("bucket") < col("rate"), 1L).otherwise(0L)).as("n_sampled"),
+           sum(when(col("bucket") < col("rate"), col("n_chars")).otherwise(0L)).as("sampled_chars"),
+           max(col("rate")).cast("long").as("target_pct"))
+      .select(col("lang"), col("n_total"), col("n_sampled"), col("sampled_chars"), col("target_pct"),
+        pround(col("n_sampled") * lit(100.0) / col("n_total"), 4).as("actual_pct"))
+      .orderBy(col("lang"))
   }
 
   private val SimBits = 48

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, SimilarityOps, TextOps}
+import graft.multimodal.Multimodal
+
+/** Laws for the round-3 profiling / behavioral / corpus-statistics operators. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("statMoments: variance = stddev², |corr| ≤ 1, groups partition the table") {
+    val rows = Analytics.statMoments(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.lineitem(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val sd = r.getAs[Double]("sd_qty"); val v = r.getAs[Double]("var_qty")
+      assert(math.abs(sd * sd - v) < 1e-3, "var ≈ sd² (up to display rounding)")
+      assert(math.abs(r.getAs[Double]("corr_qty_price")) <= 1.0)
+    }
+  }
+
+  test("ntileDeciles: balanced buckets, ordered non-overlapping ranges") {
+    val rows = Analytics.ntileDeciles(spark, sf001).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>
+      val byDec = rs.sortBy(_.getAs[Long]("decile"))
+      assert(byDec.map(_.getAs[Long]("decile")).toSeq == (1L to byDec.length).toSeq)
+      val ns = byDec.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, "ntile buckets differ by at most one row")
+      byDec.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi_bal") <= b.getAs[Double]("lo_bal"), "decile ranges ordered")
+        case _ =>
+      }
+      byDec.foreach(r => assert(r.getAs[Double]("lo_bal") <= r.getAs[Double]("hi_bal")))
+    }
+  }
+
+  test("funnel: stage counts are monotone and rates consistent") {
+    val r = Analytics.funnel(spark, sf001).collect().head
+    val nu = r.getAs[Long]("n_users"); val nv = r.getAs[Long]("n_viewed")
+    val nc = r.getAs[Long]("n_clicked_after_view"); val np = r.getAs[Long]("n_purchased_after_click")
+    assert(nu >= nv && nv >= nc && nc >= np && np >= 0)
+    assert(r.getAs[Double]("view_rate") <= 1.0 && r.getAs[Double]("click_through") <= 1.0
+      && r.getAs[Double]("purchase_through") <= 1.0)
+  }
+
+  test("cohortRetention: offset-0 rows count every user exactly once") {
+    val rows = Analytics.cohortRetention(spark, sf001).collect()
+    assert(rows.forall(_.getAs[Long]("week_offset") >= 0))
+    val atZero = rows.filter(_.getAs[Long]("week_offset") == 0L).map(_.getAs[Long]("n_users")).sum
+    val users = Tables.events(spark, sf001).select(col("user_id")).distinct().count()
+    assert(atZero == users, "every user appears in its own cohort week")
+    rows.groupBy(_.getAs[java.time.LocalDateTime]("cohort_week")).foreach { case (_, rs) =>
+      val zero = rs.find(_.getAs[Long]("week_offset") == 0L).get.getAs[Long]("n_users")
+      rs.foreach(r => assert(r.getAs[Long]("n_users") <= zero, "retention never exceeds cohort size"))
+    }
+  }
+
+  test("orderStreaks: streak accounting matches a driver-side recomputation") {
+    val rows = Analytics.orderStreaks(spark, sf001).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        ((r.getAs[Long]("n_streaks"), r.getAs[Long]("n_active_months"), r.getAs[Long]("max_streak"))))
+      .toMap
+    val months = Tables.orders(spark, sf001)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("mo"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toList).toMap
+    assert(rows.keySet == months.keySet)
+    months.foreach { case (ck, mos) =>
+      val streaks = scala.collection.mutable.ListBuffer.empty[Long]
+      var prev = Long.MinValue
+      mos.foreach { m =>
+        if (m == prev + 1) streaks(streaks.length - 1) += 1 else streaks += 1L
+        prev = m
+      }
+      val (nStreaks, nMonths, maxStreak) = rows(ck)
+      assert(nMonths == mos.length, s"cust $ck month count")
+      assert(maxStreak == streaks.max, s"cust $ck max streak")
+      assert(nStreaks == streaks.length, s"cust $ck streak count")
+    }
+  }
+
+  test("tfidfTerms: contiguous ranks, df ≤ corpus size, non-negative scores") {
+    val nDocs = Tables.documents(spark, sf001).count()
+    val rows = TextOps.tfidfTerms(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tf") >= 1 && r.getAs[Long]("df") >= 1 && r.getAs[Long]("df") <= nDocs)
+      assert(r.getAs[Double]("tfidf") >= 0.0)
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(rs.length <= 3)
+    }
+  }
+
+  test("vocabGrowth: types ≤ tokens, hapax ≤ types, ratios in (0,1]") {
+    val rows = TextOps.vocabGrowth(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Double]("type_token_ratio") > 0 && r.getAs[Double]("type_token_ratio") <= 1.0)
+      assert(r.getAs[Double]("hapax_share") >= 0 && r.getAs[Double]("hapax_share") <= 1.0)
+    }
+  }
+
+  test("collocations: bigram counts bounded by unigram counts, ranks contiguous") {
+    val rows = TextOps.collocations(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cxy = r.getAs[Long]("c_xy")
+      assert(cxy >= 3)
+      assert(r.getAs[Long]("c_x") >= cxy && r.getAs[Long]("c_y") >= cxy)
+    }
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(rs.length <= 15)
+    }
+  }
+
+  test("chunkDedup matches a driver-side md5 recomputation") {
+    val expected = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val id = r.getLong(0); val t = r.getString(1)
+        t.grouped(Multimodal.ChunkSize).map(c => (md5Hex(c), id))
+      }
+      .groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).distinct.length.toLong, v.map(_._2).min))
+      .filter(_._2._1 > 1)
+      .map { case (m, (copies, docs, keeper)) => (m.take(12), copies, docs, keeper) }
+      .toSet
+    val got = Multimodal.chunkDedup(spark, sf001).collect()
+      .map(r => (r.getAs[String]("md5_12"), r.getAs[Long]("n_copies"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("keeper_doc_id"))).toSet
+    assert(got == expected)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("quantizedRecall: one row per query, recall = overlap/k in [0,1]") {
+    val rows = SimilarityOps.quantizedRecall(spark, sf001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0 && ov <= SimilarityOps.RecallK)
+      assert(math.abs(r.getAs[Double]("recall") - ov.toDouble / SimilarityOps.RecallK) < 1e-9)
+    }
+    // int8 over 64 dims should not destroy the ranking on this corpus
+    assert(rows.map(_.getAs[Long]("n_overlap")).sum >= 5 * rows.length,
+      "mean quantized recall ≥ 0.5")
+  }
+
+  test("stratifiedSample: sampled ⊆ total and consistent percentages") {
+    val rows = TextOps.stratifiedSample(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_total"); val s = r.getAs[Long]("n_sampled")
+      assert(s >= 0 && s <= n)
+      assert(math.abs(r.getAs[Double]("actual_pct")
+        - math.floor(s * 100.0 / n * 1e4 + 0.5) / 1e4) < 1e-9)
+    }
+  }
+
+  test("skewProfile: ranked non-increasing counts with cumulative share ≤ 1") {
+    val rows = Analytics.skewProfile(spark, sf001).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    val ns = rows.map(_.getAs[Long]("n_orders"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last <= 1.0 + 1e-9)
+  }
+
+  test("peakHour matches a driver-side recomputation") {
+    val rows = Analytics.peakHour(spark, sf001).collect()
+    val hourly = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.time.LocalDateTime]("h"), r.getAs[Long]("n")))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val mine = hourly.filter(_._1 == et)
+      val best = mine.minBy { case (_, h, n) => (-n, h) }
+      assert(r.getAs[Long]("n_total") == mine.map(_._3).sum)
+      assert(r.getAs[java.time.LocalDateTime]("peak_hour") == best._2)
+      assert(r.getAs[Long]("peak_n") == best._3)
+    }
+  }
+}
