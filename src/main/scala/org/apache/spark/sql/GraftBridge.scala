@@ -10,4 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function into an ALREADY-RUNNING session's registry
+    * (`sessionState` is `private[sql]`). The cluster-submission path uses
+    * `spark.sql.extensions` instead (see graft.plans.GraftExtensions);
+    * this is the interactive/embedded twin of the same registration.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(name, info, builder)
 }
