@@ -71,6 +71,27 @@ object PlanAudit {
     // centroids: exploded rows feed a partial-aggregated hash agg (never
     // per-group array state)
     audit("q63_label_centroids", Seq("Generate posexplode", "HashAggregate"))
+    // stat moments: ONE single-pass hash aggregate (no second data pass)
+    audit("q82_stat_moments", Seq("HashAggregate", "*("))
+    // tf-idf: rank<=3 pushes a partial WindowGroupLimit below the shuffle
+    audit("q87_tfidf_terms", Seq("WindowGroupLimit", "Partial"))
+    // skew profile: the rank<=20 filter collapses to a distributed top-k
+    // (TakeOrderedAndProject with per-partition partial limits) below the
+    // window — the heavy-hitter scan never materializes the full key ranking
+    audit("q93_skew_profile", Seq("TakeOrderedAndProject(limit=20"))
+    // chunk dedup: partial-aggregated hash agg on the chunk-hash key
+    audit("q90_chunk_dedup", Seq("HashAggregate"))
+    // quantized recall: corpus side never shuffles — queries broadcast
+    audit("q91_quantized_recall", Seq("BroadcastNestedLoopJoin"))
+    // decile bucketing: every window is segment-partitioned — a global
+    // single-partition window over the fact table must NOT appear
+    val q83 = SparkEntry.queries("q83_ntile_deciles")(spark, dir)
+    q83.collect()
+    val q83plan = q83.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    println(s"[audit] q83 partitioned windows " +
+      (if (!q83plan.contains("SinglePartition")) "OK (no SinglePartition exchange)"
+       else "CHECK: found SinglePartition"))
     // read schema pruned to the selected columns
     val q2df = SparkEntry.queries("q02_filter_project")(spark, dir)
     q2df.collect()

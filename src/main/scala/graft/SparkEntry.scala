@@ -120,6 +120,12 @@ object SparkEntry {
     "q92_stratified_sample"  -> (TextOps.stratifiedSample _),
     "q93_skew_profile"       -> (Analytics.skewProfile _),
     "q94_peak_hour"          -> (Analytics.peakHour _),
+    "q95_lm_quality"         -> (TextOps.lmQuality _),
+    "q96_centroid_sim"       -> (SimilarityOps.centroidSimilarity _),
+    "q97_reconcile"          -> (Analytics.activityReconcile _),
+    "q98_multiset_ops"       -> (Analytics.multisetOps _),
+    "q99_xpath_extract"      -> (graft.sources.ParcelLookup.xpathExtract _),
+    "q100_csv_parse"         -> (Relational.csvParse _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -1037,5 +1043,70 @@ object SparkEntry {
         |  max_by(hour_start, score) AS peak_hour,
         |  CAST(max_by(n, score) AS BIGINT) AS peak_n
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q95_lm_quality" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${PortableHash.tokensSql("lower(text)")}) AS term FROM documents),
+         |tc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM tc),
+         |s AS (SELECT doc_id, count(*) AS n_tokens,
+         |        round(avg(ln(n_total * 1.0) - ln(c * 1.0)), 4) AS avg_nll
+         |      FROM tok JOIN tc USING (term) CROSS JOIN n
+         |      GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, avg_nll,
+         |  round(exp(avg_nll), 2) AS ppl_proxy,
+         |  avg_nll > 7.0 AS high_perplexity
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q96_centroid_sim" ->
+      """WITH cents AS (
+        |  SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT label, sum(c * c) AS n2 FROM cents GROUP BY 1),
+        |pairs AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+        |          FROM cents a JOIN cents b ON a.pos = b.pos AND a.label < b.label
+        |          GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine,
+        |  round(sqrt(na.n2 + nb.n2 - dot * 2.0), 4) AS euclid
+        |FROM pairs
+        |JOIN norms na ON label_a = na.label
+        |JOIN norms nb ON label_b = nb.label
+        |ORDER BY label_a, label_b""".stripMargin,
+    "q97_reconcile" ->
+      """WITH o AS (SELECT o_custkey AS key, count(*) AS n_orders FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS key, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT coalesce(o.key, e.key) AS key,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_events, 0) AS n_events,
+        |  CASE WHEN n_orders IS NOT NULL AND n_events IS NOT NULL THEN 'both'
+        |       WHEN n_orders IS NOT NULL THEN 'orders_only'
+        |       ELSE 'events_only' END AS status
+        |FROM o FULL OUTER JOIN e ON o.key = e.key
+        |ORDER BY key""".stripMargin,
+    "q98_multiset_ops" ->
+      """WITH r AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'),
+        |i AS (SELECT * FROM r INTERSECT ALL SELECT * FROM a),
+        |x AS (SELECT * FROM r EXCEPT ALL SELECT * FROM a)
+        |SELECT 'except_all' AS tag, count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_keys FROM x
+        |UNION ALL
+        |SELECT 'intersect_all' AS tag, count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_keys FROM i
+        |ORDER BY tag""".stripMargin,
+    "q99_xpath_extract" ->
+      """SELECT c_custkey,
+        |  'P-' || CAST((c_custkey * 7) % 100000 AS VARCHAR) AS parcel_id,
+        |  c_name AS owner,
+        |  (c_custkey % 50) + 1 AS acreage,
+        |  CAST(3 AS BIGINT) AS n_fields
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q100_csv_parse" ->
+      """WITH w AS (SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 13 = 0 THEN 'not-a-number'
+        |       ELSE CAST(CAST(floor(c_acctbal * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)) AS VARCHAR) END AS bal_str
+        |FROM customer)
+        |SELECT c_custkey,
+        |  c_name AS parsed_name,
+        |  try_cast(bal_str AS DOUBLE) AS parsed_bal,
+        |  try_cast(bal_str AS DOUBLE) IS NOT NULL AS bal_ok
+        |FROM w ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -144,16 +144,63 @@ object Analytics {
     val counts = Tables.orders(spark, dir)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
     val wRank = Window.orderBy(col("n_orders").desc, col("o_custkey"))
-    val withTotal = counts
-      .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
+    // rank FIRST and alone: a pure row_number window lets Spark push a
+    // partial WindowGroupLimit below the shuffle (map-side top-20), and the
+    // cumulative prefix sums over the surviving 20 rows are identical to the
+    // prefix sums over the full key set (prefix property) — so the expensive
+    // windows never see more than 20 rows per partition
+    val top = counts
       .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 20)
+    val total = counts.agg(sum(col("n_orders")).as("total"))
+    top
       .withColumn("cum_n", sum(col("n_orders")).over(
         wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    withTotal.filter(col("rank") <= 20)
+      .crossJoin(broadcast(total))
       .select(col("rank"), col("o_custkey"), col("n_orders"),
         pround(col("n_orders") * lit(1.0) / col("total"), 6).as("share"),
         pround(col("cum_n") * lit(1.0) / col("total"), 6).as("cum_share"))
       .orderBy(col("rank"))
+  }
+
+  /** q97: full-outer reconciliation — the order book vs the event stream per
+    * customer key: which keys exist on both sides, which only ordered, which
+    * only emitted events (the backfill-vs-live audit every ingestion pipeline
+    * runs). One full outer join on the key after both sides pre-aggregate, so
+    * the join input is one row per key per side.
+    */
+  def activityReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_orders"))
+    val e = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("n_orders").isNotNull && col("n_events").isNotNull, "both")
+          .when(col("n_orders").isNotNull, "orders_only")
+          .otherwise("events_only").as("status"))
+      .orderBy(col("key"))
+  }
+
+  /** q98: multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL between
+    * the returned and accepted line-item order-key bags, summarized. Bag
+    * semantics keep per-key multiplicities (min for intersect, difference
+    * for except) — the dataset-reconciliation primitive distinct set ops
+    * destroy. Both are one shuffle on the key with counters, no row
+    * explosion.
+    */
+  def multisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val r = l.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val a = l.filter(col("l_returnflag") === "A").select(col("l_orderkey"))
+    def summarize(tag: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), count_distinct(col("l_orderkey")).as("n_keys"))
+        .select(lit(tag).as("tag"), col("n_rows"), col("n_keys"))
+    summarize("intersect_all", r.intersectAll(a))
+      .unionByName(summarize("except_all", r.exceptAll(a)))
+      .orderBy(col("tag"))
   }
 
   /** q94: deterministic argmax (`max_by`) — the busiest hour per event type,

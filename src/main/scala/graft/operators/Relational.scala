@@ -323,6 +323,34 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q100: CSV ingestion surface (SURVEY §2.1 S1 family) — `from_csv` over a
+    * delimited wire column with a typed schema and a null-on-malformed
+    * channel (every 13th record carries an unparseable balance, taking the
+    * same ""/null failure path as the reference formatters). The balance
+    * rides the wire as a DECIMAL(18,2) string (the engine's cross-engine
+    * double→string convention) and parses back to DOUBLE. Pure narrow
+    * projection.
+    */
+  def csvParse(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val balStr = graft.functions.PortableHash.pround(col("c_acctbal"), 2)
+      .cast("decimal(18,2)").cast("string")
+    val line = concat(
+      col("c_custkey").cast("string"), lit(","),
+      col("c_name"), lit(","),
+      when(col("c_custkey") % 13 === 0, lit("not-a-number")).otherwise(balStr))
+    val schema = "k BIGINT, name STRING, bal DOUBLE"
+    c.select(col("c_custkey"), line.as("line"))
+      .withColumn("parsed", from_csv(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(schema),
+        Map.empty[String, String]))
+      .select(col("c_custkey"),
+        col("parsed.name").as("parsed_name"),
+        col("parsed.bal").as("parsed_bal"),
+        col("parsed.bal").isNotNull.as("bal_ok"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** q29: generator/UDTF surface — J3 (state→county expansion): regions with
     * their nation lists exploded back to rows with positions.
     */

@@ -215,6 +215,36 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
+  /** q96: inter-centroid similarity matrix — cosine + euclidean distance
+    * between every pair of per-label centroid vectors: the cluster-separation
+    * audit run after IVF training / embedding drift checks. Centroids come
+    * from the exploded distributed mean (q63's shape) rounded to 6dp so both
+    * engines fold bit-identical inputs; the pair matrix is k² (tiny — k
+    * labels), computed as a dim-equality self-join + hash aggregate, so it
+    * never materializes vectors per group.
+    */
+  def centroidSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val cents = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("c"))
+      .cache()
+    val norms = cents.groupBy(col("label")).agg(sum(col("c") * col("c")).as("n2"))
+    val pairs = cents.select(col("label").as("label_a"), col("pos"), col("c").as("ca"))
+      .join(cents.select(col("label").as("label_b"), col("pos"), col("c").as("cb")), "pos")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    pairs
+      .join(norms.select(col("label").as("label_a"), col("n2").as("na2")), "label_a")
+      .join(norms.select(col("label").as("label_b"), col("n2").as("nb2")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"),
+        round(sqrt(col("na2") + col("nb2") - col("dot") * 2.0), 4).as("euclid"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   // ---- DuckDB oracle fragments ----
 
   /** `[d1, d2, …]` literal for plane p. */

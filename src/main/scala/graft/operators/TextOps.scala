@@ -526,6 +526,29 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** q95: unigram-LM quality — per-document cross-entropy under the corpus
+    * unigram distribution (-avg ln p(token), the KenLM-style perplexity proxy
+    * every pretraining pipeline uses as a fluency filter). The per-token
+    * "model" is just the global (term → count) table: a broadcast-able join,
+    * then one per-doc average. -ln p(t) = ln N − ln c(t), so the whole score
+    * is two aggregates + one join on uniform term keys.
+    */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val tok = d.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val tc = tok.groupBy(col("term")).agg(count(lit(1)).as("c")).cache()
+    val n = tc.agg(sum(col("c")).as("n_total"))
+    tok.join(tc, "term").crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           round(avg(log(col("n_total") * lit(1.0)) - log(col("c") * lit(1.0))), 4).as("avg_nll"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
+        round(exp(col("avg_nll")), 2).as("ppl_proxy"),
+        (col("avg_nll") > 7.0).as("high_perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   private val SimBits = 48
   private val SimBands = 4
   private val SimBandBits = SimBits / SimBands     // 12 bits per band

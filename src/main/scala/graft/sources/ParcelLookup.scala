@@ -74,4 +74,33 @@ object ParcelLookup {
   /** Post-enrichment found-filter (F10) splitting the 404 channel. */
   def foundOnly(results: Dataset[LookupResult]): DataFrame =
     results.toDF().filter(col("parcel_id").isNotNull)
+
+  /** q99: XPath extraction over an HTML-detail column — the set-oriented form
+    * of the reference's core scrape step (crs_ui_bot.py:211-228 extracts the
+    * parcel id from a `<th>`-labelled detail table via
+    * `//th[contains(text(),'Parcel ID')]/following-sibling::td[1]//span`).
+    * Here the fetched page rides a string column (synthesized
+    * deterministically from `customer` — the fixture trick the letter
+    * pipeline uses) and the same XPath runs as a codegen'd built-in
+    * (`xpath_string` / `xpath`), a pure narrow projection: fetch-then-parse
+    * parallelizes row-wise at any scale with no shuffle before the
+    * presentation sort.
+    */
+  def xpathExtract(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val c = graft.Tables.customer(spark, dir)
+    val html = concat(
+      lit("<table><tr><th>Owner</th><td><span>"), col("c_name"),
+      lit("</span></td></tr><tr><th>Parcel ID</th><td><span>P-"),
+      ((col("c_custkey") * 7) % 100000).cast("string"),
+      lit("</span></td></tr><tr><th>Acreage</th><td><span>"),
+      ((col("c_custkey") % 50) + 1).cast("string"),
+      lit("</span></td></tr></table>"))
+    c.select(col("c_custkey"), html.as("page"))
+      .select(col("c_custkey"),
+        expr("xpath_string(page, \"//th[contains(text(),'Parcel ID')]/following-sibling::td[1]//span\")").as("parcel_id"),
+        expr("xpath_string(page, \"//th[text()='Owner']/following-sibling::td[1]//span\")").as("owner"),
+        expr("CAST(xpath_string(page, \"//th[text()='Acreage']/following-sibling::td[1]//span\") AS BIGINT)").as("acreage"),
+        expr("size(xpath(page, '//th/text()'))").cast("long").as("n_fields"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, SimilarityOps, TextOps}
+import graft.operators.{Analytics, Relational, SimilarityOps, TextOps}
 import graft.multimodal.Multimodal
 
 /** Laws for the round-3 profiling / behavioral / corpus-statistics operators. */
@@ -174,6 +174,84 @@ class AnalyticsSpec extends SparkSpec {
     val cums = rows.map(_.getAs[Double]("cum_share"))
     assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
     assert(cums.last <= 1.0 + 1e-9)
+  }
+
+  test("lmQuality: rare-token docs score higher than common-token docs") {
+    val rows = TextOps.lmQuality(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      assert(nll > 0.0, "cross-entropy positive")
+      assert(r.getAs[Boolean]("high_perplexity") == (nll > 7.0))
+      assert(math.abs(r.getAs[Double]("ppl_proxy") - math.floor(math.exp(nll) * 100 + 0.5) / 100) < 1e-6
+        || r.getAs[Double]("ppl_proxy") > 0)
+    }
+  }
+
+  test("centroidSimilarity: symmetric bounds and consistent distance") {
+    val rows = SimilarityOps.centroidSimilarity(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sf001).select("label").distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2, "one row per unordered label pair")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("euclid") >= 0.0)
+      assert(r.getAs[Int]("label_a") < r.getAs[Int]("label_b"))
+    }
+  }
+
+  test("activityReconcile: statuses partition the key space correctly") {
+    val rows = Analytics.activityReconcile(spark, sf001).collect()
+    val orderKeys = Tables.orders(spark, sf001).select("o_custkey").distinct().count()
+    val eventKeys = Tables.events(spark, sf001).select("user_id").distinct().count()
+    rows.foreach { r =>
+      val o = r.getAs[Long]("n_orders"); val e = r.getAs[Long]("n_events")
+      r.getAs[String]("status") match {
+        case "both"        => assert(o > 0 && e > 0)
+        case "orders_only" => assert(o > 0 && e == 0)
+        case "events_only" => assert(o == 0 && e > 0)
+      }
+    }
+    assert(rows.count(r => r.getAs[Long]("n_orders") > 0) == orderKeys)
+    assert(rows.count(r => r.getAs[Long]("n_events") > 0) == eventKeys)
+  }
+
+  test("multisetOps: bag algebra against driver-side multiplicity math") {
+    val l = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_returnflag").collect()
+    val rC = l.filter(_.getString(1) == "R").groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val aC = l.filter(_.getString(1) == "A").groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val interRows = rC.map { case (k, c) => math.min(c, aC.getOrElse(k, 0)) }.sum
+    val interKeys = rC.count { case (k, c) => math.min(c, aC.getOrElse(k, 0)) > 0 }
+    val exceptRows = rC.map { case (k, c) => math.max(0, c - aC.getOrElse(k, 0)) }.sum
+    val exceptKeys = rC.count { case (k, c) => c - aC.getOrElse(k, 0) > 0 }
+    val got = Analytics.multisetOps(spark, sf001).collect()
+      .map(r => r.getAs[String]("tag") -> ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys")))).toMap
+    assert(got("intersect_all") == ((interRows.toLong, interKeys.toLong)))
+    assert(got("except_all") == ((exceptRows.toLong, exceptKeys.toLong)))
+  }
+
+  test("xpathExtract pulls the labelled cells out of real markup") {
+    val rows = graft.sources.ParcelLookup.xpathExtract(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ck = r.getAs[Long]("c_custkey")
+      assert(r.getAs[String]("parcel_id") == s"P-${ck * 7 % 100000}")
+      assert(r.getAs[String]("owner").startsWith("Customer#"))
+      assert(r.getAs[Long]("acreage") == ck % 50 + 1)
+      assert(r.getAs[Long]("n_fields") == 3L)
+    }
+  }
+
+  test("csvParse: malformed balance takes the null channel, rest round-trip") {
+    val rows = Relational.csvParse(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ck = r.getAs[Long]("c_custkey")
+      assert(r.getAs[Boolean]("bal_ok") == (ck % 13 != 0))
+      if (ck % 13 == 0) assert(r.isNullAt(r.fieldIndex("parsed_bal")))
+      assert(r.getAs[String]("parsed_name").startsWith("Customer#"))
+    }
   }
 
   test("peakHour matches a driver-side recomputation") {
