@@ -126,6 +126,7 @@ object SparkEntry {
     "q98_multiset_ops"       -> (Analytics.multisetOps _),
     "q99_xpath_extract"      -> (graft.sources.ParcelLookup.xpathExtract _),
     "q100_csv_parse"         -> (Relational.csvParse _),
+    "q101_corpus_pipeline"   -> (TextOps.corpusPipeline _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -1108,5 +1109,40 @@ object SparkEntry {
         |  try_cast(bal_str AS DOUBLE) AS parsed_bal,
         |  try_cast(bal_str AS DOUBLE) IS NOT NULL AS bal_ok
         |FROM w ORDER BY c_custkey""".stripMargin,
+    "q101_corpus_pipeline" ->
+      s"""$MinhashCtes,
+         |nearv AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+         |          WHERE n_inter * 5 >= (sz_sum - n_inter) * 4),
+         |qt AS (SELECT doc_id, lang, n_chars, text,
+         |         ${PortableHash.tokensSql("text")} AS w,
+         |         CASE WHEN ${PortableHash.h48Sql("text")} % 100 < 80 THEN 'train'
+         |              WHEN ${PortableHash.h48Sql("text")} % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |qm AS (SELECT doc_id, lang, n_chars, split,
+         |         CAST(len(w) AS BIGINT) AS n_tokens,
+         |         CAST(length(text) AS BIGINT) AS n_chars_m,
+         |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |         CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |         CAST(len(list_filter(w, x -> list_contains($StopEnSqlList, x))) AS BIGINT) AS n_stop
+         |       FROM qt),
+         |qs AS (SELECT doc_id, lang, n_chars, split,
+         |         floor(((n_stop * 1.0) / n_tokens + ((n_alpha * 1.0) / n_chars_m) * 0.5
+         |               - ((n_punct * 1.0) / n_chars_m) * 2.0) * 1e4 + 0.5) / 1e4 AS quality
+         |       FROM qm),
+         |ev AS (SELECT d.doc_id FROM documents d JOIN
+         |         (SELECT md5(text) AS m, min(doc_id) AS keeper, count(*) AS n
+         |          FROM documents GROUP BY 1) g
+         |         ON md5(d.text) = g.m
+         |       WHERE g.n > 1 AND d.doc_id <> g.keeper),
+         |surv AS (SELECT * FROM qs
+         |         WHERE quality > 0.0
+         |           AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.doc_id = qs.doc_id)
+         |           AND NOT EXISTS (SELECT 1 FROM nearv WHERE nearv.doc_id = qs.doc_id))
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  floor((CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT)) AS BIGINT) * 1.0
+         |         / count(*) / 10000.0) * 1e6 + 0.5) / 1e6 AS avg_quality
+         |FROM surv GROUP BY lang, split ORDER BY lang, split""".stripMargin,
   )
 }

@@ -335,6 +335,53 @@ object TextOps {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** q101: the full corpus-preparation pipeline as ONE composed query — the
+    * end-to-end shape a training-data team actually runs nightly:
+    *
+    *   quality gate (q30's blend > 0) → exact dedup keep-lowest (q34) →
+    *   MinHash-LSH near-dup sweep (q38's victims) → deterministic
+    *   hash-bucket split (q68) → per (lang, split) corpus accounting.
+    *
+    * Every stage is one of the already-verified operators; the value here is
+    * the COMPOSITION: Catalyst fuses the narrow stages, the two victim sets
+    * stay broadcast-able distinct-id projections, and the corpus is never
+    * scanned more than the dedup pipeline requires.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // stage 1: quality gate
+    val scored = d.withColumn("quality", qualityOf(col("text")))
+      .filter(col("quality") > 0.0)
+    // stage 2: exact-duplicate victims (every doc that is not its content's
+    // lowest id) — keyed on full-content md5, one uniform shuffle
+    val exactVictims = d
+      .groupBy(md5(col("text")).as("m")).agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .join(d.select(md5(col("text")).as("m"), col("doc_id")), "m")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    // stage 3: near-duplicate victims from the LSH pair sweep
+    val nearVictims = minhashLshPairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()
+    // stage 4: split + accounting over the surviving corpus
+    val bucket = h48(col("text")) % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    scored
+      .join(broadcast(exactVictims), Seq("doc_id"), "left_anti")
+      .join(broadcast(nearVictims), Seq("doc_id"), "left_anti")
+      .select(col("lang"), split.as("split"), col("n_chars"),
+        // quality is a 4-decimal multiple — average it in exact integer
+        // space so the group mean is order-independent and engine-exact
+        // (a float avg landed exactly on a .xxx45 round boundary at sf0.1)
+        floor(col("quality") * 1e4 + 0.5).cast("long").as("qi"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           sum(col("qi")).as("sqi"))
+      .select(col("lang"), col("split"), col("n_docs"), col("total_chars"),
+        pround(col("sqi") * lit(1.0) / col("n_docs") / 10000.0, 6).as("avg_quality"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   private val MaxCcIterations = 20
 
   /** q62: duplicate-cluster assignment — connected components over the

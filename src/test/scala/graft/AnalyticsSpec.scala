@@ -254,6 +254,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("corpusPipeline accounting equals a composition of its verified stages") {
+    val quality = TextOps.qualityScore(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val exactVictims = docs.groupBy(t => md5Hex(t._2)).values
+      .flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    val nearVictims = TextOps.minhashLshPairs(spark, sf001)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val expected = docs
+      .filter(t => quality(t._1) > 0.0)
+      .filterNot(t => exactVictims(t._1))
+      .filterNot(t => nearVictims(t._1))
+      .map { case (id, text, lang, nChars) =>
+        val b = graft.functions.H48.hash(text.getBytes("UTF-8")) % 100
+        val split = if (b < 80) "train" else if (b < 90) "val" else "test"
+        (lang, split, nChars, quality(id))
+      }
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(g => (g.size.toLong, g.map(_._3).sum)).toMap
+    val got = TextOps.corpusPipeline(spark, sf001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("split")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars")))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("peakHour matches a driver-side recomputation") {
     val rows = Analytics.peakHour(spark, sf001).collect()
     val hourly = Tables.events(spark, sf001)
