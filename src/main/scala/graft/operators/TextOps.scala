@@ -353,12 +353,13 @@ object TextOps {
     val scored = d.withColumn("quality", qualityOf(col("text")))
       .filter(col("quality") > 0.0)
     // stage 2: exact-duplicate victims (every doc that is not its content's
-    // lowest id) — keyed on full-content md5, one uniform shuffle
+    // lowest id) — ONE ranking window on the md5 key (uniform shuffle, no
+    // join-back; rank>1 rows are the victims)
+    val wDup = Window.partitionBy(col("m")).orderBy(col("doc_id"))
     val exactVictims = d
-      .groupBy(md5(col("text")).as("m")).agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .join(d.select(md5(col("text")).as("m"), col("doc_id")), "m")
-      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .withColumn("rn", row_number().over(wDup))
+      .filter(col("rn") > 1)
       .select(col("doc_id"))
     // stage 3: near-duplicate victims from the LSH pair sweep
     val nearVictims = minhashLshPairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()

