@@ -127,6 +127,7 @@ object SparkEntry {
     "q99_xpath_extract"      -> (graft.sources.ParcelLookup.xpathExtract _),
     "q100_csv_parse"         -> (Relational.csvParse _),
     "q101_corpus_pipeline"   -> (TextOps.corpusPipeline _),
+    "q102_minhash_capped"    -> (TextOps.minhashCapped _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -1144,5 +1145,29 @@ object SparkEntry {
          |  floor((CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT)) AS BIGINT) * 1.0
          |         / count(*) / 10000.0) * 1e6 + 0.5) / 1e6 AS avg_quality
          |FROM surv GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q102_minhash_capped" ->
+      s"""$ShingleCtes
+         |, hot AS (SELECT shash FROM shr GROUP BY shash HAVING count(*) > ${TextOps.MaxShingleDf}),
+         |shc AS (SELECT doc_id, shash FROM shr
+         |        WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shash = shr.shash)),
+         |hslc AS (SELECT doc_id, list(DISTINCT shash) AS hs FROM shc GROUP BY doc_id),
+         |sigc AS (SELECT doc_id, hs,
+         |  [list_min([${PortableHash.permutedSql("j", "h")} for h in hs]) for j in generate_series(0, 63)] AS sg
+         |FROM hslc),
+         |bandsc AS (SELECT doc_id, bi,
+         |  array_to_string([CAST(sg[bi * 4 + k + 1] AS VARCHAR) for k in generate_series(0, 3)], ':') AS band_sig
+         |FROM sigc CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bi) g),
+         |candc AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bandsc x JOIN bandsc y
+         |            ON x.bi = y.bi AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |pairsc AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS n_inter,
+         |  CAST(len(ha.hs) AS BIGINT) + CAST(len(hb.hs) AS BIGINT) AS sz_sum
+         |FROM candc JOIN hslc ha ON doc_a = ha.doc_id JOIN hslc hb ON doc_b = hb.doc_id)
+         |SELECT doc_a, doc_b, n_inter, sz_sum - n_inter AS n_union,
+         |  floor(((n_inter * 1.0) / (sz_sum - n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+         |FROM pairsc
+         |WHERE n_inter * 5 >= (sz_sum - n_inter) * 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

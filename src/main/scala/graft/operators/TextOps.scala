@@ -213,6 +213,53 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  val MaxShingleDf = 20
+
+  /** q102: MinHash-LSH near-dup pairs with hot-shingle capping — identical
+    * to q36 except shingles carried by more than [[MaxShingleDf]] documents
+    * are dropped BEFORE signatures and verification. This is the boilerplate
+    * mitigation (navigation chrome, licence headers) every web-scale dedup
+    * runs: super-common shingles blow up the inverted-index join (their
+    * bucket is O(corpus)) while carrying no near-dup signal. The cap is one
+    * cheap pre-aggregation on the uniform shingle-hash key; document sizes
+    * are recomputed post-cap so the Jaccard stays a true similarity of the
+    * capped shingle sets (both engines mirror the same capped pipeline).
+    */
+  def minhashCapped(spark: SparkSession, dir: String): DataFrame = {
+    val shAll = shingleRows(spark, dir)
+    val hot = shAll.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select(col("shash"))
+    val sh = shAll.join(broadcast(hot), Seq("shash"), "left_anti").cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val minAggs = (0 until MinHashPerms).map(j =>
+      min(permuted(lit(j), col("shash"))).as(s"m$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = array((0 until Bands).map(bi =>
+      concat_ws(":", (0 until RowsPerBand).map(k =>
+        col(s"m${bi * RowsPerBand + k}").cast("string")): _*)): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandCols))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
+      .cache()
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_sig") === col("y.band_sig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shash")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shash")), Seq("doc_b", "shash"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union") * 4)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        pround(col("n_inter") * lit(1.0) / col("n_union"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q38: the deduplicated corpus — drop every document that matched a
     * lower-id near-duplicate (greedy keep-lowest over the MinHash-LSH ≥0.8
     * pairs, the standard training-corpus dedup step). Anti-join against the

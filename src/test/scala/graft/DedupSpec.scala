@@ -19,6 +19,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty, "test data plants near-duplicates")
   }
 
+  test("capped minhash equals a driver-side exact Jaccard over the capped shingle sets") {
+    val cap = TextOps.MaxShingleDf
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingleSet(t: String): Set[Long] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(w =>
+        graft.functions.H48.hash(w.mkString(" ").getBytes("UTF-8")) % graft.functions.PortableHash.M31
+      ).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val capped = sets.view.mapValues(_.filter(h => df(h) <= cap)).toMap
+    val expected = (for {
+      (a, sa) <- capped.toSeq; (b, sb) <- capped.toSeq if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size; union = sa.size + sb.size - inter
+      if inter * 5 >= union * 4
+    } yield (a, b)).toSet
+    val got = TextOps.minhashCapped(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"capped LSH=${got.size} exact=${expected.size}")
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val d = TextOps.dedupExact(spark, sf001).collect()
     assert(d.forall(_.getAs[Long]("n_copies") >= 1))
