@@ -34,7 +34,11 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val pass1 = timedPass().toMap
-    val results = timedPass().map { case (name, t) => name -> math.min(t, pass1(name)) }
+    // guard: at larger scale factors one pass may already be long — skip the
+    // second pass rather than risk the harness's wall-clock budget
+    val results =
+      if (pass1.values.sum > 300.0) pass1.toSeq.sortBy(_._1)
+      else timedPass().map { case (name, t) => name -> math.min(t, pass1(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
