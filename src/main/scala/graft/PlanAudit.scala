@@ -79,6 +79,8 @@ object PlanAudit {
     // (TakeOrderedAndProject with per-partition partial limits) below the
     // window — the heavy-hitter scan never materializes the full key ranking
     audit("q93_skew_profile", Seq("TakeOrderedAndProject(limit=20"))
+    // exact-k hash sample: the rank filter collapses to a distributed top-k
+    audit("q103_uniform_sample", Seq("TakeOrderedAndProject(limit=100"))
     // chunk dedup: partial-aggregated hash agg on the chunk-hash key
     audit("q90_chunk_dedup", Seq("HashAggregate"))
     // quantized recall: corpus side never shuffles — queries broadcast

@@ -128,6 +128,7 @@ object SparkEntry {
     "q100_csv_parse"         -> (Relational.csvParse _),
     "q101_corpus_pipeline"   -> (TextOps.corpusPipeline _),
     "q102_minhash_capped"    -> (TextOps.minhashCapped _),
+    "q103_uniform_sample"    -> (TextOps.uniformSampleK _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -1169,5 +1170,13 @@ object SparkEntry {
          |FROM pairsc
          |WHERE n_inter * 5 >= (sz_sum - n_inter) * 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q103_uniform_sample" ->
+      s"""WITH k AS (SELECT doc_id, lang, n_chars,
+         |  ${PortableHash.h48Sql("text || ':pick'")} AS pick_key
+         |FROM documents),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY pick_key, doc_id) AS BIGINT) AS rank FROM k)
+         |SELECT rank, doc_id, lang, n_chars FROM r
+         |WHERE rank <= ${TextOps.UniformSampleK}
+         |ORDER BY rank""".stripMargin,
   )
 }

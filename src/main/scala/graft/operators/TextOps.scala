@@ -430,6 +430,29 @@ object TextOps {
       .orderBy(col("lang"), col("split"))
   }
 
+  val UniformSampleK = 100
+
+  /** q103: deterministic exact-k uniform sample — rank the corpus by a
+    * content hash and keep the first k: the reproducible replacement for
+    * reservoir sampling when you need EXACTLY k rows (eval sets, spot-check
+    * panels). Hash order is uniform, stable across runs/engines/partitions,
+    * and the plan is a distributed top-k (`TakeOrderedAndProject`): each
+    * partition contributes at most k rows to the final merge, so the sample
+    * costs one scan at any corpus size. Complements q92's rate-based
+    * stratified form.
+    */
+  def uniformSampleK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val key = h48(concat(col("text"), lit(":pick")))
+    val w = Window.orderBy(col("pick_key"), col("doc_id"))
+    d.select(col("doc_id"), col("lang"), col("n_chars"), key.as("pick_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= UniformSampleK)
+      .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("rank"))
+  }
+
   private val MaxCcIterations = 20
 
   /** q62: duplicate-cluster assignment — connected components over the

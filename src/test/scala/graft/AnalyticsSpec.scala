@@ -154,6 +154,16 @@ class AnalyticsSpec extends SparkSpec {
       "mean quantized recall ≥ 0.5")
   }
 
+  test("uniformSampleK: exactly k rows, contiguous ranks, hash-stable membership") {
+    val rows = TextOps.uniformSampleK(spark, sf001).collect()
+    val total = Tables.documents(spark, sf001).count()
+    assert(rows.length == math.min(TextOps.UniformSampleK, total.toInt))
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    // membership is a pure function of content: re-running yields the set
+    val again = TextOps.uniformSampleK(spark, sf001).collect().map(_.getAs[Long]("doc_id"))
+    assert(rows.map(_.getAs[Long]("doc_id")).sameElements(again))
+  }
+
   test("stratifiedSample: sampled ⊆ total and consistent percentages") {
     val rows = TextOps.stratifiedSample(spark, sf001).collect()
     assert(rows.nonEmpty)
