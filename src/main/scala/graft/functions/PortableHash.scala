@@ -99,9 +99,15 @@ object PortableHash {
 
   /** Rolling polynomial fingerprint of a (pre-normalized, ASCII-only) string:
     * fold acc·31 + codepoint mod MFp. The classic Rabin–Karp shape — the
-    * document-level analog of the reference's content keying.
+    * document-level analog of the reference's content keying. Evaluated by
+    * the native codegen'd [[PolyFp]] expression; the built-in composition
+    * below is the reference implementation, cross-checked in
+    * PortableHashSpec.
     */
-  def polyFingerprint(s: Column): Column =
+  def polyFingerprint(s: Column): Column = PolyFp(s)
+
+  /** Built-in-only rendition of [[polyFingerprint]] (reference semantics). */
+  def polyFingerprintBuiltin(s: Column): Column =
     aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % lit(MFp))
 
   def polyFingerprintSql(x: String): String =

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, H48}
+import graft.functions.{DotProduct, H48, PolyFp}
 
 /** `SparkSessionExtensions` installer exposing graft's native Catalyst
   * expressions to the SQL surface — the SURVEY §2/§7.3 extension seam: a
@@ -34,7 +34,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => H48(children.head)),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo("graft.functions.DotProduct", "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("poly_fp"),
+      new ExpressionInfo("graft.functions.PolyFp", "poly_fp"),
+      (children: Seq[Expression]) => PolyFp(children.head)))
 
   /** Register into a live session's function registry. */
   def install(spark: SparkSession): Unit =

@@ -36,6 +36,27 @@ class PortableHashSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("native PolyFp expression equals the built-in fold on the normalized domain") {
+    // the fingerprint runs on regexp-normalized [a-z0-9 ] text — cover that
+    // domain plus real documents end-to-end
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    val synth = Seq("", "a", " ") ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val badSynth = synth.toDF("s")
+      .select(polyFingerprint(col("s")).as("native"),
+        polyFingerprintBuiltin(col("s")).as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(badSynth == 0)
+    val docs = Tables.documents(spark, sf001)
+      .select(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "").as("s"))
+    val badDocs = docs
+      .select(polyFingerprint(col("s")).as("native"),
+        polyFingerprintBuiltin(col("s")).as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(badDocs == 0)
+  }
+
   test("native DotProduct expression is bit-equal to the built-in fold on real embeddings") {
     import graft.functions.DotProduct
     val e = Tables.embeddings(spark, sf001)
