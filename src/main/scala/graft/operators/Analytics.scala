@@ -122,6 +122,13 @@ object Analytics {
     val months = o.select(col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("mo_idx"))
       .distinct()
+    streaksOfMonths(months).orderBy(col("o_custkey"))
+  }
+
+  /** The islands decomposition over a distinct (o_custkey, mo_idx) set —
+    * factored out so generative tests can drive it with arbitrary month
+    * sets (PropertySpec). */
+  def streaksOfMonths(months: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("mo_idx"))
     val islands = months
       .withColumn("grp", col("mo_idx") - row_number().over(w))
@@ -131,7 +138,6 @@ object Analytics {
       .agg(count(lit(1)).as("n_streaks"),
            sum(col("streak_len")).as("n_active_months"),
            max(col("streak_len")).as("max_streak"))
-      .orderBy(col("o_custkey"))
   }
 
   /** q93: skew diagnostics — the heavy-hitter profile of a join/agg key

@@ -108,4 +108,39 @@ class PropertySpec extends SparkSpec {
       assert(r.getString(0).matches("[A-Z][a-z]+ \\d{2}, \\d{4}"), s"bad date shape: '${r.getString(0)}'")
     }
   }
+
+  test("islands decomposition matches a plain-Scala oracle on arbitrary month sets") {
+    // A customer's month set is an arbitrary subset of a small integer range,
+    // so runs of every length (and singleton gaps) are well represented.
+    val monthSet: Gen[Set[Long]] =
+      Gen.someOf(0L to 40L).map(_.toSet).suchThat(_.nonEmpty)
+    val perCustomer: List[Set[Long]] = samples(monthSet, 60)
+
+    val rows = perCustomer.zipWithIndex.flatMap { case (mos, custkey) =>
+      mos.toList.map(mo => (custkey.toLong, mo))
+    }
+    val got = operators.Analytics
+      .streaksOfMonths(rows.toDF("o_custkey", "mo_idx"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    perCustomer.zipWithIndex.foreach { case (mos, custkey) =>
+      // reference islands: a new run starts wherever the gap exceeds 1
+      val sorted = mos.toList.sorted
+      val breaks = sorted.zip(sorted.drop(1)).count { case (a, b) => b - a > 1 }
+      val nStreaks = breaks + 1L
+      val maxStreak = {
+        var best = 1L; var cur = 1L
+        sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+          if (b - a == 1) { cur += 1; best = math.max(best, cur) } else cur = 1
+        }
+        best
+      }
+      val (gs, ga, gm) = got(custkey.toLong)
+      assert(gs == nStreaks, s"cust $custkey streaks: got $gs want $nStreaks for $sorted")
+      assert(ga == mos.size.toLong, s"cust $custkey active months")
+      assert(gm == maxStreak, s"cust $custkey max streak: got $gm want $maxStreak for $sorted")
+    }
+  }
 }
