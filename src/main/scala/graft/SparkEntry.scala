@@ -129,6 +129,8 @@ object SparkEntry {
     "q101_corpus_pipeline"   -> (TextOps.corpusPipeline _),
     "q102_minhash_capped"    -> (TextOps.minhashCapped _),
     "q103_uniform_sample"    -> (TextOps.uniformSampleK _),
+    "q104_decontaminate"     -> (TextOps.decontaminate _),
+    "q105_passage_dedup"     -> (TextOps.passageDedup _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -1178,5 +1180,39 @@ object SparkEntry {
          |SELECT rank, doc_id, lang, n_chars FROM r
          |WHERE rank <= ${TextOps.UniformSampleK}
          |ORDER BY rank""".stripMargin,
+    "q104_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, source, ${PortableHash.tokensSql("text")} AS w FROM documents),
+         |g8 AS (SELECT DISTINCT doc_id, source, ${PortableHash.h48Sql("s")} % ${PortableHash.M31} AS ghash
+         |       FROM (SELECT doc_id, source, unnest(${PortableHash.shinglesSql("w", 8)}) AS s FROM tok) u),
+         |bench AS (SELECT DISTINCT ghash FROM g8 WHERE source = 'src0'),
+         |corpus AS (SELECT doc_id, ghash FROM g8 WHERE source <> 'src0'),
+         |sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY doc_id),
+         |shared AS (SELECT doc_id, count(*) AS n_shared
+         |           FROM corpus JOIN bench USING (ghash) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+         |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(sh.n_shared, 0) > 0 AS contaminated
+         |FROM documents d
+         |LEFT JOIN sizes s ON d.doc_id = s.doc_id
+         |LEFT JOIN shared sh ON d.doc_id = sh.doc_id
+         |WHERE d.source <> 'src0'
+         |ORDER BY d.doc_id""".stripMargin,
+    "q105_passage_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, ${PortableHash.tokensSql("text")} AS w FROM documents),
+         |pas AS (SELECT doc_id, i - 1 AS pidx,
+         |  array_to_string(w[(i-1)*${TextOps.PassageLen}+1 : i*${TextOps.PassageLen}], ' ') AS passage
+         |  FROM (SELECT doc_id, w,
+         |          unnest(generate_series(1, CAST(ceil(len(w) / ${TextOps.PassageLen}.0) AS BIGINT))) AS i
+         |        FROM tok) t),
+         |ph AS (SELECT doc_id, pidx, ${PortableHash.h48Sql("passage")} % ${PortableHash.M31} AS phash FROM pas),
+         |own AS (SELECT phash, min(doc_id * 1000 + pidx) AS owner FROM ph GROUP BY phash)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_passages,
+         |  CAST(sum(CASE WHEN doc_id * 1000 + pidx = owner THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  floor((sum(CASE WHEN doc_id * 1000 + pidx = owner THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4 + 0.5) / 1e4 AS kept_ratio
+         |FROM ph JOIN own USING (phash)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -719,4 +719,76 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q104: benchmark decontamination — flag corpus documents that share any
+    * 8-gram with a held-out evaluation set (here: `source = 'src0'`), the
+    * standard n-gram-overlap decontamination pass (GPT-3 appendix C /
+    * PaLM-style) every pretraining pipeline runs before training.
+    *
+    * Scale shape: the benchmark side is an eval suite — thousands of
+    * documents, millions of n-grams at most — so its distinct 8-gram-hash
+    * set is BROADCAST and the 100 TB corpus side never shuffles for the
+    * membership probe; the only wide exchange is the per-doc overlap count
+    * on doc_id. (At extreme benchmark sizes the broadcast degrades to a
+    * shuffled semi-join on the uniform hash key — same plan Spark picks
+    * automatically once the build side exceeds the broadcast threshold.)
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)   // CPU-bound fan-out
+    val grams = d.select(col("doc_id"), col("source"),
+        explode(shingles(tokens(col("text")), 8)).as("g"))
+      .select(col("doc_id"), col("source"), (h48(col("g")) % M31).as("ghash"))
+      .distinct()
+      .cache()
+    val bench  = grams.filter(col("source") === "src0").select(col("ghash")).distinct()
+    val corpus = grams.filter(col("source") =!= "src0")
+    val sizes  = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    val shared = corpus.join(broadcast(bench), Seq("ghash"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    Tables.documents(spark, dir).filter(col("source") =!= "src0")
+      .select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val PassageLen = 8   // tokens per non-overlapping passage
+
+  /** q105: passage-level dedup — split every document into non-overlapping
+    * 8-token passages, keep each distinct passage's first occurrence (min
+    * (doc_id, position), as one composite integer so both engines agree
+    * exactly), and report per-document kept ratios. This is the
+    * RefinedWeb/C4-style SUB-document dedup tier: boilerplate that repeats
+    * across pages is dropped without discarding the host documents.
+    *
+    * Scale shape: passages never shuffle as text — only their 48-bit hashes
+    * do, once, partitioned by the uniform hash key (the min-owner window is
+    * a single exchange; the per-doc rollup pre-aggregates map-side).
+    */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val toks = tokens(col("text"))
+    val nPass = ceil(size(toks) / lit(PassageLen.toDouble)).cast("int")
+    val passages = transform(sequence(lit(1), nPass),
+      i => concat_ws(" ", slice(toks, (i - 1) * PassageLen + 1, lit(PassageLen))))
+    val occ = d.select(col("doc_id"), posexplode(passages))
+      .select(col("doc_id"), col("pos").cast("long").as("pidx"),
+        (h48(col("col")) % M31).as("phash"))
+    val wOwner = Window.partitionBy(col("phash"))
+    occ
+      .withColumn("owner", min(col("doc_id") * 1000 + col("pidx")).over(wOwner))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+           sum(when(col("doc_id") * 1000 + col("pidx") === col("owner"), 1L).otherwise(0L))
+             .as("n_kept"))
+      .select(col("doc_id"), col("n_passages"), col("n_kept"),
+        pround(col("n_kept") * lit(1.0) / col("n_passages"), 4).as("kept_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -94,4 +94,70 @@ class CorpusOpsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("centroid")) <= 1.0)
     }
   }
+
+  /** Driver-side rendition of PortableHash.h48 % M31 (md5 available via JDK). */
+  private def h48m(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    hex.foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16)) % 2147483647L
+  }
+
+  private def docTokens(): Map[Long, Array[String]] =
+    graft.Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+"))
+      .toMap
+
+  test("decontaminate equals a driver-side 8-gram overlap against the src0 benchmark") {
+    val srcOf = graft.Tables.documents(spark, sf001).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val grams = docTokens().map { case (id, w) =>
+      id -> w.sliding(8).filter(_.length == 8).map(g => h48m(g.mkString(" "))).toSet
+    }
+    val benchSet = grams.collect { case (id, g) if srcOf(id) == "src0" => g }
+      .foldLeft(Set.empty[Long])(_ union _)
+
+    val rows = TextOps.decontaminate(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.exists(_.getAs[Boolean]("contaminated")),
+      "fixture must contain at least one contaminated doc")
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == srcOf.collect {
+      case (id, s) if s != "src0" => id
+    }.toSet, "every non-benchmark doc appears exactly once")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val overlap = (grams(id) intersect benchSet).size.toLong
+      assert(r.getAs[Long]("n_ngrams") == grams(id).size.toLong, s"doc $id gram count")
+      assert(r.getAs[Long]("n_shared") == overlap, s"doc $id overlap")
+      assert(r.getAs[Boolean]("contaminated") == (overlap > 0), s"doc $id flag")
+    }
+  }
+
+  test("passageDedup equals a driver-side first-occurrence sweep over 8-token chunks") {
+    val toks = docTokens()
+    val occ = toks.toList.flatMap { case (id, w) =>
+      w.grouped(TextOps.PassageLen).zipWithIndex.map { case (p, i) =>
+        (id, i.toLong, h48m(p.mkString(" ")))
+      }
+    }
+    val owner = occ.groupBy(_._3).map { case (h, os) =>
+      h -> os.map { case (id, i, _) => id * 1000 + i }.min
+    }
+    val expected = occ.groupBy(_._1).map { case (id, os) =>
+      id -> ((os.size.toLong, os.count { case (d, i, h) => d * 1000 + i == owner(h) }.toLong))
+    }
+
+    val rows = TextOps.passageDedup(spark, sf001).collect()
+    assert(rows.length == expected.size)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == owner.size.toLong,
+      "total kept passages = distinct passage hashes")
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_passages")),
+      "fixture must contain at least one dropped passage")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (np, nk) = expected(id)
+      assert(r.getAs[Long]("n_passages") == np, s"doc $id passage count")
+      assert(r.getAs[Long]("n_kept") == nk, s"doc $id kept count")
+      val ratio = math.floor(nk * 1.0 / np * 1e4 + 0.5) / 1e4
+      assert(r.getAs[Double]("kept_ratio") == ratio, s"doc $id ratio")
+    }
+  }
 }
