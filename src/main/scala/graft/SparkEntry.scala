@@ -131,6 +131,8 @@ object SparkEntry {
     "q103_uniform_sample"    -> (TextOps.uniformSampleK _),
     "q104_decontaminate"     -> (TextOps.decontaminate _),
     "q105_passage_dedup"     -> (TextOps.passageDedup _),
+    "q106_scd2_dimension"    -> (Relational.scd2Dimension _),
+    "q107_fuzzy_match"       -> (Relational.fuzzyMatch _),
   )
 
   // ---- DuckDB fragments mirroring graft.functions.Formatters exactly ----
@@ -1214,5 +1216,27 @@ object SparkEntry {
          |FROM ph JOIN own USING (phash)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q106_scd2_dimension" ->
+      """WITH ded AS (SELECT o_custkey, o_orderdate,
+        |              arg_max(o_orderpriority, o_orderkey) AS prio
+        |            FROM orders GROUP BY o_custkey, o_orderdate),
+        |chg AS (SELECT *, lag(prio) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+        |        FROM ded)
+        |SELECT o_custkey, prio,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS version,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) IS NULL AS is_current
+        |FROM chg WHERE prev IS NULL OR prev <> prio
+        |ORDER BY o_custkey, version""".stripMargin,
+    "q107_fuzzy_match" ->
+      """SELECT x.c_custkey AS cust_a, y.c_custkey AS cust_b,
+        |  x.c_nationkey AS nationkey, x.c_mktsegment AS mktsegment,
+        |  CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS edit_dist
+        |FROM customer x JOIN customer y
+        |  ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment
+        | AND x.c_custkey < y.c_custkey
+        |WHERE levenshtein(x.c_name, y.c_name) <= 2
+        |ORDER BY cust_a, cust_b""".stripMargin,
   )
 }

@@ -600,4 +600,55 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q106: SCD type-2 dimension build — turn each customer's order-priority
+    * history into versioned validity intervals with change suppression
+    * (consecutive equal states collapse into one version; `valid_to` is the
+    * next CHANGE's start; the open version is flagged current). The classic
+    * warehouse operator for "property record changed — version it, don't
+    * overwrite it" (the reference's archive-overwrite semantics, upgraded to
+    * versioned history).
+    *
+    * Scale shape: one shuffle on the customer key feeds BOTH windows (lag for
+    * change detection, lead/row_number over the filtered change rows keep the
+    * same partitioning — no second exchange), and the pre-dedup is a partial
+    * hash aggregate on the same key.
+    */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // one state observation per (customer, day): the latest order wins
+    val ded = o.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    ded
+      .withColumn("prev", lag(col("prio"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      .select(col("o_custkey"), col("prio"),
+        row_number().over(w).cast("long").as("version"),
+        col("o_orderdate").cast("timestamp_ntz").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).cast("timestamp_ntz").as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  /** q107: blocked fuzzy matching (record linkage) — candidate pairs come
+    * from an equality join on a blocking key (nation, segment), then exact
+    * edit-distance ≤ 2 on the name decides the match. The entity-resolution
+    * shape for "same property/owner, slightly different spelling": blocking
+    * makes the candidate set O(Σ block²) instead of O(n²), and each block is
+    * an independent unit of parallel work.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    c.as("x").join(c.as("y"),
+        col("x.c_nationkey") === col("y.c_nationkey")
+          && col("x.c_mktsegment") === col("y.c_mktsegment")
+          && col("x.c_custkey") < col("y.c_custkey")
+          && levenshtein(col("x.c_name"), col("y.c_name")) <= 2)
+      .select(col("x.c_custkey").as("cust_a"), col("y.c_custkey").as("cust_b"),
+        col("x.c_nationkey").as("nationkey"), col("x.c_mktsegment").as("mktsegment"),
+        levenshtein(col("x.c_name"), col("y.c_name")).cast("long").as("edit_dist"))
+      .orderBy(col("cust_a"), col("cust_b"))
+  }
 }
