@@ -23,6 +23,11 @@ def norm(df):
 
 def cells_equal(a, b):
     if a is None and b is None: return True
+    try:
+        # NaT (and other pandas NA scalars) compare unequal to themselves
+        if pd.isna(a) and pd.isna(b): return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b): return True
         return a == b

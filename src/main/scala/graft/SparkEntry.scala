@@ -1208,11 +1208,11 @@ object SparkEntry {
          |          unnest(generate_series(1, CAST(ceil(len(w) / ${TextOps.PassageLen}.0) AS BIGINT))) AS i
          |        FROM tok) t),
          |ph AS (SELECT doc_id, pidx, ${PortableHash.h48Sql("passage")} % ${PortableHash.M31} AS phash FROM pas),
-         |own AS (SELECT phash, min(doc_id * 1000 + pidx) AS owner FROM ph GROUP BY phash)
+         |own AS (SELECT phash, min(doc_id * 4294967296 + pidx) AS owner FROM ph GROUP BY phash)
          |SELECT doc_id,
          |  CAST(count(*) AS BIGINT) AS n_passages,
-         |  CAST(sum(CASE WHEN doc_id * 1000 + pidx = owner THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  floor((sum(CASE WHEN doc_id * 1000 + pidx = owner THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4 + 0.5) / 1e4 AS kept_ratio
+         |  CAST(sum(CASE WHEN doc_id * 4294967296 + pidx = owner THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  floor((sum(CASE WHEN doc_id * 4294967296 + pidx = owner THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4 + 0.5) / 1e4 AS kept_ratio
          |FROM ph JOIN own USING (phash)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,

@@ -114,12 +114,21 @@ object Multimodal {
     * partials, no skew. The payload itself never shuffles (only 12-char
     * hash prefixes and counts do).
     */
-  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = mediaTable(spark, dir)
-      .select(col("doc_id"), col("payload").cast("string").as("text"))
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupOf(mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload").cast("string").as("text")))
+
+  /** Core of q90 over any `(doc_id, text)` frame — exposed so specs can
+    * drive the empty-payload edge case directly. */
+  def chunkDedupOf(d: DataFrame): DataFrame = {
     val nChunks = ceil(length(col("text")) / lit(ChunkSize.toDouble)).cast("int")
+    // Guard the generator: sequence(0, -1) counts DOWN in Spark (default
+    // step -1), so an empty payload would emit phantom [0, -1] chunk rows
+    // where DuckDB's generate_series emits none.
+    val chunkIdx = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
     val chunks = d
-      .select(col("doc_id"), col("text"), explode(sequence(lit(0), nChunks - 1)).as("ci"))
+      .select(col("doc_id"), col("text"), explode(chunkIdx).as("ci"))
       .select(col("doc_id"), col("ci"),
         substring_index_chunk(col("text"), col("ci")))
     chunks

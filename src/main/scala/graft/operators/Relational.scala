@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -631,24 +631,80 @@ object Relational {
       .orderBy(col("o_custkey"), col("version"))
   }
 
+  /** Edit threshold for q107. Candidates come from the DELETION NEIGHBORHOOD
+    * (FastSS / SymSpell): every name is indexed under each string obtainable
+    * by deleting ≤ k characters. If ed(x, y) ≤ k then an optimal alignment
+    * has subs + dels ≤ k chars to remove from x and subs + ins ≤ k from y to
+    * reach the common aligned core, so D(x, k) ∩ D(y, k) ≠ ∅ — the filter is
+    * exact (complete). Unlike positional/q-gram blocking, a low-entropy name
+    * format ("Customer#0000…") does NOT inflate blocks: two names share a
+    * deletion variant only when they genuinely agree on all but ≤ 2k
+    * characters, so block sizes track true-neighbor density, not corpus
+    * size. Cost is the C(L,0)+C(L,1)+C(L,2) ≈ 172 variant keys per 18-char
+    * record, emitted map-side and shuffled as 48-bit hashes.
+    */
+  val FuzzyK = 2
+
   /** q107: blocked fuzzy matching (record linkage) — candidate pairs come
-    * from an equality join on a blocking key (nation, segment), then exact
-    * edit-distance ≤ 2 on the name decides the match. The entity-resolution
-    * shape for "same property/owner, slightly different spelling": blocking
-    * makes the candidate set O(Σ block²) instead of O(n²), and each block is
-    * an independent unit of parallel work.
+    * from an equality join on deletion-neighborhood blocking keys, then
+    * exact edit-distance ≤ 2 on the name decides the match (nation/segment
+    * equality rides along in the candidate key — they are exact predicates,
+    * so they belong in the join key). The entity-resolution shape for "same
+    * property/owner, slightly different spelling".
+    *
+    * Scale shape: variant generation is a narrow map-side explode (no data
+    * exchanged until the candidate join); the join key (variant-hash,
+    * nation, segment) is near-unique, so the shuffle is uniform and block
+    * products stay O(true duplicates); one levenshtein per DISTINCT
+    * candidate pair verifies. Hash collisions on the 48-bit key only ever
+    * ADD candidates (verified away), never drop a true pair.
     */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val cands = fuzzyCandidates(spark, dir)
+    cands
+      .filter(levenshtein(col("x_name"), col("y_name")) <= FuzzyK)
+      .select(col("cust_a"), col("cust_b"),
+        col("nationkey"), col("mktsegment"),
+        levenshtein(col("x_name"), col("y_name")).cast("long").as("edit_dist"))
+      .orderBy(col("cust_a"), col("cust_b"))
+  }
+
+  /** Candidate-pair generation for q107, exposed so specs can bound the
+    * candidate volume independently of the verifier. Emits one row per
+    * distinct (cust_a < cust_b) pair sharing a ≤2-deletion variant of the
+    * name plus nation and segment, carrying both names for verification.
+    */
+  def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-    c.as("x").join(c.as("y"),
-        col("x.c_nationkey") === col("y.c_nationkey")
+    val name = col("c_name")
+    val len = length(name)
+    // delete position i (1-based)
+    def del1(i: Column): Column =
+      concat(name.substr(lit(1), i - 1), name.substr(i + 1, len - i))
+    // delete positions i < j
+    def del2(i: Column, j: Column): Column =
+      concat(name.substr(lit(1), i - 1),
+        name.substr(i + 1, j - i - 1),
+        name.substr(j + 1, len - j))
+    val variants = array_distinct(concat(
+      array(name),
+      transform(sequence(lit(1), len), i => del1(i)),
+      flatten(transform(sequence(lit(1), len - 1),
+        i => transform(sequence(i + 1, len), j => del2(i, j))))))
+    val keyed = c.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        explode(variants).as("v"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), graft.functions.PortableHash.h48(col("v")).as("vhash"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.vhash") === col("y.vhash")
+          && col("x.c_nationkey") === col("y.c_nationkey")
           && col("x.c_mktsegment") === col("y.c_mktsegment")
-          && col("x.c_custkey") < col("y.c_custkey")
-          && levenshtein(col("x.c_name"), col("y.c_name")) <= 2)
+          && col("x.c_custkey") < col("y.c_custkey"))
       .select(col("x.c_custkey").as("cust_a"), col("y.c_custkey").as("cust_b"),
         col("x.c_nationkey").as("nationkey"), col("x.c_mktsegment").as("mktsegment"),
-        levenshtein(col("x.c_name"), col("y.c_name")).cast("long").as("edit_dist"))
-      .orderBy(col("cust_a"), col("cust_b"))
+        col("x.c_name").as("x_name"), col("y.c_name").as("y_name"))
+      .distinct()
   }
 }

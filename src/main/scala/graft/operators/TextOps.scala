@@ -759,6 +759,15 @@ object TextOps {
 
   val PassageLen = 8   // tokens per non-overlapping passage
 
+  /** Collision-free owner composite: doc_id occupies the high 32 bits, the
+    * passage index the low 32. A document would need 2^32 passages (~34 G
+    * tokens) to alias into a neighbour's key space — vs the previous *1000
+    * packing, which broke at 1000 passages (~8k tokens, common in real
+    * corpora). `PassageIdxBits` is asserted against at runtime below.
+    */
+  val PassageIdxBits = 32
+  private val PassageIdxBound = 1L << PassageIdxBits
+
   /** q105: passage-level dedup — split every document into non-overlapping
     * 8-token passages, keep each distinct passage's first occurrence (min
     * (doc_id, position), as one composite integer so both engines agree
@@ -770,9 +779,15 @@ object TextOps {
     * do, once, partitioned by the uniform hash key (the min-owner window is
     * a single exchange; the per-doc rollup pre-aggregates map-side).
     */
-  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+  def passageDedup(spark: SparkSession, dir: String): DataFrame =
+    passageDedupOf(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Core of q105 over any `(doc_id, text)` frame — split out so specs can
+    * drive it with synthetic documents (e.g. the >2^10-passage collision
+    * case that the old narrow composite key silently corrupted).
+    */
+  def passageDedupOf(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nPass = ceil(size(toks) / lit(PassageLen.toDouble)).cast("int")
     val passages = transform(sequence(lit(1), nPass),
@@ -780,12 +795,17 @@ object TextOps {
     val occ = d.select(col("doc_id"), posexplode(passages))
       .select(col("doc_id"), col("pos").cast("long").as("pidx"),
         (h48(col("col")) % M31).as("phash"))
+    // Fail loudly rather than silently corrupt ownership if a document ever
+    // exceeds the positional budget (2^32 passages).
+    val key = when(col("pidx") < PassageIdxBound,
+        col("doc_id") * PassageIdxBound + col("pidx"))
+      .otherwise(raise_error(lit(s"passage index exceeds 2^$PassageIdxBits")))
     val wOwner = Window.partitionBy(col("phash"))
     occ
-      .withColumn("owner", min(col("doc_id") * 1000 + col("pidx")).over(wOwner))
+      .withColumn("owner", min(key).over(wOwner))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_passages"),
-           sum(when(col("doc_id") * 1000 + col("pidx") === col("owner"), 1L).otherwise(0L))
+           sum(when(key === col("owner"), 1L).otherwise(0L))
              .as("n_kept"))
       .select(col("doc_id"), col("n_passages"), col("n_kept"),
         pround(col("n_kept") * lit(1.0) / col("n_passages"), 4).as("kept_ratio"))

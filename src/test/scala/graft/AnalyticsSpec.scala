@@ -137,6 +137,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("chunkDedup emits no phantom chunks for empty payloads") {
+    // sequence(0, -1) counts DOWN in Spark — an unguarded generator turns an
+    // empty payload into two phantom md5("") chunk rows.
+    import spark.implicits._
+    val d = Seq((1L, ""), (2L, ""), (3L, "shared chunk"), (4L, "shared chunk"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.chunkDedupOf(d).collect()
+    assert(got.length == 1, "only the genuinely shared chunk survives")
+    assert(got.head.getAs[String]("md5_12") == md5Hex("shared chunk").take(12))
+    assert(got.head.getAs[Long]("n_copies") == 2L)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -139,10 +139,10 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
     val owner = occ.groupBy(_._3).map { case (h, os) =>
-      h -> os.map { case (id, i, _) => id * 1000 + i }.min
+      h -> os.map { case (id, i, _) => (id, i) }.min
     }
     val expected = occ.groupBy(_._1).map { case (id, os) =>
-      id -> ((os.size.toLong, os.count { case (d, i, h) => d * 1000 + i == owner(h) }.toLong))
+      id -> ((os.size.toLong, os.count { case (d, i, h) => (d, i) == owner(h) }.toLong))
     }
 
     val rows = TextOps.passageDedup(spark, sf001).collect()
@@ -159,5 +159,23 @@ class CorpusOpsSpec extends SparkSpec {
       val ratio = math.floor(nk * 1.0 / np * 1e4 + 0.5) / 1e4
       assert(r.getAs[Double]("kept_ratio") == ratio, s"doc $id ratio")
     }
+  }
+
+  test("passageDedup attributes owners correctly for documents with >1000 passages") {
+    // Doc 1 has 1200 passages (9600 tokens). Under the old doc_id*1000+pidx
+    // packing, doc 1's passage #1000 aliased to doc 2's passage #0 key space:
+    // key(1, 1000) = 2000 = key(2, 0), so ownership silently corrupted. The
+    // 32-bit-shift composite keeps them distinct.
+    import spark.implicits._
+    val big   = (0 until 1200).map(i => s"u$i a b c d e f g").mkString(" ")
+    // Doc 2 repeats doc 1's passage #1005 — its only passage is a duplicate,
+    // and its first occurrence belongs to doc 1.
+    val small = "u1005 a b c d e f g"
+    val docs = Seq((1L, big), (2L, small)).toDF("doc_id", "text")
+    val rows = TextOps.passageDedupOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_passages"), r.getAs[Long]("n_kept")))).toMap
+    assert(rows(1L) == ((1200L, 1200L)), "doc 1 owns all 1200 of its passages")
+    assert(rows(2L) == ((1L, 0L)), "doc 2's duplicate passage is owned by doc 1")
   }
 }
