@@ -673,17 +673,19 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cosine, rank FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q41_lsh_neardup" ->
-      s"""${SimilarityOps.vectorsCteSql}
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-         |  floor((${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 AS cosine
-         |FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE floor((${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 >= ${SimilarityOps.NearDupThreshold}
+      s"""${SimilarityOps.vectorsCteSql},
+         |${SimilarityOps.bandsCteSql}
+         |SELECT vec_a, vec_b, n_bands,
+         |  floor((${SimilarityOps.dotSql("va.v", "vb.v")} / (va.norm * vb.norm)) * 1e6 + 0.5) / 1e6 AS cosine
+         |FROM cand JOIN vecs va ON va.vec_id = vec_a JOIN vecs vb ON vb.vec_id = vec_b
+         |WHERE floor((${SimilarityOps.dotSql("va.v", "vb.v")} / (va.norm * vb.norm)) * 1e6 + 0.5) / 1e6 >= ${SimilarityOps.NearDupThreshold}
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q39_embedding_dedup" ->
       s"""${SimilarityOps.vectorsCteSql},
-         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE floor((${SimilarityOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 >= ${SimilarityOps.NearDupThreshold}),
+         |${SimilarityOps.bandsCteSql},
+         |pairs AS (SELECT vec_a, vec_b
+         |  FROM cand JOIN vecs va ON va.vec_id = vec_a JOIN vecs vb ON vb.vec_id = vec_b
+         |  WHERE floor((${SimilarityOps.dotSql("va.v", "vb.v")} / (va.norm * vb.norm)) * 1e6 + 0.5) / 1e6 >= ${SimilarityOps.NearDupThreshold}),
          |victims AS (SELECT DISTINCT vec_b AS doc_id FROM pairs)
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)

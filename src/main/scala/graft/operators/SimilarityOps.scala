@@ -31,12 +31,35 @@ object SimilarityOps {
   val Planes = 8
   val NearDupThreshold = 0.4   // corpus max off-diagonal cos ≈ 0.51
 
+  /** Banded sign-LSH (q41/q39): [[BandPlanes]] hyperplanes split into
+    * [[Bands]] OR-construction bands of [[BandBits]] bits. A pair is a
+    * candidate iff ALL bits of at least ONE band agree, so random-pair
+    * collision probability is Bands·2^-BandBits ≈ 0.2% — candidate volume
+    * tracks similarity density (p_match = 1-(1-p^bits)^bands, p = 1-θ/π),
+    * not a fixed n²/256 as the old single 8-bit bucket gave. 12-bit bands
+    * mirror q37's simhash banding; 8 bands give ~74% recall at cos 0.9.
+    * Widening to more/narrower bands (recall) or longer bands (volume) is a
+    * two-constant change mirrored in the oracle.
+    */
+  val Bands = 8
+  val BandBits = 12
+  val BandPlanes = Bands * BandBits
+
   /** ±1 hyperplane weights from md5("plane:p:i") first-byte parity —
     * reproducible anywhere md5 exists. */
   lazy val planeWeights: Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(Planes, Dim) { (p, i) =>
       val h = md.digest(s"plane:$p:$i".getBytes("UTF-8"))
+      (java.lang.Byte.toUnsignedInt(h(0)) % 2) * 2 - 1
+    }
+  }
+
+  /** ±1 weights for the banded sketch, md5("bplane:p:i") parity. */
+  lazy val bandPlaneWeights: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(BandPlanes, Dim) { (p, i) =>
+      val h = md.digest(s"bplane:$p:$i".getBytes("UTF-8"))
       (java.lang.Byte.toUnsignedInt(h(0)) % 2) * 2 - 1
     }
   }
@@ -76,15 +99,42 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** q41: sign-LSH near-dup pairs — bucket-blocked, exactly verified. */
+  /** Banded candidate pairs for q41/q39, exposed so specs can bound the
+    * candidate volume. One row per distinct (vec_a < vec_b) pair sharing at
+    * least one of the [[Bands]] band values, with the shared-band count.
+    *
+    * Scale shape: the band sketch is computed map-side (no UDF, codegen'd
+    * dot products); only (vec_id, band_idx, band_val) rows shuffle — the
+    * vectors themselves stay behind and are re-fetched by id for the
+    * verification join, so candidate generation never moves payloads.
+    */
+  def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val bandVals: Column = array((0 until Bands).map { b =>
+      (0 until BandBits).map { j =>
+        val w = array(bandPlaneWeights(b * BandBits + j).map(x => lit(x.toDouble)): _*)
+        when(dot(col("v"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val banded = e.select(col("vec_id"), posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** q41: sign-LSH near-dup pairs — banded OR-construction candidates,
+    * exactly cosine-verified against the re-fetched vectors. */
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir).select(col("vec_id"), col("v"), col("norm"), col("bucket"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"), col("bucket"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+    val e = vectors(spark, dir).select(col("vec_id"), col("v"), col("norm"))
+    lshCandidates(spark, dir)
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
       .withColumn("cosine", pround(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= NearDupThreshold)
-      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+      .select(col("vec_a"), col("vec_b"), col("n_bands"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -250,6 +300,27 @@ object SimilarityOps {
   /** `[d1, d2, …]` literal for plane p. */
   def planeSqlList(p: Int): String =
     planeWeights(p).map(x => s"$x.0").mkString("[", ", ", "]")
+
+  /** `[d1, d2, …]` literal for banded plane p. */
+  def bandPlaneSqlList(p: Int): String =
+    bandPlaneWeights(p).map(x => s"$x.0").mkString("[", ", ", "]")
+
+  /** The `bands` CTE (one row per vector × band) plus the `cand` CTE of
+    * distinct pairs sharing ≥1 band — the oracle twin of [[lshCandidates]].
+    * Append after [[vectorsCteSql]]. */
+  def bandsCteSql: String = {
+    val perBand = (0 until Bands).map { b =>
+      val v = (0 until BandBits).map { j =>
+        s"(CASE WHEN ${dotSql("v", bandPlaneSqlList(b * BandBits + j))} >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band_idx, $v AS band_val FROM vecs"
+    }.mkString(" UNION ALL ")
+    s"""bands AS ($perBand),
+       |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(count(*) AS BIGINT) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** Sequential-fold dot product in DuckDB (same op order as Spark). */
   def dotSql(a: String, b: String): String =

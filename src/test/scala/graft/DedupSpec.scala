@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpec {
     assert(p.forall(r => r.getAs[Long]("n_inter") <= r.getAs[Long]("n_union")))
   }
 
+  test("banded sign-LSH candidate volume is bounded by the OR-construction collision rate") {
+    import graft.operators.SimilarityOps
+    val n = Tables.embeddings(spark, sf001).count()
+    val cands = SimilarityOps.lshCandidates(spark, sf001).count()
+    val pairs = SimilarityOps.lshNearDupPairs(spark, sf001).collect()
+    // random-pair collision probability is Bands·2^-BandBits; correlated
+    // pairs push the measured volume above that floor, but it must stay
+    // within a small constant of it (old single-8-bit-bucket blocking sat at
+    // a FIXED n²/256 with no similarity dependence at all)
+    val floorV = n * (n - 1) / 2.0 * SimilarityOps.Bands * math.pow(2.0, -SimilarityOps.BandBits)
+    assert(cands <= 4 * floorV, s"candidates=$cands collision-floor=${floorV.toLong}")
+    assert(pairs.nonEmpty, "fixture plants at least one verified near-dup pair")
+    assert(pairs.forall(r => r.getAs[Long]("n_bands") >= 1 && r.getAs[Long]("n_bands") <= SimilarityOps.Bands))
+  }
+
   test("fuzzy match via deletion-neighborhood blocking equals the naive all-pairs join") {
     import graft.operators.Relational
     val c = Tables.customer(spark, sf001)
