@@ -455,76 +455,108 @@ object TextOps {
 
   private val MaxCcIterations = 20
 
-  /** q62: duplicate-cluster assignment — connected components over the
-    * SimHash near-dup pair graph by iterative min-label propagation (the
-    * proper generalization of q38's greedy pairwise dedup: transitive
-    * near-dup chains A~B~C collapse into ONE cluster even when A,C never
-    * pair directly). Every document gets a cluster_id = the smallest doc_id
-    * reachable through near-dup edges; singletons keep their own id.
+  /** Connected components by alternating large-star / small-star edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014). Unlike min-label propagation, NO side of any join is
+    * assumed broadcast-able: every step is an equi-join or hash aggregate on
+    * a uniform node-id key, so the algorithm runs unchanged on billion-edge
+    * graphs, and the alternation converges in O(log n) rounds.
     *
-    * Scale design: each round is one equi-join (edges ⋈ labels on a uniform
-    * id key) + one min-aggregate — all distributed; the driver only reads a
-    * single scalar per round (sum of labels — monotone under min-label
-    * propagation, so an unchanged sum IS convergence, no diff join needed). Rounds = graph diameter, small for
-    * near-dup graphs (dup clusters are dense). Each round's labels are
-    * materialized with `localCheckpoint` — labels_{n+1} references labels_n
-    * twice (union + convergence diff), so without lineage truncation the
-    * logical plan doubles per round and the optimizer, not the data, blows
-    * the heap. On a cluster this becomes reliable `checkpoint` to durable
-    * storage (localCheckpoint is not executor-loss-tolerant); for
-    * billion-edge graphs the large-star/small-star variant (same join/agg
-    * primitives, alternating edge rewrites) bounds rounds to O(log n).
+    *  - large-star: every edge (u,v), v>u is rewired to (v, m(u)) where
+    *    m(u) = min(N(u) ∪ {u}) — larger neighbors hook onto u's best min.
+    *  - small-star: per node u, all smaller neighbors plus u itself hook
+    *    onto u's smallest neighbor.
+    *
+    * Both preserve connectivity; the fixpoint is one star per component
+    * centered at its minimum id. Convergence probe: the edge set is
+    * invariant at the fixpoint, so an unchanged (count, hash-checksum) pair
+    * — one tiny aggregate per round, read as a single driver-side scalar
+    * row — detects it without a diff join.
+    *
+    * `persist` is the checkpoint seam: each round's edges are materialized
+    * to truncate lineage (the plan would otherwise double per round).
+    * `localCheckpoint` here (single-JVM harness); on a cluster pass
+    * `_.checkpoint()` backed by durable storage so executor loss replays
+    * nothing.
+    *
+    * @param vertices one `doc_id` row per node (isolated nodes label
+    *                 themselves)
+    * @param pairs    undirected edges as (doc_a, doc_b) in any order
+    * @return (doc_id, label) with label = min reachable id
+    */
+  def ccLargeSmallStar(vertices: DataFrame, pairs: DataFrame,
+      persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val canon = pairs.toDF("a", "b")
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+    var edges = persist(canon)
+
+    // large-star: group ALL neighbors of u, hook the larger ones onto m(u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    // small-star: per node u (= hi end), hook the smaller neighbors and u
+    // itself onto u's smallest neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val j = e.join(m, "hi")
+      j.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(j.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    var prevProbe = (-1L, -1L)
+    while (!converged && iter < MaxCcIterations) {
+      edges = persist(smallStar(largeStar(edges)))
+      val p = edges.agg(count(lit(1)),
+        coalesce(sum(h48(concat_ws(":", col("hi"), col("lo")))), lit(0L))).head
+      val probe = (p.getLong(0), p.getLong(1))
+      converged = probe == prevProbe
+      prevProbe = probe
+      iter += 1
+    }
+    // fixpoint edges are (member, component-min) stars; isolated nodes
+    // label themselves
+    val owner = edges.groupBy(col("hi").as("doc_id")).agg(min(col("lo")).as("star_min"))
+    vertices.join(owner, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("star_min"), col("doc_id")).as("label"))
+  }
+
+  /** q62: duplicate-cluster assignment — connected components over the
+    * SimHash near-dup pair graph (the proper generalization of q38's greedy
+    * pairwise dedup: transitive near-dup chains A~B~C collapse into ONE
+    * cluster even when A,C never pair directly). Every document gets a
+    * cluster_id = the smallest doc_id reachable through near-dup edges;
+    * singletons keep their own id. Decomposition runs on the
+    * [[ccLargeSmallStar]] large-star/small-star alternation — no broadcast
+    * assumption anywhere, so the same plan runs on billion-edge graphs.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // Materialize the pair pipeline ONCE before mirroring: the undirected
-    // edge union references `pairs` twice, which would otherwise run the
-    // whole SimHash pipeline per branch.
+    // Materialize the pair pipeline ONCE: the canonicalization references
+    // `pairs` in two column expressions, which would otherwise re-run the
+    // whole SimHash pipeline per reference.
     val pairs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
-    // The label state is tiny relative to the batch shuffle width (one row
-    // per doc, shrinking fan-in joins); run the loop's many small stages
-    // under a narrower shuffle like the streaming state queries do.
+    val vertices = Tables.documents(spark, dir).select(col("doc_id"))
+    // The edge state is tiny relative to the batch shuffle width; run the
+    // loop's many small stages under a narrower shuffle like the streaming
+    // state queries do.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", 8)
-    try {
-      var converged = false
-      var iter = 0
-      // Convergence probe: min-label propagation is monotone (labels only
-      // ever decrease), so the label vector is fixed iff sum(label) is
-      // unchanged — ONE cheap column aggregate per round instead of a
-      // self-join diff against the previous labels.
-      var prevSum = -1L
-      while (!converged && iter < MaxCcIterations) {
-        // labels are one (id, id) pair per doc — broadcast while they fit.
-        // The hint matters because RDD-backed localCheckpoints hide size
-        // stats from AQE (it would otherwise plan a full edge shuffle per
-        // round); past broadcast scale the same plan degrades gracefully to
-        // a shuffled equi-join by removing the hint.
-        val msgs = edges.join(broadcast(labels), edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("label"))
-        val m = labels.union(msgs)
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        // Pointer jumping: follow my label's label (labels are doc_ids, and
-        // min-labels are monotone non-increasing, so label(label(d)) ≤
-        // label(d)). This halves label-chain lengths every round —
-        // convergence in O(log diameter) rounds instead of O(diameter).
-        val next = m.as("a")
-          .join(m.select(col("doc_id").as("label"), col("label").as("ll")).as("b"),
-            Seq("label"), "left")
-          .select(col("doc_id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-          .localCheckpoint()
-        val curSum = next.agg(sum(col("label"))).head.getLong(0)
-        labels = next
-        converged = curSum == prevSum
-        prevSum = curSum
-        iter += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val labels =
+      try ccLargeSmallStar(vertices, pairs)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

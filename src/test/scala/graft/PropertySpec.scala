@@ -143,4 +143,35 @@ class PropertySpec extends SparkSpec {
       assert(gm == maxStreak, s"cust $custkey max streak: got $gm want $maxStreak for $sorted")
     }
   }
+
+  test("large-star/small-star components equal a union-find on arbitrary graphs") {
+    // Graph shapes that stress the alternation: long paths (worst-case
+    // diameter), dense clumps, isolated nodes, self-loops, duplicate and
+    // reversed edges.
+    val rnd = new scala.util.Random(4242L)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(70)
+      val ids = (0 until n).map(_ => rnd.nextInt(10000).toLong).distinct
+      val nEdges = rnd.nextInt(2 * ids.length)
+      val edges = (0 until nEdges).map { _ =>
+        (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length)))
+      } ++ ids.sliding(7, 7).flatMap(g => g.zip(g.tail))   // planted paths
+      val vertices = ids.toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = operators.TextOps.ccLargeSmallStar(vertices, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(d => d -> find(d)).toMap
+      assert(got == want, s"trial $trial: n=${ids.length} edges=${edges.length}")
+    }
+  }
 }
