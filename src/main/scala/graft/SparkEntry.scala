@@ -1056,26 +1056,37 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, unnest(${PortableHash.tokensSql("lower(text)")}) AS term FROM documents),
          |tc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
          |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM tc),
-         |s AS (SELECT doc_id, count(*) AS n_tokens,
-         |        round(avg(ln(n_total * 1.0) - ln(c * 1.0)), 4) AS avg_nll
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        sum(CAST(floor((ln(n_total * 1.0) - ln(c * 1.0)) * 1e6 + 0.5) AS BIGINT)) AS snll
          |      FROM tok JOIN tc USING (term) CROSS JOIN n
-         |      GROUP BY doc_id)
+         |      GROUP BY doc_id),
+         |s2 AS (SELECT doc_id, n_tokens,
+         |        floor((snll * 1.0 / n_tokens / 1e6) * 1e4 + 0.5) / 1e4 AS avg_nll
+         |       FROM s)
          |SELECT doc_id, n_tokens, avg_nll,
-         |  round(exp(avg_nll), 2) AS ppl_proxy,
+         |  floor(exp(avg_nll) * 1e2 + 0.5) / 1e2 AS ppl_proxy,
          |  avg_nll > 7.0 AS high_perplexity
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |FROM s2 ORDER BY doc_id""".stripMargin,
     "q96_centroid_sim" ->
       """WITH cents AS (
-        |  SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        |  SELECT label, i - 1 AS pos,
+        |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |    count(*) AS cnt
         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
         |  GROUP BY 1, 2),
-        |norms AS (SELECT label, sum(c * c) AS n2 FROM cents GROUP BY 1),
-        |pairs AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
-        |          FROM cents a JOIN cents b ON a.pos = b.pos AND a.label < b.label
-        |          GROUP BY 1, 2)
+        |norms AS (SELECT label,
+        |    CAST(sum(CAST(sq AS DECIMAL(18,0)) * CAST(sq AS DECIMAL(18,0))) AS DOUBLE) AS n2i,
+        |    max(cnt) AS cnt
+        |  FROM cents GROUP BY 1),
+        |pairs AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(CAST(a.sq AS DECIMAL(18,0)) * CAST(b.sq AS DECIMAL(18,0))) AS DOUBLE) AS doti
+        |  FROM cents a JOIN cents b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
         |SELECT label_a, label_b,
-        |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine,
-        |  round(sqrt(na.n2 + nb.n2 - dot * 2.0), 4) AS euclid
+        |  floor((doti / (sqrt(na.n2i) * sqrt(nb.n2i))) * 1e6 + 0.5) / 1e6 AS cosine,
+        |  floor(sqrt(na.n2i / (na.cnt * 16777216.0 * na.cnt * 16777216.0)
+        |           + nb.n2i / (nb.cnt * 16777216.0 * nb.cnt * 16777216.0)
+        |           - doti * 2.0 / (na.cnt * 16777216.0 * nb.cnt * 16777216.0)) * 1e4 + 0.5) / 1e4 AS euclid
         |FROM pairs
         |JOIN norms na ON label_a = na.label
         |JOIN norms nb ON label_b = nb.label

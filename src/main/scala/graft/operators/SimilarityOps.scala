@@ -265,33 +265,57 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
+  /** Fixed-point scale for q96's centroid arithmetic: components are
+    * quantized to 2^-24 (≈6e-8, far below the 6dp/4dp output rounding) so
+    * every aggregate — component sums, dot products, squared norms — is
+    * EXACT arithmetic. Component sums are longs (overflow at ~6e10 vectors
+    * per label); their pairwise products are summed as DECIMAL(38,0), which
+    * both engines add exactly, then cast to double ONCE — so the whole
+    * computation is order-independent across partitions and engines.
+    */
+  private val CentroidQ = (1L << 24).toDouble
+
   /** q96: inter-centroid similarity matrix — cosine + euclidean distance
     * between every pair of per-label centroid vectors: the cluster-separation
-    * audit run after IVF training / embedding drift checks. Centroids come
-    * from the exploded distributed mean (q63's shape) rounded to 6dp so both
-    * engines fold bit-identical inputs; the pair matrix is k² (tiny — k
-    * labels), computed as a dim-equality self-join + hash aggregate, so it
-    * never materializes vectors per group.
+    * audit run after IVF training / embedding drift checks. The pair matrix
+    * is k² (tiny — k labels), computed as a dim-equality self-join + hash
+    * aggregate, so it never materializes vectors per group.
+    *
+    * Determinism: all sums run in exact fixed-point integer space
+    * ([[CentroidQ]]), so results are order-independent across partitions
+    * and engines — a float sum(ca·cb) flips its last rounded digit when the
+    * fold order changes. Cosine needs no rescaling at all (scale factors
+    * cancel); euclidean divides the integer sums back down once.
     */
   def centroidSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
+    // per-(label, dim): exact integer component sum + the label's vector count
     val cents = e.select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("col").cast("double")), 6).as("c"))
+      .agg(sum(floor(col("col").cast("double") * CentroidQ + 0.5).cast("long")).as("sq"),
+           count(lit(1)).as("cnt"))
       .cache()
-    val norms = cents.groupBy(col("label")).agg(sum(col("c") * col("c")).as("n2"))
-    val pairs = cents.select(col("label").as("label_a"), col("pos"), col("c").as("ca"))
-      .join(cents.select(col("label").as("label_b"), col("pos"), col("c").as("cb")), "pos")
+    def dec(c: Column): Column = c.cast("decimal(18,0)")
+    val norms = cents.groupBy(col("label"))
+      .agg(sum(dec(col("sq")) * dec(col("sq"))).cast("double").as("n2i"),
+           max(col("cnt")).as("cnt"))
+    val pairs = cents.select(col("label").as("label_a"), col("pos"), col("sq").as("sa"))
+      .join(cents.select(col("label").as("label_b"), col("pos"), col("sq").as("sb")), "pos")
       .filter(col("label_a") < col("label_b"))
       .groupBy(col("label_a"), col("label_b"))
-      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(sum(dec(col("sa")) * dec(col("sb"))).cast("double").as("doti"))
+    // real-valued centroid scale factors: centroid dim = sq / (cnt · Q)
+    val da = col("cnt_a") * CentroidQ
+    val db = col("cnt_b") * CentroidQ
     pairs
-      .join(norms.select(col("label").as("label_a"), col("n2").as("na2")), "label_a")
-      .join(norms.select(col("label").as("label_b"), col("n2").as("nb2")), "label_b")
+      .join(norms.select(col("label").as("label_a"), col("n2i").as("na2i"), col("cnt").as("cnt_a")), "label_a")
+      .join(norms.select(col("label").as("label_b"), col("n2i").as("nb2i"), col("cnt").as("cnt_b")), "label_b")
       .select(col("label_a"), col("label_b"),
-        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"),
-        round(sqrt(col("na2") + col("nb2") - col("dot") * 2.0), 4).as("euclid"))
+        // scale cancels between dot and the norm product
+        pround(col("doti") / (sqrt(col("na2i")) * sqrt(col("nb2i"))), 6).as("cosine"),
+        pround(sqrt(col("na2i") / (da * da) + col("nb2i") / (db * db)
+                    - col("doti") * 2.0 / (da * db)), 4).as("euclid"))
       .orderBy(col("label_a"), col("label_b"))
   }
 

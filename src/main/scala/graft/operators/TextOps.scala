@@ -682,6 +682,12 @@ object TextOps {
     * "model" is just the global (term → count) table: a broadcast-able join,
     * then one per-doc average. -ln p(t) = ln N − ln c(t), so the whole score
     * is two aggregates + one join on uniform term keys.
+    *
+    * Determinism: each per-token nll is quantized to a 1e-6 fixed-point LONG
+    * before aggregation, so the per-doc sum is exact integer arithmetic —
+    * order-independent across partitions and engines (a float `avg` of ln
+    * terms flips its last rounded digit when the summation order changes;
+    * same trick as q101's quality average).
     */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -689,12 +695,15 @@ object TextOps {
     val tok = d.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
     val tc = tok.groupBy(col("term")).agg(count(lit(1)).as("c")).cache()
     val n = tc.agg(sum(col("c")).as("n_total"))
+    val nllQ = floor((log(col("n_total") * lit(1.0)) - log(col("c") * lit(1.0))) * 1e6 + 0.5)
+      .cast("long")
     tok.join(tc, "term").crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-           round(avg(log(col("n_total") * lit(1.0)) - log(col("c") * lit(1.0))), 4).as("avg_nll"))
+      .agg(count(lit(1)).as("n_tokens"), sum(nllQ).as("snll"))
+      .select(col("doc_id"), col("n_tokens"),
+        pround(col("snll") / col("n_tokens") / 1e6, 4).as("avg_nll"))
       .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
-        round(exp(col("avg_nll")), 2).as("ppl_proxy"),
+        pround(exp(col("avg_nll")), 2).as("ppl_proxy"),
         (col("avg_nll") > 7.0).as("high_perplexity"))
       .orderBy(col("doc_id"))
   }
