@@ -93,6 +93,7 @@ object SparkEntry {
     "q49_window_breadth"     -> (Relational.windowBreadth _),
     "q54_string_breadth"     -> (Relational.stringBreadth _),
     "q50_stream_tumbling"    -> (EventsStream.streamingTumbling _),
+    "q108_stream_append"     -> (EventsStream.streamingTumblingAppend _),
     "q80_stream_sliding"     -> (EventsStream.streamingSliding _),
     "q56_stream_enrich"      -> (EventsStream.streamStaticEnrich _),
     "q58_stream_join"        -> (EventsStream.streamStreamJoin _),
@@ -481,6 +482,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q108_stream_append" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTES AS w FROM events),
+        |b AS (SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |        count(*) AS n, round(sum(value), 2) AS total_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT hour_start, event_type, n, total_value
+        |FROM b CROSS JOIN wm
+        |WHERE hour_start + INTERVAL 1 HOUR <= w
+        |ORDER BY hour_start, event_type""".stripMargin,
     "q21_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000

@@ -120,6 +120,46 @@ object EventsStream {
     spark.table(name).orderBy(col("user_id"), col("start_us"))
   }
 
+  /** Watermark delay for the append-mode aggregation (q108). */
+  val AppendDelay = "30 minutes"
+
+  /** q108: watermarked APPEND-mode tumbling aggregation — the production
+    * form of q50. `complete` mode re-emits every window ever seen and holds
+    * them all in state forever (unbounded at 100 TB); here the 30-minute
+    * watermark EVICTS a window's state and emits its single final row once
+    * the watermark passes the window end, so state is bounded by
+    * (delay / window width) open windows per key regardless of stream
+    * length. Emitted rows are exactly the watermark-closed windows —
+    * window_end ≤ max(event time) − delay — so the DuckDB oracle is the
+    * batch hourly aggregate filtered to closed windows (the q81
+    * open-session trick applied to windows). The engine flushes the final
+    * eviction through a no-data micro-batch after the last file batch.
+    */
+  def streamingTumblingAppend(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_append_${counter.incrementAndGet()}"
+    withStatePartitions(spark) {
+      val q = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", AppendDelay)
+        // group by the window STRUCT (not .start): the struct carries the
+        // event-time metadata append mode needs to close windows
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("win").getField("start").as("hour_start"),
+                col("event_type"), col("n"), col("total_value"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+              col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** q80: incremental sliding-window counts — the streaming twin of the
     * batch q48 plan (1-hour windows every 15 minutes): each event lands in
     * 4 overlapping windows, maintained incrementally in the state store.

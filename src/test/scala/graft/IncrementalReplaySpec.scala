@@ -65,6 +65,40 @@ class IncrementalReplaySpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("append-mode watermarked aggregation emits exactly the closed windows across batches") {
+    val name = s"inc_append_${counter.incrementAndGet()}"
+    val q = streamEvents
+      .withWatermark("ts", graft.streaming.EventsStream.AppendDelay)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win").getField("start").as("hour_start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 4, s"expected >=4 non-empty micro-batches, saw $nBatches")
+    // session tz is UTC, so tz and ntz readings agree on epoch millis
+    def ms(x: Any): Long = x match {
+      case t: java.sql.Timestamp       => t.getTime
+      case d: java.time.LocalDateTime  => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case i: java.time.Instant        => i.toEpochMilli
+      case other => fail(s"unexpected timestamp class ${other.getClass}")
+    }
+    val streamed = spark.table(name).collect()
+      .map(r => (ms(r.getAs[Any]("hour_start")),
+                 r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    // batch twin filtered to watermark-closed windows (end <= max ts - delay)
+    val e = Tables.events(spark, sf001)
+    val wm = ms(e.agg(max(col("ts"))).head.get(0)) - 30 * 60 * 1000L
+    val closed = e.groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (ms(r.getAs[Any]("hour_start")),
+                 r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      .filter(t => t._1 + 3600 * 1000L <= wm).toSet
+    assert(streamed == closed)
+    assert(streamed.nonEmpty)
+  }
+
   test("interval-join state matches clicks to purchases in LATER micro-batches") {
     def side(evType: String, prefix: String) = streamEvents
       .filter(col("event_type") === evType)
