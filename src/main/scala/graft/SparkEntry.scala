@@ -29,6 +29,7 @@ object SparkEntry {
     "q01_pricing_summary"    -> (Relational.pricingSummary _),
     "q02_filter_project"     -> (Relational.filterProject _),
     "q03_enrich_orders"      -> (Relational.enrichOrders _),
+    "q109_bucketed_join"     -> (Relational.bucketedJoin _),
     "q04_semi_join_active"   -> (Relational.semiJoinActive _),
     "q05_anti_join_inactive" -> (Relational.antiJoinInactive _),
     "q06_geo_expand"         -> (Relational.geoExpand _),
@@ -831,6 +832,12 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, c_mktsegment, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS o_totalprice
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |WHERE c_custkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    // q109 is q03 through the bucketed layout — same rows, same oracle shape
+    // (inner join ≡ the reference's left-join + NOT NULL found-filter)
+    "q109_bucketed_join" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     "q04_semi_join_active" ->
       """SELECT c_custkey, c_name FROM customer

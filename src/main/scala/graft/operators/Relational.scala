@@ -73,6 +73,63 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q109: the co-located twin of q03 — the 100 TB answer to the note on
+    * `enrichOrders` ("at scale: co-bucket both tables on custkey"), run for
+    * real instead of left as a comment. Both sides are materialized bucketed
+    * by the join key (`bucketBy(16, custkey)` + in-bucket sort), so the
+    * sort-merge join consumes bucket layout directly: **no shuffle exchange
+    * on either side** (BucketingSpec asserts the plan). At fact ⋈ fact scale
+    * this removes the dominant cost of q03 — the two-sided hash repartition
+    * of every row — and is the layout a nightly pipeline would maintain for
+    * its hottest join key.
+    *
+    * The residual per-side `Sort` is a modern-Spark default: since 3.0 the
+    * scan only advertises the in-bucket `sortBy` order under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (unsound for
+    * multi-file buckets; this write guarantees one file per bucket, so the
+    * flag is sound here and elides the sorts too — proven in BucketingSpec,
+    * left at default in the engine). That sort is bucket-local and
+    * shuffle-free either way.
+    *
+    * Materialization is once per session per scale dir (idempotent catalog
+    * check): the bench's warm-up pass pays the write, timed passes measure
+    * the bucket-reading join itself. The `merge` hint pins SMJ because at
+    * test SF the customer side is broadcast-small — at the target scale SMJ
+    * over buckets is the only viable strategy, which is the plan being
+    * proven. Result is identical to q03 (same oracle SQL).
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ordersTable = s"b_orders$tag"
+    val custTable = s"b_customer$tag"
+    if (!spark.catalog.tableExists(ordersTable)) {
+      // the in-memory catalog forgets tables across sessions but the
+      // warehouse directory persists — clear stale locations first
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(ordersTable, custTable).foreach { t =>
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t.toLowerCase), true)
+      }
+      // one file per bucket (repartition on the bucket key aligns with the
+      // bucket hash): Spark only consumes the in-bucket sortBy order when a
+      // bucket is a single file — multi-file buckets get re-sorted at read
+      Tables.orders(spark, dir).repartition(16, col("o_custkey"))
+        .write.bucketBy(16, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(ordersTable)
+      Tables.customer(spark, dir).repartition(16, col("c_custkey"))
+        .write.bucketBy(16, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(custTable)
+    }
+    val o = spark.table(ordersTable)
+    val c = spark.table(custTable)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .select(
+        col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        pround(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q04: semi join — J1 (auth probe, app.py:30): customers that exist in
     * orders. Broadcast-able at dim scale; EXISTS in the oracle.
     */

@@ -45,6 +45,50 @@ object Sinks {
     def send(recipient: String, subject: String, body: String): Unit
   }
 
+  /** S7: the external-process render step run for real — the engine form of
+    * the reference's `soffice --convert-to pdf` subprocess
+    * (report_generator.py:92-103, one conversion process per document).
+    *
+    * Executor-side fork/exec: each row's `letter_text` is piped through
+    * `command` stdin→stdout and the converted bytes come back as a binary
+    * column next to the exit code (the reference's convert-failure channel,
+    * report_generator.py:101-103 — a non-zero exit keeps the row, flagged,
+    * rather than failing the job).
+    *
+    * Scale shape: the fork happens on the executor inside `mapPartitions`,
+    * so conversion parallelism == partition parallelism and the driver never
+    * sees a payload. One process per *record* mirrors the reference (soffice
+    * cannot batch); a converter that can stream many documents per process
+    * would hoist the `ProcessBuilder.start()` to once-per-partition, exactly
+    * like the delivery transport above. A writer thread feeds stdin while the
+    * task thread drains stdout — the standard guard against the pipe-buffer
+    * deadlock when the child emits output before consuming all input.
+    */
+  def renderExternal(letters: DataFrame, command: Seq[String]): DataFrame = {
+    val spark = letters.sparkSession
+    import spark.implicits._
+    letters
+      .select(col("pdf_filename"), col("letter_text"))
+      .as[(String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (name, text) =>
+          val proc = new ProcessBuilder(command: _*).start()
+          val stdin = proc.getOutputStream
+          val writer = new Thread(() =>
+            try { stdin.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+            catch { case _: java.io.IOException => () } // child may exit without reading
+            finally { try stdin.close() catch { case _: java.io.IOException => () } })
+          writer.setDaemon(true)
+          writer.start()
+          val rendered = proc.getInputStream.readAllBytes()
+          writer.join()
+          val exit = proc.waitFor()
+          (name, rendered, exit)
+        }
+      }
+      .toDF("pdf_filename", "rendered", "exit_code")
+  }
+
   /** S10: side-effecting delivery sink. One transport per *partition*
     * (the reference's never-per-request session, crs_ui_bot.py:57-70);
     * config-gated no-op when unconfigured (app.py:131-133).

@@ -49,6 +49,97 @@ object ParcelLookup {
     }
   }
 
+  /** Real HTTP implementation of the `LookupClient` seam — JDK
+    * `HttpURLConnection` only (no extra dependencies), carrying the
+    * reference's connector behaviors:
+    *
+    *  - **Timeout tiers** (App.js:142,366,444 — the UI uses short timeouts
+    *    for auth, longer for lookups): `connectTimeoutMs` bounds the TCP
+    *    handshake, `authReadTimeoutMs` the login call, `readTimeoutMs` the
+    *    per-lookup read.
+    *  - **Re-auth on expiry** (crs_ui_bot.py:101-107 — the bot detects a
+    *    bounced-to-login session and logs back in): a 401 on a lookup
+    *    refreshes the token once and replays the request; only a second
+    *    consecutive 401 is an error.
+    *  - **Bounded retry with backoff** on 5xx and socket timeouts
+    *    (`maxRetries` attempts, linear backoff) — transient county-site
+    *    flakiness is retried, deterministic failures are not.
+    *  - **404 → None** (app.py:56-57): not-found is a data channel, not an
+    *    exception.
+    *
+    * One client (and thus one authenticated session) per partition via
+    * `enrich` — the never-per-row session rule. At cluster scale each
+    * executor core holds one live session against the upstream, so total
+    * upstream concurrency == task parallelism; cap it by coalescing the
+    * request Dataset, not by throttling inside the client.
+    */
+  class HttpClientFactory(baseUrl: String, user: String, password: String,
+                          connectTimeoutMs: Int = 5000,
+                          authReadTimeoutMs: Int = 10000,
+                          readTimeoutMs: Int = 30000,
+                          maxRetries: Int = 3,
+                          backoffMs: Int = 50) extends ClientFactory {
+    override def open(): LookupClient = new LookupClient {
+      private var token: String = authenticate()
+
+      private def request(method: String, path: String, readTimeout: Int,
+                          body: Option[String], auth: Option[String]): (Int, String) = {
+        val conn = new java.net.URL(baseUrl + path).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeout)
+        auth.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+        body.foreach { b =>
+          conn.setDoOutput(true)
+          val os = conn.getOutputStream
+          os.write(b.getBytes("UTF-8")); os.close()
+        }
+        try {
+          val code = conn.getResponseCode
+          val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+          val text = if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
+          (code, text)
+        } finally conn.disconnect()
+      }
+
+      private def authenticate(): String = {
+        val (code, body) = request("POST", "/auth", authReadTimeoutMs,
+          Some(s"user=$user&password=$password"), auth = None)
+        require(code == 200, s"auth failed: HTTP $code")
+        body.trim
+      }
+
+      override def lookup(address: String, county: String): Option[String] = {
+        val q = "/parcel?address=" + java.net.URLEncoder.encode(address, "UTF-8") +
+          "&county=" + java.net.URLEncoder.encode(county, "UTF-8")
+        var attempt = 0
+        var reauthed = false
+        while (true) {
+          val resp =
+            try Some(request("GET", q, readTimeoutMs, body = None, auth = Some(token)))
+            catch { case _: java.net.SocketTimeoutException => None } // retryable
+          resp match {
+            case Some((200, body)) => return Some(body.trim)
+            case Some((404, _))    => return None
+            case Some((401, _)) if !reauthed =>
+              token = authenticate(); reauthed = true // replay, free of retry budget
+            case Some((code, _)) if code < 500 && code != 401 =>
+              throw new java.io.IOException(s"lookup failed: HTTP $code")
+            case _ => // 5xx, timeout, or repeated 401: bounded retry
+              attempt += 1
+              if (attempt >= maxRetries)
+                throw new java.io.IOException(s"lookup failed after $maxRetries attempts")
+              Thread.sleep(backoffMs.toLong * attempt)
+          }
+        }
+        None // unreachable
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+
   case class LookupRequest(request_id: Long, address: String, county: String)
   case class LookupResult(request_id: Long, address: String, county: String,
                           parcel_id: Option[String])

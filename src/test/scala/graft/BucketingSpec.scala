@@ -52,4 +52,33 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("q109 bucketed twin of q03 joins with no exchange; legacy flag elides sorts") {
+    val q = graft.operators.Relational.bucketedJoin(spark, sf001)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    // below the presentation Sort (rangepartitioning is the orderBy — allowed),
+    // the join itself must consume bucket layout: no hash exchange on either side
+    val joinSection = plan.split("SortMergeJoin").last
+    assert(plan.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n$plan")
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed q109 join must not shuffle:\n$plan")
+
+    // with one file per bucket the legacy outputOrdering flag is sound and
+    // removes the per-side bucket-local sorts as well
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val q2 = graft.operators.Relational.bucketedJoin(spark, sf001)
+      q2.count()
+      val section2 = q2.queryExecution.executedPlan.toString.split("SortMergeJoin").last
+      assert(!section2.contains("Sort ["),
+        s"sorted single-file buckets must not re-sort under the legacy flag:\n$section2")
+    } finally spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+
+    // rows equal the unbucketed q03 exactly
+    val q03 = graft.operators.Relational.enrichOrders(spark, sf001).collect()
+    val q109 = q.collect()
+    assert(q109.length == q03.length)
+    assert(q109.map(_.toString).sameElements(q03.map(_.toString)))
+  }
 }

@@ -39,4 +39,34 @@ class SinksSpec extends SparkSpec {
     val sent = Sinks.deliverLetters(letters, Some(counting))
     assert(sent == letters.count())
   }
+
+  test("external-process render pipes letter_text through a real subprocess") {
+    // one row per filename: pdf_filename repeats across a customer's requests
+    // and this test keys the round-trip comparison on it
+    val letters = Letter.letters(spark, sf001)
+      .dropDuplicates("pdf_filename").limit(40).cache()
+    val expected = letters.select(col("pdf_filename"), col("letter_text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // gzip as the stand-in converter (binary output, like soffice's pdf):
+    // round-trip decompression must reproduce the letter byte-for-byte
+    val gz = Sinks.renderExternal(letters, Seq("gzip", "-c"))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getInt(2)))
+    assert(gz.length == expected.size)
+    assert(gz.forall(_._3 == 0), "gzip must exit 0 for every record")
+    gz.foreach { case (name, bytes, _) =>
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      assert(new String(in.readAllBytes(), "UTF-8") == expected(name))
+    }
+
+    // text-transform converter: output is a deterministic function of input
+    val up = Sinks.renderExternal(letters, Seq("tr", "a-z", "A-Z"))
+      .collect().map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(up == expected.map { case (k, v) => k -> v.toUpperCase })
+
+    // convert-failure channel: non-zero exit is captured per row, job survives
+    val failed = Sinks.renderExternal(letters.limit(3), Seq("false"))
+      .collect().map(r => (r.getAs[Array[Byte]]("rendered"), r.getInt(2)))
+    assert(failed.forall { case (bytes, exit) => exit != 0 && bytes.isEmpty })
+  }
 }
