@@ -76,10 +76,11 @@ object SimilarityOps {
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)   // single-file scan → fan out for CPU-bound dot products
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val sketch: Column = (0 until Planes).map { p =>
-      val w = array(planeWeights(p).map(x => lit(x.toDouble)): _*)
-      when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // ONE native sketch expression (weights as a reference object), not
+    // 8 composed dot-products against 64-double literal arrays — see
+    // SignSketch's scaladoc for the JIT-poisoning the literal form caused
+    val sketch: Column =
+      graft.functions.SignSketch(col("v"), "plane", 1, Planes, Dim).getItem(0)
     e.withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .withColumn("bucket", sketch)
   }
@@ -110,12 +111,13 @@ object SimilarityOps {
     */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
-    val bandVals: Column = array((0 until Bands).map { b =>
-      (0 until BandBits).map { j =>
-        val w = array(bandPlaneWeights(b * BandBits + j).map(x => lit(x.toDouble)): _*)
-        when(dot(col("v"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    // 96 hyperplanes in ONE codegen'd expression (flattened weight table as
+    // a reference object). The previous composed-Column form — 96 DotProduct
+    // nodes over 96 × 64 literal doubles — generated a constant-stuffed
+    // projection whose C2 compilation starved the JIT for the rest of the
+    // session (unrelated queries ran 15× slow afterwards at sf1).
+    val bandVals: Column =
+      graft.functions.SignSketch(col("v"), "bplane", Bands, BandBits, Dim)
     val banded = e.select(col("vec_id"), posexplode(bandVals).as(Seq("band_idx", "band_val")))
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx")

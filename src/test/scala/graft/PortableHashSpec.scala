@@ -97,4 +97,31 @@ class PortableHashSpec extends SparkSpec {
     val (a, b) = (run(), run())
     assert(a == b && a >= 0 && a < MFp)
   }
+
+  test("native SignSketch equals the composed per-plane literal formulation") {
+    import graft.operators.SimilarityOps.{BandBits, Bands, Dim, Planes}
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the pre-SignSketch formulation: one DotProduct per plane against a
+    // 64-double literal array, bits OR'd via when/sum
+    def composed(prefix: String, bands: Int, bits: Int): org.apache.spark.sql.Column =
+      array((0 until bands).map { b =>
+        (0 until bits).map { j =>
+          val w = array((0 until Dim).map { i =>
+            lit(graft.functions.SignSketch.weights(prefix, bands * bits, Dim)((b * bits + j) * Dim + i))
+          }: _*)
+          when(graft.functions.DotProduct(col("v"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)
+    val both = e.select(
+      graft.functions.SignSketch(col("v"), "bplane", Bands, BandBits, Dim).as("fast"),
+      composed("bplane", Bands, BandBits).as("slow"),
+      graft.functions.SignSketch(col("v"), "plane", 1, Planes, Dim).getItem(0).as("fastb"),
+      composed("plane", 1, Planes).getItem(0).as("slowb"))
+    assert(both.filter(col("fast") =!= col("slow") || col("fastb") =!= col("slowb")).count() == 0)
+    // and the weight derivation matches the oracle-side tables
+    assert((0 until Planes).forall(p => (0 until Dim).forall(i =>
+      graft.operators.SimilarityOps.planeWeights(p)(i).toDouble ==
+        graft.functions.SignSketch.weights("plane", Planes, Dim)(p * Dim + i))))
+  }
 }
