@@ -47,13 +47,40 @@ object ScaleBench {
     "q105_passage_dedup", "q107_fuzzy_match")
 
   /** Nine-consonant substitution alphabet per tile — tile 0 is identity so
-    * the base corpus rides along unchanged.
+    * the base corpus rides along unchanged; other tiles get an md5-derived
+    * permutation (a rotation family would cycle mod 9 and alias tile 9 onto
+    * tile 0 — measured as 5 000 spurious exact-duplicate documents).
     */
   private def subst(tile: Int): String = {
     val src = "tnshrdlcm"
     if (tile == 0) src
-    else (0 until 9).map(i => src(((i + tile * 4) % 9 + 9) % 9)).mkString
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      src.sortBy(c => new java.math.BigInteger(1,
+        md.digest(s"sub:$tile:$c".getBytes("UTF-8"))).longValue()).mkString
+    }
   }
+
+  /** Per-tile ±1 position mask for embeddings, md5 parity — a periodic
+    * pattern like `(i + tile) % 3` repeats every 3 tiles and made tiles
+    * {0,3,6,9} carry byte-identical vectors.
+    */
+  private def embMask(tile: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      if (tile == 0) 1.0
+      else (java.lang.Byte.toUnsignedInt(
+        md.digest(s"emb:$tile:$i".getBytes("UTF-8"))(0)) % 2) * 2.0 - 1.0
+    }
+  }
+
+  /** Per-tile customer-name prefix: 4 repeated letters so any cross-tile
+    * name pair is ≥4 edits apart (the fuzzy-match verifier caps at 2) —
+    * un-prefixed tiling gave every customer 9 exact-name twins and a
+    * quadratic fuzzy-match output that no real 10× corpus would have.
+    */
+  private def namePrefix(tile: Int): String =
+    if (tile == 0) "" else ('A' + tile - 1).toChar.toString * 4 + " "
 
   private def tileTable(spark: SparkSession, src: String, out: String,
                         table: String, tiles: Int): Unit = {
@@ -67,10 +94,11 @@ object ScaleBench {
             translate(col("text"), subst(0), subst(t)).as("text"),
             col("lang"), col("source"), col("n_chars"))
         case "embeddings" =>
+          val mask = array(embMask(t, 64).map(lit(_)): _*)
           base.select(
             (col("vec_id") + off).as("vec_id"),
             transform(col("embedding"),
-              (x, i) => when((i + lit(t)) % 3 === 0, -x).otherwise(x))
+              (x, i) => (x * element_at(mask, (i + 1).cast("int"))).cast("float"))
               .as("embedding"),
             col("label"))
         case "orders" =>
@@ -78,6 +106,7 @@ object ScaleBench {
             .withColumn("o_custkey", col("o_custkey") + off)
         case "customer" =>
           base.withColumn("c_custkey", col("c_custkey") + off)
+            .withColumn("c_name", concat(lit(namePrefix(t)), col("c_name")))
         case "lineitem" =>
           base.withColumn("l_orderkey", col("l_orderkey") + off)
             .withColumn("l_partkey", col("l_partkey") + off)

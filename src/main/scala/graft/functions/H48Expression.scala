@@ -44,6 +44,9 @@ object H48 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Per-thread digest instance, shared with [[ShingleHashes.compute]]. */
+  private[functions] def threadDigest(): java.security.MessageDigest = digest.get()
+
   /** First 6 md5 bytes, big-endian (== fold of the first 12 hex digits). */
   def hash(bytes: Array[Byte]): Long = {
     val md = digest.get()

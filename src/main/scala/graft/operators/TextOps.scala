@@ -125,9 +125,12 @@ object TextOps {
   private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
+    // one native pass (tokenize → window → md5-h48 → mod) instead of the
+    // composed explode(shingles(tokens))→h48 pipeline — value-identical
+    // (PortableHashSpec) and immune to the interpreted-eval JIT cliff that
+    // made this stage bimodal at scale (see ShingleHashes scaladoc)
     d.select(col("doc_id"),
-        explode(shingles(tokens(col("text")))).as("sh"))
-      .select(col("doc_id"), (h48(col("sh")) % M31).as("shash"))
+        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
       .distinct()
   }
 
@@ -778,8 +781,7 @@ object TextOps {
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)   // CPU-bound fan-out
     val grams = d.select(col("doc_id"), col("source"),
-        explode(shingles(tokens(col("text")), 8)).as("g"))
-      .select(col("doc_id"), col("source"), (h48(col("g")) % M31).as("ghash"))
+        explode(graft.functions.ShingleHashes(col("text"), 8, M31)).as("ghash"))
       .distinct()
       .cache()
     val bench  = grams.filter(col("source") === "src0").select(col("ghash")).distinct()

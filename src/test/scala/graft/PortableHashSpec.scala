@@ -98,6 +98,23 @@ class PortableHashSpec extends SparkSpec {
     assert(a == b && a >= 0 && a < MFp)
   }
 
+  test("native ShingleHashes equals the composed tokens→shingles→h48 pipeline") {
+    // real corpus text plus the tokenizer edge cases: leading/trailing
+    // non-space whitespace (trim strips only 0x20), separator runs,
+    // fewer-than-n tokens, empty and separator-only strings, multi-byte UTF-8
+    val docs = Tables.documents(spark, sf001).select(col("text"))
+      .union(Seq("a b c d", " x\ty  z w ", "\tlead", "trail\n", "one two",
+        "", "\t\n", "é ü ño pair über", "a  b c").toDF("text"))
+    for (n <- Seq(2, 3, 8)) {
+      val both = docs.select(
+        graft.functions.ShingleHashes(col("text"), n, M31).as("fast"),
+        coalesce(transform(shingles(tokens(col("text")), n),
+          s => h48(s) % M31), array().cast("array<long>")).as("slow"))
+      assert(both.filter(col("fast") =!= col("slow")).count() == 0,
+        s"n=$n mismatch")
+    }
+  }
+
   test("native SignSketch equals the composed per-plane literal formulation") {
     import graft.operators.SimilarityOps.{BandBits, Bands, Dim, Planes}
     val e = Tables.embeddings(spark, sf001)
