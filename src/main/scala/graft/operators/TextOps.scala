@@ -552,11 +552,17 @@ object TextOps {
     val pairs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val vertices = Tables.documents(spark, dir).select(col("doc_id"))
-    // The edge state is tiny relative to the batch shuffle width; run the
-    // loop's many small stages under a narrower shuffle like the streaming
-    // state queries do.
+    // Size the loop's shuffle width from the REAL edge count (the
+    // checkpoint is already materialized, so this count is free): the
+    // test-SF edge state is tiny and wants few partitions (many small
+    // per-round stages), but a dense near-dup graph — 8M edges at the 10×
+    // scale probe — needs the full width or every round bottlenecks on
+    // 8 oversized partitions.
+    val nEdges = pairs.count()
+    val loopParts = math.min(spark.sparkContext.defaultParallelism.toLong,
+      math.max(8L, nEdges / 250000L)).toInt
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     val labels =
       try ccLargeSmallStar(vertices, pairs)
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
