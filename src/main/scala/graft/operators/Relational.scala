@@ -734,34 +734,31 @@ object Relational {
   def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-    val name = col("c_name")
-    val len = length(name)
-    // delete position i (1-based)
-    def del1(i: Column): Column =
-      concat(name.substr(lit(1), i - 1), name.substr(i + 1, len - i))
-    // delete positions i < j
-    def del2(i: Column, j: Column): Column =
-      concat(name.substr(lit(1), i - 1),
-        name.substr(i + 1, j - i - 1),
-        name.substr(j + 1, len - j))
-    val variants = array_distinct(concat(
-      array(name),
-      transform(sequence(lit(1), len), i => del1(i)),
-      flatten(transform(sequence(lit(1), len - 1),
-        i => transform(sequence(i + 1, len), j => del2(i, j))))))
-    val keyed = c.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+    // distinct hashes of the 0/1/2-deletion neighborhood in ONE native pass
+    // (SymDeleteHashes) — the composed transform/substr/concat construction
+    // built ~L²/2 variant strings per row through interpreted CodegenFallback
+    // HOFs, the megamorphic-eval surface that made this query swing 62↔142 s
+    // run-to-run at 10× scale (see SymDeleteHashes scaladoc)
+    val keyed = c.select(col("c_custkey"), col("c_nationkey"),
         col("c_mktsegment"),
-        explode(variants).as("v"))
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        col("c_mktsegment"), graft.functions.PortableHash.h48(col("v")).as("vhash"))
-    keyed.as("x").join(keyed.as("y"),
+        explode(graft.functions.SymDeleteHashes(col("c_name"))).as("vhash"))
+    // candidate pairs as narrow id rows first: near-identical names share
+    // HUNDREDS of deletion variants, so the raw join output carries high
+    // multiplicity — dedupe it on the 4 id columns BEFORE re-attaching the
+    // name strings (the previous shape pushed both names through the
+    // pre-distinct exchange)
+    val candIds = keyed.as("x").join(keyed.as("y"),
         col("x.vhash") === col("y.vhash")
           && col("x.c_nationkey") === col("y.c_nationkey")
           && col("x.c_mktsegment") === col("y.c_mktsegment")
           && col("x.c_custkey") < col("y.c_custkey"))
       .select(col("x.c_custkey").as("cust_a"), col("y.c_custkey").as("cust_b"),
-        col("x.c_nationkey").as("nationkey"), col("x.c_mktsegment").as("mktsegment"),
-        col("x.c_name").as("x_name"), col("y.c_name").as("y_name"))
+        col("x.c_nationkey").as("nationkey"), col("x.c_mktsegment").as("mktsegment"))
       .distinct()
+    candIds
+      .join(c.select(col("c_custkey").as("cust_a"), col("c_name").as("x_name")), "cust_a")
+      .join(c.select(col("c_custkey").as("cust_b"), col("c_name").as("y_name")), "cust_b")
+      .select(col("cust_a"), col("cust_b"), col("nationkey"), col("mktsegment"),
+        col("x_name"), col("y_name"))
   }
 }

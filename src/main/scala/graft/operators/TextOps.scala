@@ -522,8 +522,15 @@ object TextOps {
     var prevProbe = (-1L, -1L)
     while (!converged && iter < MaxCcIterations) {
       edges = persist(smallStar(largeStar(edges)))
+      // set-identity probe: count + order-independent sum of a codegen'd
+      // per-edge hash (xxhash64 — no string building, no interpreted
+      // ConcatWs/md5 per edge per round; at 8M edges the md5 form burned
+      // seconds per round in the interpreted-eval path)
+      // pmod keeps each term < 1e9 so the ANSI-mode sum cannot overflow
+      // even at hundreds of millions of edges
       val p = edges.agg(count(lit(1)),
-        coalesce(sum(h48(concat_ws(":", col("hi"), col("lo")))), lit(0L))).head
+        coalesce(sum(pmod(xxhash64(col("hi"), col("lo")), lit(1000000007L))),
+          lit(0L))).head
       val probe = (p.getLong(0), p.getLong(1))
       converged = probe == prevProbe
       prevProbe = probe

@@ -115,6 +115,28 @@ class PortableHashSpec extends SparkSpec {
     }
   }
 
+  test("native SymDeleteHashes equals the composed deletion-variant pipeline") {
+    val names = Tables.customer(spark, sf001).select(col("c_name").as("s")).limit(200)
+      .union(Seq("", "a", "ab", "abc", "aa bb", "éxü", "name with  spaces").toDF("s"))
+    val name = col("s")
+    val len = length(name)
+    def del1(i: org.apache.spark.sql.Column) =
+      concat(name.substr(lit(1), i - 1), name.substr(i + 1, len - i))
+    def del2(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      concat(name.substr(lit(1), i - 1), name.substr(i + 1, j - i - 1),
+        name.substr(j + 1, len - j))
+    val composed = array_sort(array_distinct(transform(array_distinct(concat(
+      array(name),
+      transform(sequence(lit(1), len), i => del1(i)),
+      flatten(transform(sequence(lit(1), len - 1),
+        i => transform(sequence(i + 1, len), j => del2(i, j)))))),
+      v => h48(v))))
+    val both = names.select(
+      array_sort(graft.functions.SymDeleteHashes(name)).as("fast"),
+      composed.as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
   test("native SignSketch equals the composed per-plane literal formulation") {
     import graft.operators.SimilarityOps.{BandBits, Bands, Dim, Planes}
     val e = Tables.embeddings(spark, sf001)
