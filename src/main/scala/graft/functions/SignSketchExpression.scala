@@ -27,7 +27,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *
   * Bit-for-bit identical to the composed form: the per-plane dot is the
   * same left-to-right IEEE-754 fold (±1.0 weights make each term exact),
-  * `>= 0` keeps the same NaN/negative-zero behavior, and a malformed
+  * the sign test is `!(acc < 0)` — NOT the raw Java `acc >= 0` — so a NaN
+  * accumulator sets the bit, matching Spark's `nanSafeCompareDoubles`
+  * ordering (NaN sorts above every double, so `NaN >= 0` is TRUE in the
+  * composed `Column` form and in the DuckDB oracle), and a malformed
   * vector (wrong length / null element) contributes 0-bits exactly like
   * the old `when(null >= 0, …).otherwise(0)` collapse. Value identity is
   * property-tested against the composed formulation in PortableHashSpec.
@@ -61,7 +64,7 @@ case class SignSketch(child: Expression, prefix: String, bands: Int,
         if (x.isNullAt(i)) ok = false
         else { acc = acc + x.getDouble(i) * weights(p * dim + i); i += 1 }
       }
-      if (ok && acc >= 0) out(p / bandBits) |= 1L << (p % bandBits)
+      if (ok && !(acc < 0)) out(p / bandBits) |= 1L << (p % bandBits)
       p += 1
     }
     new GenericArrayData(out)
@@ -84,7 +87,7 @@ case class SignSketch(child: Expression, prefix: String, bands: Int,
          |    if ($v.isNullAt($i)) { $ok = false; }
          |    else { $acc = $acc + $v.getDouble($i) * $w[$p * $dim + $i]; }
          |  }
-         |  if ($ok && $acc >= 0) { $out[$p / $bandBits] |= 1L << ($p % $bandBits); }
+         |  if ($ok && !($acc < 0)) { $out[$p / $bandBits] |= 1L << ($p % $bandBits); }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

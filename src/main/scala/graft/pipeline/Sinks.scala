@@ -62,7 +62,10 @@ object Sinks {
     * would hoist the `ProcessBuilder.start()` to once-per-partition, exactly
     * like the delivery transport above. A writer thread feeds stdin while the
     * task thread drains stdout — the standard guard against the pipe-buffer
-    * deadlock when the child emits output before consuming all input.
+    * deadlock when the child emits output before consuming all input. Stderr
+    * is discarded at the OS level: a converter that logs per-document
+    * warnings (soffice does) would otherwise fill the ~64 KB pipe buffer and
+    * block, leaving the stdout drain waiting forever.
     */
   def renderExternal(letters: DataFrame, command: Seq[String]): DataFrame = {
     val spark = letters.sparkSession
@@ -72,7 +75,9 @@ object Sinks {
       .as[(String, String)]
       .mapPartitions { rows =>
         rows.map { case (name, text) =>
-          val proc = new ProcessBuilder(command: _*).start()
+          val proc = new ProcessBuilder(command: _*)
+            .redirectError(ProcessBuilder.Redirect.DISCARD)
+            .start()
           val stdin = proc.getOutputStream
           val writer = new Thread(() =>
             try { stdin.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }

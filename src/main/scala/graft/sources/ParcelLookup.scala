@@ -104,8 +104,9 @@ object ParcelLookup {
       }
 
       private def authenticate(): String = {
+        val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
         val (code, body) = request("POST", "/auth", authReadTimeoutMs,
-          Some(s"user=$user&password=$password"), auth = None)
+          Some(s"user=${enc(user)}&password=${enc(password)}"), auth = None)
         require(code == 200, s"auth failed: HTTP $code")
         body.trim
       }
@@ -124,9 +125,11 @@ object ParcelLookup {
             case Some((404, _))    => return None
             case Some((401, _)) if !reauthed =>
               token = authenticate(); reauthed = true // replay, free of retry budget
-            case Some((code, _)) if code < 500 && code != 401 =>
+            case Some((401, _)) => // fresh token still rejected: not transient
+              throw new java.io.IOException("lookup unauthorized after re-auth")
+            case Some((code, _)) if code < 500 =>
               throw new java.io.IOException(s"lookup failed: HTTP $code")
-            case _ => // 5xx, timeout, or repeated 401: bounded retry
+            case _ => // 5xx or timeout: bounded retry
               attempt += 1
               if (attempt >= maxRetries)
                 throw new java.io.IOException(s"lookup failed after $maxRetries attempts")

@@ -90,6 +90,45 @@ class ConnectorSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HTTP client URL-encodes credentials and fails fast on a post-re-auth 401") {
+    // Credentials with form metacharacters must survive the wire ('&', '=',
+    // '+', '%'); a token the server still rejects after one re-auth must be
+    // an immediate error, not a retry storm with a known-stale token.
+    val parcelCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    val password = "se&kri=t+100%"
+    server.createContext("/auth", ex => {
+      val creds = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val decoded = creds.split("&").map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      if (decoded.get("password").contains(password)) respond(ex, 200, "tok")
+      else respond(ex, 403, "bad credentials")
+    })
+    server.createContext("/parcel", ex => {
+      parcelCalls.incrementAndGet()
+      respond(ex, 401, "revoked") // rejects even freshly-issued tokens
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new ParcelLookup.HttpClientFactory(
+        base, "bot", password, maxRetries = 5, backoffMs = 1).open()
+      val err = intercept[java.io.IOException] { client.lookup("1 Main St", "County 0") }
+      assert(err.getMessage.contains("unauthorized after re-auth"))
+      // exactly the original attempt + the single post-re-auth replay —
+      // no maxRetries-deep loop against a token the server already rejected
+      assert(parcelCalls.get() == 2, s"expected 2 parcel calls, got ${parcelCalls.get()}")
+    } finally server.stop(0)
+  }
+
   test("built-in session_window agrees with the lag-based sessionization (q21)") {
     val e = Tables.events(spark, sf001)
     val builtin = e

@@ -162,5 +162,20 @@ class PortableHashSpec extends SparkSpec {
     assert((0 until Planes).forall(p => (0 until Dim).forall(i =>
       graft.operators.SimilarityOps.planeWeights(p)(i).toDouble ==
         graft.functions.SignSketch.weights("plane", Planes, Dim)(p * Dim + i))))
+
+    // NaN semantics: Spark's nanSafeCompareDoubles makes NaN >= 0 TRUE in the
+    // composed form (and in the DuckDB oracle); the native sign test must set
+    // the bit for a NaN accumulator too, not follow raw Java `>= 0`.
+    val weird = Seq(
+      Array.fill(Dim)(1.0).updated(3, Double.NaN),
+      Array.fill(Dim)(Double.NaN),
+      Array.tabulate(Dim)(i => if (i % 2 == 0) 1e308 else -1e308), // overflow games
+      Array.fill(Dim)(-0.0)
+    ).map(v => Tuple1(v)).toDF("v")
+    val w = weird.select(
+      graft.functions.SignSketch(col("v"), "bplane", Bands, BandBits, Dim).as("fast"),
+      composed("bplane", Bands, BandBits).as("slow"))
+    assert(w.filter(col("fast") =!= col("slow")).count() == 0,
+      "NaN/Inf vectors must bucket identically to the composed Column form")
   }
 }

@@ -68,5 +68,15 @@ class SinksSpec extends SparkSpec {
     val failed = Sinks.renderExternal(letters.limit(3), Seq("false"))
       .collect().map(r => (r.getAs[Array[Byte]]("rendered"), r.getInt(2)))
     assert(failed.forall { case (bytes, exit) => exit != 0 && bytes.isEmpty })
+
+    // a converter that floods stderr past the OS pipe buffer (~64 KB) must
+    // not deadlock the stdout drain — soffice-style per-document warnings
+    val noisy = Sinks.renderExternal(letters.limit(2),
+      Seq("sh", "-c", "head -c 262144 /dev/zero 1>&2; cat"))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getInt(2)))
+    assert(noisy.forall(_._3 == 0))
+    noisy.foreach { case (name, bytes, _) =>
+      assert(new String(bytes, "UTF-8") == expected(name))
+    }
   }
 }
