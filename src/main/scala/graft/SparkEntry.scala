@@ -900,6 +900,21 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q19/q69 are sketch-valued, so the oracle checks the audit form: exact
+    // aggregates recomputed by DuckDB plus a literal-TRUE bound bit that the
+    // Spark side must have earned (estimate within 5%/1% of exact).
+    "q19_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q69_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+        |  floor((quantile_cont(l_extendedprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90,
+        |  TRUE AS within_1pct,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q81_stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000

@@ -331,18 +331,32 @@ object Relational {
   /** q69: approximate percentiles — the scale path for q27: a mergeable
     * GK/KLL-style sketch with bounded state per group instead of a per-group
     * sort, so quantiles of a 100 TB column cost one pass + constant-size
-    * merges. Approximate by design → declared rows-only (like the HLL q19);
-    * ApproxSpec bounds its error against the exact q27 values.
+    * merges. The sketch values are engine-specific, so the oracle-checked
+    * surface is the audit form (like q19): exact p50/p90 plus a
+    * `within_1pct` bit proving the sketch tracks them; DuckDB recomputes
+    * the exact columns and asserts the bit. Raw estimates stay available
+    * via `approxPercentilesRaw` for ApproxSpec's numeric bound.
     */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+  def approxPercentilesRaw(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
       .agg(
         expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("ap50"),
         expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("ap90"),
+        expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+        expr("percentile(l_extendedprice, 0.9)").as("ep90"),
         count(lit(1)).as("n_rows"))
-      .orderBy(col("l_returnflag"))
   }
+
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    approxPercentilesRaw(spark, dir)
+      .select(col("l_returnflag"),
+        pround(col("ep50"), 4).as("p50"),
+        pround(col("ep90"), 4).as("p90"),
+        (abs(col("ap50") - col("ep50")) <= col("ep50") * lit(0.01) &&
+         abs(col("ap90") - col("ep90")) <= col("ep90") * lit(0.01)).as("within_1pct"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
 
   /** q27: exact percentiles — median/p90 of extended price per return flag
     * (linear interpolation; sorts are partition-local per group).
@@ -648,15 +662,29 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** HLL sketch distinct (no oracle — approximate): the 100 TB path for
-    * count-distinct, constant memory per group.
+  /** HLL sketch distinct — the 100 TB path for count-distinct, constant
+    * memory per group. The sketch value itself is engine-specific, so the
+    * oracle-checked surface (q19) is the *audit* form: exact distinct plus a
+    * `within_5pct` bit proving the HLL estimate tracks it — the same
+    * pattern as q91's quantized-recall audit. DuckDB recomputes the exact
+    * column and asserts the bit TRUE, so the whole row hash-checks; the raw
+    * estimate stays available via `approxDistinctRaw` (ApproxSpec's numeric
+    * bound). In production only the sketch side runs — the exact column here
+    * is the verification harness, not the scale path.
     */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
-      .orderBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+           count_distinct(col("l_partkey")).as("exact_parts"))
   }
+
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(spark, dir)
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.05)).as("within_5pct"))
+      .orderBy(col("l_returnflag"))
 
   /** q106: SCD type-2 dimension build — turn each customer's order-priority
     * history into versioned validity intervals with change suppression

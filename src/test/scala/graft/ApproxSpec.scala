@@ -13,7 +13,7 @@ class ApproxSpec extends SparkSpec {
     val exact = Relational.percentiles(spark, sf01).collect()
       .map(r => r.getAs[String]("l_returnflag") -> (r.getAs[Double]("p50"), r.getAs[Double]("p90")))
       .toMap
-    val approx = Relational.approxPercentiles(spark, sf01).collect()
+    val approx = Relational.approxPercentilesRaw(spark, sf01).collect()
     assert(approx.nonEmpty && approx.length == exact.size)
     approx.foreach { r =>
       val (p50, p90) = exact(r.getAs[String]("l_returnflag"))
@@ -22,6 +22,9 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a50 - p50) / p50 < 0.01, s"p50 off: $a50 vs $p50")
       assert(math.abs(a90 - p90) / p90 < 0.01, s"p90 off: $a90 vs $p90")
     }
+    // and the oracle-facing audit bit must hold at this SF too
+    val audited = Relational.approxPercentiles(spark, sf01).collect()
+    assert(audited.forall(_.getAs[Boolean]("within_1pct")))
   }
 
   test("KMV sketch estimates track exact distinct within 35% and are partitioning-invariant") {
@@ -51,11 +54,14 @@ class ApproxSpec extends SparkSpec {
   test("HLL distinct counts track exact distinct counts within 5%") {
     val exact = Relational.distinctCounts(spark, sf01).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts")).toMap
-    val approx = Relational.approxDistinct(spark, sf01).collect()
+    val approx = Relational.approxDistinctRaw(spark, sf01).collect()
     approx.foreach { r =>
       val e = exact(r.getAs[String]("l_returnflag")).toDouble
       val a = r.getAs[Long]("approx_parts").toDouble
       assert(math.abs(a - e) / e < 0.05, s"HLL off: $a vs $e")
     }
+    // and the oracle-facing audit bit must hold at this SF too
+    val audited = Relational.approxDistinct(spark, sf01).collect()
+    assert(audited.forall(_.getAs[Boolean]("within_5pct")))
   }
 }
