@@ -758,18 +758,45 @@ object Relational {
     * candidate volume independently of the verifier. Emits one row per
     * distinct (cust_a < cust_b) pair sharing a ≤2-deletion variant of the
     * name plus nation and segment, carrying both names for verification.
+    *
+    * Hot-variant cap (the q102 lever applied to blocking): a variant block
+    * carried by more than `graft.fuzzy.maxBlock` customers (default 64)
+    * contributes O(df²) candidate pairs but almost no recall — names within
+    * edit distance ≤2 share MANY deletion variants, so true pairs co-occur
+    * in the rarer ones, while oversize blocks are boilerplate names ("LLC",
+    * "Trust") whose pairs the verifier would reject anyway. The cap is one
+    * map-side-partial aggregation on the uniform block key + a broadcast
+    * anti-join (the hot list is tiny by construction: ≤ n_variants/cap
+    * entries). A million identical "John Smith"s therefore cannot quadratic
+    * a block; exact-duplicate names at that density are a clustering
+    * problem (q34/q62), not a pairwise one. At sf0.1 the max block is 14,
+    * so the default cap provably does not change the oracle-checked output.
     */
   def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    val maxBlock = spark.conf.getOption("graft.fuzzy.maxBlock").map(_.toInt).getOrElse(64)
+    fuzzyCandidatesOf(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")),
+      maxBlock)
+  }
+
+  /** Core of q107 over an arbitrary (c_custkey, c_name, c_nationkey,
+    * c_mktsegment) relation — exposed so DedupSpec can bound the candidate
+    * volume under a synthetic hot name independently of the test tables.
+    */
+  def fuzzyCandidatesOf(c: DataFrame, maxBlock: Int): DataFrame = {
     // distinct hashes of the 0/1/2-deletion neighborhood in ONE native pass
     // (SymDeleteHashes) — the composed transform/substr/concat construction
     // built ~L²/2 variant strings per row through interpreted CodegenFallback
     // HOFs, the megamorphic-eval surface that made this query swing 62↔142 s
     // run-to-run at 10× scale (see SymDeleteHashes scaladoc)
-    val keyed = c.select(col("c_custkey"), col("c_nationkey"),
+    val keyedAll = c.select(col("c_custkey"), col("c_nationkey"),
         col("c_mktsegment"),
         explode(graft.functions.SymDeleteHashes(col("c_name"))).as("vhash"))
+    val hot = keyedAll.groupBy(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxBlock)
+      .select(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
+    val keyed = keyedAll.join(broadcast(hot),
+      Seq("vhash", "c_nationkey", "c_mktsegment"), "left_anti")
     // candidate pairs as narrow id rows first: near-identical names share
     // HUNDREDS of deletion variants, so the raw join output carries high
     // multiplicity — dedupe it on the 4 id columns BEFORE re-attaching the

@@ -108,4 +108,26 @@ class DedupSpec extends SparkSpec {
     assert(matches > 0, "fixture must contain at least one fuzzy pair")
     assert(cands <= 10 * matches, s"candidates=$cands matches=$matches")
   }
+
+  test("a hot name cannot quadratic a fuzzy-match block (df cap)") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // 1000 identical "John Smith"s in one (nation, segment) block: uncapped
+    // blocking would emit ~500k candidate pairs from the shared variants.
+    // With the cap, every variant block of the hot name exceeds maxBlock and
+    // is dropped wholesale, while the sparse background names still pair.
+    val hot = (1L to 1000L).map(i => (i, "John Smith", 1L, "AUTOMOBILE"))
+    val bg = Seq(
+      (2001L, "Maria Delgado", 1L, "AUTOMOBILE"),
+      (2002L, "Maria Delgadoo", 1L, "AUTOMOBILE"),   // dist 1 from 2001
+      (2003L, "Viktor Petrov", 1L, "AUTOMOBILE"))
+    val c = (hot ++ bg).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val capped = Relational.fuzzyCandidatesOf(c, maxBlock = 64)
+      .select("cust_a", "cust_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot block is fully suppressed; the rare-variant pair survives
+    assert(capped == Set((2001L, 2002L)), s"got ${capped.size} candidates: $capped")
+    // and with the cap above the block size, the quadratic volume comes back
+    val uncapped = Relational.fuzzyCandidatesOf(c, maxBlock = 2000).count()
+    assert(uncapped >= 1000L * 999 / 2, s"uncapped=$uncapped")
+  }
 }
