@@ -473,8 +473,8 @@ object TextOps {
     * Both preserve connectivity; the fixpoint is one star per component
     * centered at its minimum id. Convergence probe: the edge set is
     * invariant at the fixpoint, so an unchanged (count, hash-checksum) pair
-    * — one tiny aggregate per round, read as a single driver-side scalar
-    * row — detects it without a diff join.
+    * — one tiny aggregate per fused double-round, read as a single
+    * driver-side scalar row — detects it without a diff join.
     *
     * `persist` is the checkpoint seam: each round's edges are materialized
     * to truncate lineage (the plan would otherwise double per round).
@@ -518,10 +518,17 @@ object TextOps {
     }
 
     var converged = false
-    var iter = 0
+    var rounds = 0
     var prevProbe = (-1L, -1L)
-    while (!converged && iter < MaxCcIterations) {
-      edges = persist(smallStar(largeStar(edges)))
+    while (!converged && rounds < MaxCcIterations) {
+      // TWO alternation rounds fused into one planned/persisted job: the
+      // intermediate edge set is never materialized, and the fixed
+      // per-iteration driver taxes — Catalyst analysis/planning, the
+      // checkpoint barrier, the probe job — are paid once per double-round.
+      // (The sf1 in-sequence profile showed ~half of q62's wall time was
+      // this per-round driver overhead, not executor work.)
+      edges = persist(smallStar(largeStar(smallStar(largeStar(edges)))))
+      rounds += 2
       // set-identity probe: count + order-independent sum of a codegen'd
       // per-edge hash (xxhash64 — no string building, no interpreted
       // ConcatWs/md5 per edge per round; at 8M edges the md5 form burned
@@ -532,9 +539,13 @@ object TextOps {
         coalesce(sum(pmod(xxhash64(col("hi"), col("lo")), lit(1000000007L))),
           lit(0L))).head
       val probe = (p.getLong(0), p.getLong(1))
+      // distance-2 compare: the alternation is a monotone descent (each
+      // round only lowers hook targets), so equal edge sets two rounds
+      // apart occur exactly at the fixpoint — no period-2 oscillation can
+      // fake convergence. Worst case vs per-round probing: one extra
+      // (idempotent) double-round.
       converged = probe == prevProbe
       prevProbe = probe
-      iter += 1
     }
     // fixpoint edges are (member, component-min) stars; isolated nodes
     // label themselves
@@ -558,7 +569,6 @@ object TextOps {
     // whole SimHash pipeline per reference.
     val pairs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    val vertices = Tables.documents(spark, dir).select(col("doc_id"))
     // Size the loop's shuffle width from the REAL edge count (the
     // checkpoint is already materialized, so this count is free): the
     // test-SF edge state is tiny and wants few partitions (many small
@@ -568,11 +578,17 @@ object TextOps {
     val nEdges = pairs.count()
     val loopParts = math.min(spark.sparkContext.defaultParallelism.toLong,
       math.max(8L, nEdges / 250000L)).toInt
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    val labels =
-      try ccLargeSmallStar(vertices, pairs)
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // The width override lives on a CLONED session (same SparkContext, own
+    // SQLConf) so the operator never mutates shared session state — on a
+    // multi-tenant cluster session the old set/restore dance raced with
+    // concurrent queries. The loop inputs are rebuilt against the clone:
+    // the edge leaf is the already-materialized checkpoint RDD, so nothing
+    // recomputes.
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val pairsLoop = loopSession.createDataFrame(pairs.rdd, pairs.schema)
+    val verticesLoop = Tables.documents(loopSession, dir).select(col("doc_id"))
+    val labels = ccLargeSmallStar(verticesLoop, pairsLoop)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

@@ -54,9 +54,13 @@ class CorpusOpsSpec extends SparkSpec {
     val pairs = TextOps.simhashPairs(spark, sf001)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    // the loop's width override must live on its cloned session, never leak
+    // into the caller's conf (the round-4 footgun)
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val clusters = TextOps.dedupClusters(spark, sf001).collect()
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
       .toMap
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore)
 
     // reference union-find on the driver
     val parent = scala.collection.mutable.Map.empty[Long, Long]
