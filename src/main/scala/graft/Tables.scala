@@ -39,4 +39,17 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Test-scale fan-out seam. Local runs scan ONE parquet file per table, so
+    * CPU-bound downstream stages (shingle hashing, dot products, decode)
+    * would otherwise execute as a single task; a round-robin exchange to
+    * `defaultParallelism` fixes that here. On a real cluster the scan is
+    * already hundreds of splits wide and the same exchange is a pointless
+    * full shuffle — disable it there with `graft.fanout.enabled=false`.
+    * Default true (the local-harness shape). Use as `.transform(Tables.fanout)`.
+    */
+  def fanout(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.fanout.enabled", "true").toBoolean)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
 }

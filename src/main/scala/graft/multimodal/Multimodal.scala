@@ -31,7 +31,7 @@ object Multimodal {
   /** Binary ingestion: the documents table with a payload column. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)   // decode is CPU-bound: fan out the single-file scan
+      .transform(Tables.fanout)   // decode is CPU-bound: fan out the single-file scan
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
   /** 48-bit fold of the leading 12 md5 hex digits — JVM twin of
@@ -165,7 +165,7 @@ object Multimodal {
     import graft.functions.PortableHash.{h48, pround}
     import graft.functions.DotProduct
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     val vec = array((0 until EmbedDim).map { i =>
       ((h48(concat(col("text"), lit(s":$i"))) % 2001) - 1000).cast("double") / 1000.0
     }: _*)

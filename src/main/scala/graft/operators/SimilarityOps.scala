@@ -74,7 +74,7 @@ object SimilarityOps {
   /** Corpus with norm and sign-sketch bucket. */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)   // single-file scan → fan out for CPU-bound dot products
+      .transform(Tables.fanout)   // single-file scan → fan out for CPU-bound dot products
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     // ONE native sketch expression (weights as a reference object), not
     // 8 composed dot-products against 64-double literal arrays — see
@@ -291,7 +291,7 @@ object SimilarityOps {
     */
   def centroidSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     // per-(label, dim): exact integer component sum + the label's vector count
     val cents = e.select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
@@ -376,7 +376,7 @@ object SimilarityOps {
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     e.select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos").cast("long").as("dim_idx"))
       .agg(round(avg(col("col").cast("double")), 4).as("centroid"),

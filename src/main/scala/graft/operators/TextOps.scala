@@ -124,7 +124,7 @@ object TextOps {
     */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     // one native pass (tokenize → window → md5-h48 → mod) instead of the
     // composed explode(shingles(tokens))→h48 pipeline — value-identical
     // (PortableHashSpec) and immune to the interpreted-eval JIT cliff that
@@ -322,7 +322,7 @@ object TextOps {
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)   // single-file scan fan-out
+      .transform(Tables.fanout)   // single-file scan fan-out
     val grams = d.select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("g"))
     grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -376,7 +376,7 @@ object TextOps {
     */
   def holdoutSplit(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     val bucket = h48(col("text")) % 100
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     d.select(col("lang"), split.as("split"), col("n_chars"))
@@ -604,7 +604,7 @@ object TextOps {
     */
   def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     val tok = d.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
     // tf feeds both the vocabulary aggregate (df) and the final join — cache
     // the small (doc,term,tf) table so the tokenize+agg pipeline runs once
@@ -627,7 +627,7 @@ object TextOps {
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     val tc = d.select(col("lang"), explode(tokens(lower(col("text")))).as("term"))
       .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
     tc.groupBy(col("lang"))
@@ -651,7 +651,7 @@ object TextOps {
     */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     val toks = d.select(col("lang"), tokens(lower(col("text"))).as("w"))
     // uni is read three times (totals + two unigram joins), biAll twice
     // (ranking + totals) — cache the small count tables, not the corpus
@@ -692,7 +692,7 @@ object TextOps {
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     val bucket = h48(concat(col("text"), lit(":sample"))) % 100
     val rate = SampleRates.foldLeft(lit(15): Column) { case (acc, (l, r)) =>
       when(col("lang") === l, r).otherwise(acc)
@@ -723,7 +723,7 @@ object TextOps {
     */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.fanout)
     val tok = d.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
     val tc = tok.groupBy(col("term")).agg(count(lit(1)).as("c")).cache()
     val n = tc.agg(sum(col("c")).as("n_total"))
@@ -757,7 +757,7 @@ object TextOps {
     */
   private def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)   // CPU-bound fan-out
+      .transform(Tables.fanout)   // CPU-bound fan-out
     val th = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), h48(col("tok")).as("th"))
       .distinct()
@@ -808,7 +808,7 @@ object TextOps {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)   // CPU-bound fan-out
+      .transform(Tables.fanout)   // CPU-bound fan-out
     val grams = d.select(col("doc_id"), col("source"),
         explode(graft.functions.ShingleHashes(col("text"), 8, M31)).as("ghash"))
       .distinct()
@@ -853,7 +853,7 @@ object TextOps {
     */
   def passageDedup(spark: SparkSession, dir: String): DataFrame =
     passageDedupOf(Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism))
+      .transform(Tables.fanout))
 
   /** Core of q105 over any `(doc_id, text)` frame — split out so specs can
     * drive it with synthetic documents (e.g. the >2^10-passage collision
