@@ -68,30 +68,34 @@ object Sinks {
     * block, leaving the stdout drain waiting forever.
     */
   def renderExternal(letters: DataFrame, command: Seq[String]): DataFrame = {
-    val spark = letters.sparkSession
-    import spark.implicits._
-    letters
-      .select(col("pdf_filename"), col("letter_text"))
-      .as[(String, String)]
-      .mapPartitions { rows =>
-        rows.map { case (name, text) =>
-          val proc = new ProcessBuilder(command: _*)
-            .redirectError(ProcessBuilder.Redirect.DISCARD)
-            .start()
-          val stdin = proc.getOutputStream
-          val writer = new Thread(() =>
-            try { stdin.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
-            catch { case _: java.io.IOException => () } // child may exit without reading
-            finally { try stdin.close() catch { case _: java.io.IOException => () } })
-          writer.setDaemon(true)
-          writer.start()
-          val rendered = proc.getInputStream.readAllBytes()
-          writer.join()
-          val exit = proc.waitFor()
-          (name, rendered, exit)
-        }
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BinaryType, IntegerType}
+    // Pass-through shape: converted bytes stay ATTACHED to the document row
+    // (all input columns + rendered + exit_code), so the downstream archive
+    // write needs no join back to recover client/filename keys — the whole
+    // render→convert→archive chain stays one narrow partition-local pass.
+    val outSchema = letters.schema.add("rendered", BinaryType)
+      .add("exit_code", IntegerType, nullable = false)
+    val textIdx = letters.schema.fieldIndex("letter_text")
+    letters.mapPartitions { rows =>
+      rows.map { r =>
+        val text = r.getString(textIdx)
+        val proc = new ProcessBuilder(command: _*)
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start()
+        val stdin = proc.getOutputStream
+        val writer = new Thread(() =>
+          try { stdin.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+          catch { case _: java.io.IOException => () } // child may exit without reading
+          finally { try stdin.close() catch { case _: java.io.IOException => () } })
+        writer.setDaemon(true)
+        writer.start()
+        val rendered = proc.getInputStream.readAllBytes()
+        writer.join()
+        val exit = proc.waitFor()
+        Row.fromSeq(r.toSeq :+ rendered :+ exit)
       }
-      .toDF("pdf_filename", "rendered", "exit_code")
+    }(Encoders.row(outSchema))
   }
 
   /** S10: side-effecting delivery sink. One transport per *partition*

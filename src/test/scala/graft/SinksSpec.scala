@@ -48,10 +48,13 @@ class SinksSpec extends SparkSpec {
     val expected = letters.select(col("pdf_filename"), col("letter_text"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("pdf_filename"), r.getAs[Array[Byte]]("rendered"),
+        r.getAs[Int]("exit_code")))
+
     // gzip as the stand-in converter (binary output, like soffice's pdf):
     // round-trip decompression must reproduce the letter byte-for-byte
-    val gz = Sinks.renderExternal(letters, Seq("gzip", "-c"))
-      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getInt(2)))
+    val gz = triples(Sinks.renderExternal(letters, Seq("gzip", "-c")))
     assert(gz.length == expected.size)
     assert(gz.forall(_._3 == 0), "gzip must exit 0 for every record")
     gz.foreach { case (name, bytes, _) =>
@@ -60,23 +63,53 @@ class SinksSpec extends SparkSpec {
     }
 
     // text-transform converter: output is a deterministic function of input
-    val up = Sinks.renderExternal(letters, Seq("tr", "a-z", "A-Z"))
-      .collect().map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    val up = triples(Sinks.renderExternal(letters, Seq("tr", "a-z", "A-Z")))
+      .map { case (n, b, _) => n -> new String(b, "UTF-8") }.toMap
     assert(up == expected.map { case (k, v) => k -> v.toUpperCase })
 
     // convert-failure channel: non-zero exit is captured per row, job survives
-    val failed = Sinks.renderExternal(letters.limit(3), Seq("false"))
-      .collect().map(r => (r.getAs[Array[Byte]]("rendered"), r.getInt(2)))
-    assert(failed.forall { case (bytes, exit) => exit != 0 && bytes.isEmpty })
+    val failed = triples(Sinks.renderExternal(letters.limit(3), Seq("false")))
+    assert(failed.forall { case (_, bytes, exit) => exit != 0 && bytes.isEmpty })
 
     // a converter that floods stderr past the OS pipe buffer (~64 KB) must
     // not deadlock the stdout drain — soffice-style per-document warnings
-    val noisy = Sinks.renderExternal(letters.limit(2),
-      Seq("sh", "-c", "head -c 262144 /dev/zero 1>&2; cat"))
-      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getInt(2)))
+    val noisy = triples(Sinks.renderExternal(letters.limit(2),
+      Seq("sh", "-c", "head -c 262144 /dev/zero 1>&2; cat")))
     assert(noisy.forall(_._3 == 0))
     noisy.foreach { case (name, bytes, _) =>
       assert(new String(bytes, "UTF-8") == expected(name))
+    }
+  }
+
+  test("S6→S7→S9 chain: render → external convert → archive → pruned read-back") {
+    // the full reference lifecycle (report_generator.py:88-103 render+convert,
+    // app.py:107-119 per-client archive) composed as ONE pipeline: binary
+    // converter output rides the document row into the partitioned write and
+    // survives the parquet round-trip bit-for-bit
+    val out = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    val letters = Letter.letters(spark, sf001).dropDuplicates("pdf_filename").cache()
+
+    val converted = Sinks.renderExternal(letters, Seq("gzip", "-c"))
+    Sinks.archiveLetters(converted, out)
+
+    val client = letters.select(col("client_name")).limit(1).collect()(0).getString(0)
+    val back = Sinks.readClientArchive(spark, out, client)
+    // partition pruning: the scan must touch only this client's directory
+    val scanned = back.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("FileScan")).getOrElse("")
+    assert(scanned.contains("PartitionFilters") && scanned.contains("client_dir"),
+      s"client filter must prune archive partitions:\n$scanned")
+
+    val rows = back.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("exit_code") == 0)
+      assert(r.getAs[String]("client_name") == client)
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("rendered")))
+      // converted bytes round-trip the archive intact: gunzip reproduces the
+      // letter text archived alongside them
+      assert(new String(in.readAllBytes(), "UTF-8") == r.getAs[String]("letter_text"))
     }
   }
 }
