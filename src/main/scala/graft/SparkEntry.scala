@@ -96,6 +96,7 @@ object SparkEntry {
     "q50_stream_tumbling"    -> (EventsStream.streamingTumbling _),
     "q108_stream_append"     -> (EventsStream.streamingTumblingAppend _),
     "q80_stream_sliding"     -> (EventsStream.streamingSliding _),
+    "q110_stream_sliding_append" -> (EventsStream.streamingSlidingAppend _),
     "q56_stream_enrich"      -> (EventsStream.streamStaticEnrich _),
     "q58_stream_join"        -> (EventsStream.streamStreamJoin _),
     "q59_scrub_pii"          -> (TextOps.scrubPii _),
@@ -766,6 +767,16 @@ object SparkEntry {
         |  event_type, count(*) AS n
         |FROM events CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) g
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q110_stream_sliding_append" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTES AS w FROM events),
+        |b AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - k * 900000000) AS win_start,
+        |        event_type, count(*) AS n
+        |      FROM events CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) g
+        |      GROUP BY 1, 2)
+        |SELECT win_start, event_type, n
+        |FROM b CROSS JOIN wm
+        |WHERE win_start + INTERVAL 1 HOUR <= w
+        |ORDER BY win_start, event_type""".stripMargin,
     "q53_frame_sample" ->
       s"""WITH h AS (SELECT doc_id, ${PortableHash.h48Sql("text")} AS hv FROM documents),
          |f AS (SELECT doc_id, 1 + hv % 30 AS n_frames FROM h),

@@ -160,6 +160,42 @@ object EventsStream {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** q110: watermarked APPEND-mode sliding aggregation — the production form
+    * of q80, completing the pattern q108 set for tumbling windows. Each event
+    * lands in 4 overlapping 1-hour windows sliding every 15 minutes; the
+    * 30-minute watermark evicts and emits a window's single final row once
+    * the watermark passes its end, so state is bounded by
+    * (delay + width) / slide open windows per key regardless of stream
+    * length. Emitted rows are exactly the watermark-closed windows, so the
+    * DuckDB oracle is the batch sliding aggregate (q48's form) filtered to
+    * window_end ≤ max(event time) − delay.
+    */
+  def streamingSlidingAppend(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_sliding_append_${counter.incrementAndGet()}"
+    withStatePartitions(spark) {
+      val q = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", AppendDelay)
+        // group by the window STRUCT: append mode closes windows off its
+        // event-time metadata (same contract as q108)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win").getField("start").as("win_start"),
+                col("event_type"), col("n"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .select(col("win_start").cast("timestamp_ntz").as("win_start"),
+              col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** q80: incremental sliding-window counts — the streaming twin of the
     * batch q48 plan (1-hour windows every 15 minutes): each event lands in
     * 4 overlapping windows, maintained incrementally in the state store.
