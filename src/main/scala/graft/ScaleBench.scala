@@ -38,6 +38,9 @@ object ScaleBench {
 
   /** The queries worth stressing: everything the round-3 verdict called
     * expensive or scale-suspect, plus representative scan/join/window work.
+    * `SPARK_GRAFT_SCALE_QUERIES` widens the run: `all` sweeps the entire
+    * declared surface (the round-5 cliff audit), or a comma list picks
+    * specific queries; default is this suspect set.
     */
   private val ScaleQueries = Seq(
     "q01_pricing_summary", "q13_letter_pipeline", "q24_asof_join",
@@ -45,6 +48,13 @@ object ScaleBench {
     "q41_lsh_neardup", "q55_ivf_ann", "q57_salted_join",
     "q62_dedup_clusters", "q101_corpus_pipeline", "q102_minhash_capped",
     "q105_passage_dedup", "q107_fuzzy_match")
+
+  private def selectedQueries: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
+      case Some("all") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list)  => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None        => ScaleQueries
+    }
 
   /** Nine-consonant substitution alphabet per tile — tile 0 is identity so
     * the base corpus rides along unchanged; other tiles get an md5-derived
@@ -151,7 +161,7 @@ object ScaleBench {
       System.err.println(f"[scale] tiled $tiles×$src in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
-    val results = ScaleQueries.map { name =>
+    val results = selectedQueries.map { name =>
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
       val n = try SparkEntry.queries(name)(spark, out).count()
