@@ -99,6 +99,43 @@ class IncrementalReplaySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode sliding windows close correctly across batches") {
+    // q110's shape under true multi-batch replay: each event feeds 4
+    // overlapping windows whose state must survive batch boundaries until
+    // the advancing watermark closes them
+    val name = s"inc_sliding_append_${counter.incrementAndGet()}"
+    val q = streamEvents
+      .withWatermark("ts", graft.streaming.EventsStream.AppendDelay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win").getField("start").as("win_start"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 4, s"expected >=4 non-empty micro-batches, saw $nBatches")
+    def ms(x: Any): Long = x match {
+      case t: java.sql.Timestamp       => t.getTime
+      case d: java.time.LocalDateTime  => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case i: java.time.Instant        => i.toEpochMilli
+      case other => fail(s"unexpected timestamp class ${other.getClass}")
+    }
+    val streamed = spark.table(name).collect()
+      .map(r => (ms(r.getAs[Any]("win_start")),
+                 r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    // batch twin: explode each event into its 4 slide offsets, keep closed windows
+    val e = Tables.events(spark, sf001)
+    val wm = ms(e.agg(max(col("ts"))).head.get(0)) - 30 * 60 * 1000L
+    val slideMs = 15 * 60 * 1000L
+    val closed = e.select(col("ts"), col("event_type")).collect().flatMap { r =>
+      val t = ms(r.getAs[Any]("ts"))
+      (0L until 4L).map(k => ((t / slideMs) * slideMs - k * slideMs, r.getString(1)))
+    }.groupBy(identity).map { case ((w, et), xs) => (w, et, xs.length.toLong) }
+      .filter(t => t._1 + 3600 * 1000L <= wm).toSet
+    assert(streamed == closed)
+    assert(streamed.nonEmpty)
+  }
+
   test("interval-join state matches clicks to purchases in LATER micro-batches") {
     def side(evType: String, prefix: String) = streamEvents
       .filter(col("event_type") === evType)
