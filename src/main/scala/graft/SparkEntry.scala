@@ -85,6 +85,7 @@ object SparkEntry {
     "q36_minhash_lsh"        -> (TextOps.minhashLshPairs _),
     "q37_simhash_pairs"      -> (TextOps.simhashPairs _),
     "q38_dedup_corpus"       -> (TextOps.dedupCorpus _),
+    "q111_incremental_dedup" -> (TextOps.incrementalDedup _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -193,9 +194,8 @@ object SparkEntry {
        |shr AS (SELECT DISTINCT doc_id, ${PortableHash.h48Sql("s")} % ${PortableHash.M31} AS shash
        |        FROM (SELECT doc_id, unnest(shs) AS s FROM shl) u)""".stripMargin
 
-  /** MinHash signature → bands → verified candidate pairs (TextOps
-    * minhashLshPairs) as DuckDB CTEs, shared by q36/q38. */
-  private val MinhashCtes: String =
+  /** MinHash signature → band rows (shared prefix of q36/q38/q111). */
+  private val MinhashBandsCtes: String =
     s"""$ShingleCtes
        |, hsl AS (SELECT doc_id, list(DISTINCT shash) AS hs FROM shr GROUP BY doc_id),
        |sig AS (SELECT doc_id, hs,
@@ -203,7 +203,12 @@ object SparkEntry {
        |FROM hsl),
        |bands AS (SELECT doc_id, bi,
        |  array_to_string([CAST(sg[bi * 4 + k + 1] AS VARCHAR) for k in generate_series(0, 3)], ':') AS band_sig
-       |FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bi) g),
+       |FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bi) g)""".stripMargin
+
+  /** MinHash signature → bands → verified candidate pairs (TextOps
+    * minhashLshPairs) as DuckDB CTEs, shared by q36/q38. */
+  private val MinhashCtes: String =
+    s"""$MinhashBandsCtes,
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
        |           ON x.bi = y.bi AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
@@ -596,6 +601,30 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "q111_incremental_dedup" ->
+      s"""$MinhashBandsCtes,
+         |xcand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |          FROM bands n JOIN bands c
+         |            ON n.bi = c.bi AND n.band_sig = c.band_sig
+         |           AND n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+         |xpairs AS (SELECT new_id, corpus_id,
+         |  CAST(len(list_filter(hn.hs, h -> list_contains(hc.hs, h))) AS BIGINT) AS n_inter,
+         |  CAST(len(hn.hs) AS BIGINT) + CAST(len(hc.hs) AS BIGINT) AS sz_sum
+         |  FROM xcand JOIN hsl hn ON new_id = hn.doc_id JOIN hsl hc ON corpus_id = hc.doc_id),
+         |near AS (SELECT new_id, min(corpus_id) AS near_match FROM xpairs
+         |         WHERE n_inter * 5 >= (sz_sum - n_inter) * 4 GROUP BY new_id),
+         |m5 AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+         |cm AS (SELECT content_md5, min(doc_id) AS exact_match FROM m5
+         |       WHERE doc_id % 5 <> 0 GROUP BY content_md5),
+         |ex AS (SELECT doc_id, exact_match FROM m5 LEFT JOIN cm USING (content_md5)
+         |       WHERE doc_id % 5 = 0)
+         |SELECT ex.doc_id,
+         |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+         |       WHEN near.near_match IS NOT NULL THEN 'near'
+         |       ELSE 'new' END AS verdict,
+         |  coalesce(ex.exact_match, near.near_match) AS match_doc
+         |FROM ex LEFT JOIN near ON ex.doc_id = near.new_id
+         |ORDER BY ex.doc_id""".stripMargin,
     "q37_simhash_pairs" ->
       s"""WITH $SimhashCteBody
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming

@@ -276,6 +276,75 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q111: incremental corpus dedup — admit a NEW batch of documents against
+    * an EXISTING corpus, the production shape of continuous crawl ingestion
+    * (every fresh crawl is screened against the already-kept corpus, not
+    * re-deduped from scratch). Role split is deterministic (`doc_id % 5 = 0`
+    * is the incoming batch, ~20%); each incoming document gets a verdict:
+    *
+    *  - `exact` — its md5 matches a corpus document (q34's layer);
+    *  - `near`  — it shares a MinHash-LSH band with a corpus document AND
+    *    exact-verified Jaccard ≥ 0.8 (q36's layer, integer arithmetic);
+    *  - `new`   — admitted. `match_doc` is the lowest matching corpus id.
+    *
+    * 100 TB shape: the corpus side's (md5, band) index is write-once and
+    * persisted in production — only the incoming batch (tiny relative to the
+    * corpus) computes signatures per run, and the candidate join probes the
+    * index on uniform hash keys. The incoming side of every join here is the
+    * small side (broadcast-able at real scale); the corpus side never
+    * re-shuffles per batch. Computed inline over one `documents` scan in the
+    * harness because the test corpus is small.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 5 === 0
+    val d = Tables.documents(spark, dir)
+
+    // exact layer: corpus md5 → min doc_id, probed by the incoming batch
+    val md5s = d.select(col("doc_id"), md5(col("text")).as("content_md5"))
+    val corpusMd5 = md5s.filter(!isNew)
+      .groupBy(col("content_md5")).agg(min(col("doc_id")).as("exact_match"))
+    val exact = md5s.filter(isNew)
+      .join(corpusMd5, Seq("content_md5"), "left")
+      .select(col("doc_id"), col("exact_match"))
+
+    // near layer: q36's signature → band machinery over the one scan, with
+    // the candidate join crossing roles (incoming probe × corpus index)
+    val sh = shingleRows(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val minAggs = (0 until MinHashPerms).map(j =>
+      min(permuted(lit(j), col("shash"))).as(s"m$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = array((0 until Bands).map(bi =>
+      concat_ws(":", (0 until RowsPerBand).map(k =>
+        col(s"m${bi * RowsPerBand + k}").cast("string")): _*)): _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandCols))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
+      .cache()
+    val cand = bands.filter(isNew).as("n")
+      .join(bands.filter(!isNew).as("c"),
+        col("n.band_idx") === col("c.band_idx") && col("n.band_sig") === col("c.band_sig"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val inter = cand
+      .join(sh.select(col("doc_id").as("new_id"), col("shash")), "new_id")
+      .join(sh.select(col("doc_id").as("corpus_id"), col("shash")), Seq("corpus_id", "shash"))
+      .groupBy(col("new_id"), col("corpus_id")).agg(count(lit(1)).as("n_inter"))
+    val near = inter
+      .join(sizes.select(col("doc_id").as("new_id"), col("sz").as("sz_n")), "new_id")
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("sz").as("sz_c")), "corpus_id")
+      .filter(col("n_inter") * 5 >= (col("sz_n") + col("sz_c") - col("n_inter")) * 4)
+      .groupBy(col("new_id")).agg(min(col("corpus_id")).as("near_match"))
+
+    exact
+      .join(near.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII patterns shared with the oracle SQL — plain character classes only,
     * so Java regex (Spark) and RE2 (DuckDB) agree exactly. */
   val EmailRe = "[A-Za-z0-9_]+@[A-Za-z.]+"
