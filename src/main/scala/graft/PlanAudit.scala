@@ -101,6 +101,16 @@ object PlanAudit {
     val schemaLine = q2scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("<no ReadSchema>")
     val pruned = schemaLine.contains("l_orderkey") && !schemaLine.contains("l_shipdate") && !schemaLine.contains("l_tax")
     println(s"[audit] q02 column pruning " + (if (pruned) "OK (5-col ReadSchema)" else "CHECK: " + schemaLine.trim.take(200)))
+    // incremental dedup: candidates must come from equi-joins (band buckets
+    // and md5 keys) — an all-pairs product over the corpus must NOT appear
+    val q111 = SparkEntry.queries("q111_incremental_dedup")(spark, dir)
+    q111.collect()
+    val q111plan = q111.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q111ok = !q111plan.contains("CartesianProduct") &&
+      !q111plan.contains("BroadcastNestedLoopJoin") && q111plan.contains("HashAggregate")
+    println(s"[audit] q111 index-probe dedup " +
+      (if (q111ok) "OK (equi-joins + hash aggs only)" else "CHECK: product join in plan"))
     spark.stop()
   }
 }
