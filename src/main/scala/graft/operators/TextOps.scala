@@ -295,9 +295,14 @@ object TextOps {
     * re-shuffles per batch. Computed inline over one `documents` scan in the
     * harness because the test corpus is small.
     */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOf(Tables.documents(spark, dir).transform(Tables.fanout))
+
+  /** Core of q111 over an arbitrary (doc_id, text) relation — exposed so
+    * CorpusOpsSpec can drive known exact/near/new outcomes synthetically.
+    */
+  def incrementalDedupOf(d: DataFrame): DataFrame = {
     val isNew = col("doc_id") % 5 === 0
-    val d = Tables.documents(spark, dir)
 
     // exact layer: corpus md5 → min doc_id, probed by the incoming batch
     val md5s = d.select(col("doc_id"), md5(col("text")).as("content_md5"))
@@ -309,7 +314,9 @@ object TextOps {
 
     // near layer: q36's signature → band machinery over the one scan, with
     // the candidate join crossing roles (incoming probe × corpus index)
-    val sh = shingleRows(spark, dir).cache()
+    val sh = d.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
+      .distinct().cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val minAggs = (0 until MinHashPerms).map(j =>
       min(permuted(lit(j), col("shash"))).as(s"m$j"))

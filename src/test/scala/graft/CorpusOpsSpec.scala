@@ -182,4 +182,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(1L) == ((1200L, 1200L)), "doc 1 owns all 1200 of its passages")
     assert(rows(2L) == ((1L, 0L)), "doc 2's duplicate passage is owned by doc 1")
   }
+
+  test("incremental dedup issues exact/near/new verdicts against the corpus role") {
+    import spark.implicits._
+    // corpus = ids not divisible by 5; incoming = multiples of 5
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")   // 40 tokens
+    val other = (100 until 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> base,                    // corpus
+      2L -> other,                   // corpus
+      3L -> "short unrelated text here",  // corpus
+      5L -> base,                    // incoming: exact copy of doc 1
+      10L -> (other + " extra"),     // incoming: near-dup of doc 2 (J≈0.97)
+      15L -> "completely different incoming content never seen before today"
+    ).toDF("doc_id", "text")
+    val out = TextOps.incrementalDedupOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), Option(r.getAs[Any]("match_doc"))))).toMap
+    assert(out(5L) == (("exact", Some(1L))))
+    assert(out(10L) == (("near", Some(2L))))
+    assert(out(15L) == (("new", None)))
+    assert(out.size == 3)
+  }
 }
