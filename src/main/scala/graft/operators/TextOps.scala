@@ -183,12 +183,19 @@ object TextOps {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val minAggs = (0 until MinHashPerms).map(j =>
-      min(permuted(lit(j), col("shash"))).as(s"m$j"))
-    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    // signatures as a NARROW per-row projection (native MinHashSig, round 5)
+    // instead of a 64-aggregate groupBy over the exploded shingle rows: the
+    // signature stage now costs zero shuffle — executors emit
+    // (doc_id, sig[64]) straight off the scan, and only the small
+    // (doc, band) rows ever exchange. Value-identical (min over the shingle
+    // multiset == min over the distinct set; PortableHashSpec).
+    val sig = Tables.documents(spark, dir).transform(Tables.fanout)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
+      .filter(size(col("sg")) > 0)
     val bandCols = array((0 until Bands).map(bi =>
       concat_ws(":", (0 until RowsPerBand).map(k =>
-        col(s"m${bi * RowsPerBand + k}").cast("string")): _*)): _*)
+        element_at(col("sg"), bi * RowsPerBand + k + 1).cast("string")): _*)): _*)
     // One row per (doc, band) — tiny relative to the shingle set. Cache it so
     // the self-join's two sides read the materialized bands instead of each
     // re-running the 64-aggregate signature pipeline (AQE then sizes the join
@@ -312,18 +319,21 @@ object TextOps {
       .join(corpusMd5, Seq("content_md5"), "left")
       .select(col("doc_id"), col("exact_match"))
 
-    // near layer: q36's signature → band machinery over the one scan, with
-    // the candidate join crossing roles (incoming probe × corpus index)
+    // near layer: band machinery over the one scan, with the candidate join
+    // crossing roles (incoming probe × corpus index). Signatures come from
+    // the NARROW per-row MinHashSig expression — no explode, no signature
+    // shuffle; only the (doc, band) rows ever exchange (the q112 streaming
+    // stage shares this exact formulation)
     val sh = d.select(col("doc_id"),
         explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
       .distinct().cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val minAggs = (0 until MinHashPerms).map(j =>
-      min(permuted(lit(j), col("shash"))).as(s"m$j"))
-    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val sig = d.select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
+      .filter(size(col("sg")) > 0)
     val bandCols = array((0 until Bands).map(bi =>
       concat_ws(":", (0 until RowsPerBand).map(k =>
-        col(s"m${bi * RowsPerBand + k}").cast("string")): _*)): _*)
+        element_at(col("sg"), bi * RowsPerBand + k + 1).cast("string")): _*)): _*)
     val bands = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
       .cache()

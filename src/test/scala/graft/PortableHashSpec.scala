@@ -115,6 +115,32 @@ class PortableHashSpec extends SparkSpec {
     }
   }
 
+  test("native MinHashSig equals the exploded groupBy-min signature") {
+    // min over the shingle MULTISET (per-row native) must equal min over
+    // the DISTINCT set (the batch aggregate), for the exact permuted()
+    // arithmetic, across real corpus text and tokenizer edge cases
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+      .union(Seq((90001L, "one two"), (90002L, ""), (90003L, "a b c a b c a b c"))
+        .toDF("doc_id", "text"))
+    val perms = 64
+    val fast = docs.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), 3, M31, perms).as("sig"))
+    val sh = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
+      .distinct()
+    val minAggs = (0 until perms).map(j =>
+      min(permuted(lit(j), col("shash"))).as(s"m$j"))
+    val slow = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(j => col(s"m$j")): _*).as("sig"))
+    // docs with no shingles: native yields empty array, aggregate yields no row
+    val fastNonEmpty = fast.filter(size(col("sig")) > 0)
+    assert(fastNonEmpty.count() == slow.count())
+    assert(fastNonEmpty.join(slow, "doc_id")
+      .filter(fastNonEmpty("sig") =!= slow("sig")).count() == 0)
+    assert(fast.filter(size(col("sig")) === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(90001L, 90002L))
+  }
+
   test("native SymDeleteHashes equals the composed deletion-variant pipeline") {
     val names = Tables.customer(spark, sf001).select(col("c_name").as("s")).limit(200)
       .union(Seq("", "a", "ab", "abc", "aa bb", "éxü", "name with  spaces").toDF("s"))
