@@ -86,6 +86,7 @@ object SparkEntry {
     "q37_simhash_pairs"      -> (TextOps.simhashPairs _),
     "q38_dedup_corpus"       -> (TextOps.dedupCorpus _),
     "q111_incremental_dedup" -> (TextOps.incrementalDedup _),
+    "q112_stream_admission"  -> (graft.streaming.DocsStream.streamingAdmission _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -625,6 +626,16 @@ object SparkEntry {
          |  coalesce(ex.exact_match, near.near_match) AS match_doc
          |FROM ex LEFT JOIN near ON ex.doc_id = near.new_id
          |ORDER BY ex.doc_id""".stripMargin,
+    "q112_stream_admission" ->
+      """WITH m5 AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+        |cm AS (SELECT content_md5, min(doc_id) AS exact_match FROM m5
+        |       WHERE doc_id % 5 <> 0 GROUP BY content_md5)
+        |SELECT doc_id,
+        |  CASE WHEN exact_match IS NOT NULL THEN 'exact' ELSE 'new' END AS verdict,
+        |  exact_match AS match_doc
+        |FROM m5 LEFT JOIN cm USING (content_md5)
+        |WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
     "q37_simhash_pairs" ->
       s"""WITH $SimhashCteBody
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming

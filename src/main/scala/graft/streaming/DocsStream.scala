@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Streaming corpus admission (the continuous form of q111's screen): new
+  * documents arrive as an unbounded stream and are admitted against a
+  * write-once corpus index, per-row and stateless — no aggregation, so the
+  * query runs in append mode with zero state store.
+  *
+  * Two screening layers, mirroring what a production ingest runs in-stream:
+  *  - **exact** (q112, oracle-declared): stream-static left join against the
+  *    corpus md5 index (distinct key → no row duplication). Authoritative.
+  *  - **near-dup suspect screen** (spec-verified, not oracle-declared): a
+  *    Bloom filter built over the corpus's MinHash band signatures, probed
+  *    per row via `might_contain` over the document's 16 bands (the narrow
+  *    [[graft.functions.MinHashSig]] projection — the only signature
+  *    formulation a stateless stream can evaluate). One-sided error: a true
+  *    band collision is NEVER missed, so every real near-duplicate is
+  *    flagged for the async batch verify (q111's exact-Jaccard layer);
+  *    false positives only cost spurious verification work. At 100 TB the
+  *    band index doesn't fit a broadcast join but its Bloom filter fits
+  *    executor memory — this is the screen's honest scale shape, which is
+  *    why the oracle-declared surface keeps to the md5 layer.
+  */
+object DocsStream {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val M31 = graft.functions.PortableHash.M31
+  private val Perms = 64
+  private val Bands = 16
+  private val RowsPerBand = Perms / Bands
+
+  /** The 16 band-signature strings of a document as an array column. */
+  def bandSigs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sg = graft.functions.MinHashSig(text, 3, M31, Perms)
+    array((0 until Bands).map(bi =>
+      concat_ws(":", lit(bi).cast("string") +:
+        (0 until RowsPerBand).map(k =>
+          element_at(sg, bi * RowsPerBand + k + 1).cast("string")): _*)): _*)
+  }
+
+  /** q112: exact-layer streaming admission — each arriving incoming document
+    * (doc_id % 5 = 0) gets `exact`/`new` against the static corpus md5
+    * index, emitted once, append mode, stateless.
+    */
+  def streamingAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_admission_${counter.incrementAndGet()}"
+    val corpusMd5 = broadcast(
+      Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0)
+        .select(md5(col("text")).as("content_md5"), col("doc_id"))
+        .groupBy(col("content_md5")).agg(min(col("doc_id")).as("exact_match")))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("content_md5", md5(col("text")))
+      .join(corpusMd5, Seq("content_md5"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .otherwise(lit("new")).as("verdict"),
+        col("exact_match").as("match_doc"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("doc_id"))
+  }
+
+  /** The in-stream near-dup suspect screen: returns (doc_id, suspect) for
+    * the incoming role, probing a Bloom filter of the corpus band index.
+    * Exercised by SimilarityStreamingSpec (soundness: no false negatives vs
+    * the batch band join; false-positive rate bounded); not oracle-declared
+    * because the filter's bit pattern is engine-specific.
+    */
+  def bloomBandScreen(spark: SparkSession, dir: String,
+                      expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    val name = s"stream_screen_${counter.incrementAndGet()}"
+    // build the filter ONCE as a distributed aggregate, collect the single
+    // binary value, and ship it into the stream job as a literal — the
+    // build-once / probe-forever lifecycle of a production screen (the
+    // driver sees one scalar, never the band rows). BloomFilterAggregate /
+    // BloomFilterMightContain are the expressions behind Spark's own
+    // runtime-filter injection (not SQL-registered), built here directly.
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("band_key"))),
+        GraftBridge.expression(lit(expectedItems)),
+        GraftBridge.expression(lit(numBits))).toAggregateExpression())
+    val bloomBytes = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(explode(bandSigs(col("text"))).as("band_key"))
+      .agg(bloomAgg.as("bloom"))
+      .head.getAs[Array[Byte]]("bloom")
+    def mightContain(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      GraftBridge.column(BloomFilterMightContain(
+        GraftBridge.expression(lit(bloomBytes)),
+        GraftBridge.expression(xxhash64(v))))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("bands", bandSigs(col("text")))
+      .select(col("doc_id"),
+        exists(col("bands"), b => mightContain(b)).as("suspect"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("doc_id"))
+  }
+}

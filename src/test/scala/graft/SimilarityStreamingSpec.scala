@@ -161,4 +161,42 @@ class SimilarityStreamingSpec extends SparkSpec {
       assert(f.getAs[Long]("n_frames") >= 1 && f.getAs[Long]("n_frames") <= 30)
     }
   }
+
+  test("streaming bloom band screen never misses a true band match (one-sided error)") {
+    import graft.streaming.DocsStream
+    // ground truth: incoming docs sharing >=1 MinHash band with the corpus,
+    // computed by the exact (exploded) band join
+    val docs = Tables.documents(spark, sf001)
+    val corpusBands = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(explode(DocsStream.bandSigs(col("text"))).as("band_key")).distinct()
+    val trueMatches = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), explode(DocsStream.bandSigs(col("text"))).as("band_key"))
+      .join(corpusBands, "band_key")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+
+    val screened = DocsStream.bloomBandScreen(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("suspect")).toMap
+    assert(screened.nonEmpty && trueMatches.nonEmpty)
+    // soundness: a Bloom filter has no false negatives
+    trueMatches.foreach(id => assert(screened(id), s"true band match $id not flagged"))
+    // and the screen is a screen, not a constant: false-positive rate bounded
+    val negatives = screened.keySet -- trueMatches
+    val fp = negatives.count(screened(_))
+    assert(negatives.isEmpty || fp.toDouble / negatives.size < 0.25,
+      s"fp=$fp of ${negatives.size} negatives")
+  }
+
+  test("streaming admission equals the batch exact layer") {
+    import graft.streaming.DocsStream
+    val streamed = DocsStream.streamingAdmission(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"),
+        Option(r.getAs[Any]("match_doc")))).toSet
+    val batch = graft.operators.TextOps.incrementalDedup(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        // the stream screens only the exact layer; near-dups are 'new' here
+        if (r.getAs[String]("verdict") == "exact") "exact" else "new",
+        if (r.getAs[String]("verdict") == "exact") Option(r.getAs[Any]("match_doc")) else None))
+      .toSet
+    assert(streamed == batch)
+  }
 }
