@@ -75,6 +75,9 @@ object PlanAudit {
     audit("q82_stat_moments", Seq("HashAggregate", "*("))
     // tf-idf: rank<=3 pushes a partial WindowGroupLimit below the shuffle
     audit("q87_tfidf_terms", Seq("WindowGroupLimit", "Partial"))
+    // source capping: the rank<=K filter must push a partial WindowGroupLimit
+    // below the per-source exchange (hot sources ship O(K·tasks) rows)
+    audit("q113_source_cap", Seq("WindowGroupLimit", "Partial"))
     // skew profile: the rank<=20 filter collapses to a distributed top-k
     // (TakeOrderedAndProject with per-partition partial limits) below the
     // window — the heavy-hitter scan never materializes the full key ranking

@@ -87,6 +87,7 @@ object SparkEntry {
     "q38_dedup_corpus"       -> (TextOps.dedupCorpus _),
     "q111_incremental_dedup" -> (TextOps.incrementalDedup _),
     "q112_stream_admission"  -> (graft.streaming.DocsStream.streamingAdmission _),
+    "q113_source_cap"        -> (TextOps.sourceCap _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -636,6 +637,15 @@ object SparkEntry {
         |FROM m5 LEFT JOIN cm USING (content_md5)
         |WHERE doc_id % 5 = 0
         |ORDER BY doc_id""".stripMargin,
+    "q113_source_cap" ->
+      s"""WITH k AS (SELECT doc_id, source, n_chars,
+         |  ${PortableHash.h48Sql("text || ':cap'")} AS pick_key
+         |FROM documents),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |  PARTITION BY source ORDER BY pick_key, doc_id) AS BIGINT) AS src_rank FROM k)
+         |SELECT source, src_rank, doc_id, n_chars FROM r
+         |WHERE src_rank <= ${TextOps.SourceCapK}
+         |ORDER BY source, src_rank""".stripMargin,
     "q37_simhash_pairs" ->
       s"""WITH $SimhashCteBody
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming

@@ -542,6 +542,32 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  val SourceCapK = 50
+
+  /** q113: per-source document capping (domain capping) — the corpus-mix
+    * control every large-scale curation pipeline runs (C4/Dolma-style): no
+    * single source may contribute more than K documents, and which K
+    * survive is a deterministic, content-hash-ranked choice (reproducible
+    * across runs, engines and partitionings — never `rand()`).
+    *
+    * Scale shape: the rank ≤ K filter plans a partial `WindowGroupLimit`
+    * below the shuffle (same property PlanAudit asserts for q61/q87), so
+    * each map task forwards at most K rows per source it sees — a hot
+    * source with a billion documents ships O(K·tasks) rows, not a billion,
+    * into the per-source exchange.
+    */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val key = h48(concat(col("text"), lit(":cap")))
+    val w = Window.partitionBy(col("source")).orderBy(col("pick_key"), col("doc_id"))
+    d.select(col("doc_id"), col("source"), col("n_chars"), key.as("pick_key"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= SourceCapK)
+      .select(col("source"), col("src_rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("src_rank"))
+  }
+
   private val MaxCcIterations = 20
 
   /** Connected components by alternating large-star / small-star edge
