@@ -40,6 +40,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
+  /** Streaming file source over a test table, handling BOTH on-disk layouts:
+    * the driver's single-file tables (`dir/name.parquet` is a file — the
+    * file source needs a directory basePath, so stream `dir` filtered to
+    * that name) and tiled/production tables (`dir/name.parquet` is a
+    * directory of part files — stream it directly). The round-5 sf1 sweep
+    * found every streaming query silently reading ZERO files under the
+    * tiled layout because the single-file glob matched nothing.
+    */
+  def readStreamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
   /** Test-scale fan-out seam. Local runs scan ONE parquet file per table, so
     * CPU-bound downstream stages (shingle hashing, dot products, decode)
     * would otherwise execute as a single task; a round-robin exchange to

@@ -51,9 +51,7 @@ object DocsStream {
       Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0)
         .select(md5(col("text")).as("content_md5"), col("doc_id"))
         .groupBy(col("content_md5")).agg(min(col("doc_id")).as("exact_match")))
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = Tables.readStreamTable(spark, dir, "documents")
       .filter(col("doc_id") % 5 === 0)
       .withColumn("content_md5", md5(col("text")))
       .join(corpusMd5, Seq("content_md5"), "left")
@@ -101,9 +99,7 @@ object DocsStream {
       GraftBridge.column(BloomFilterMightContain(
         GraftBridge.expression(lit(bloomBytes)),
         GraftBridge.expression(xxhash64(v))))
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = Tables.readStreamTable(spark, dir, "documents")
       .filter(col("doc_id") % 5 === 0)
       .withColumn("bands", bandSigs(col("text")))
       .select(col("doc_id"),

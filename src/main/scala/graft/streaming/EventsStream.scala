@@ -57,11 +57,8 @@ object EventsStream {
     // Schema must be supplied for a streaming file source; reuse the batch
     // reader's (nanos-as-long) schema, then apply the same ts conversion.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_tumbling_${counter.incrementAndGet()}"
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")   // file source needs a dir
-      .parquet(dir)
+    val stream = Tables.readStreamTable(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
                col("event_type"))
@@ -90,10 +87,8 @@ object EventsStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = 30L * 60 * 1000 * 1000
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_sess_${counter.incrementAndGet()}"
-    val events = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = Tables.readStreamTable(spark, dir, "events")
       .select(col("user_id"), expr("ts div 1000").as("ts_us")).as[Ev]
 
     val sessions = events
@@ -137,11 +132,9 @@ object EventsStream {
     */
   def streamingTumblingAppend(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_append_${counter.incrementAndGet()}"
     withStatePartitions(spark) {
-      val q = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = Tables.readStreamTable(spark, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", AppendDelay)
         // group by the window STRUCT (not .start): the struct carries the
@@ -172,11 +165,9 @@ object EventsStream {
     */
   def streamingSlidingAppend(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_sliding_append_${counter.incrementAndGet()}"
     withStatePartitions(spark) {
-      val q = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = Tables.readStreamTable(spark, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", AppendDelay)
         // group by the window STRUCT: append mode closes windows off its
@@ -203,11 +194,9 @@ object EventsStream {
     */
   def streamingSliding(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_sliding_${counter.incrementAndGet()}"
     withStatePartitions(spark) {
-      val q = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = Tables.readStreamTable(spark, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("win_start"),
                  col("event_type"))
@@ -232,13 +221,11 @@ object EventsStream {
     */
   def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_enrich_${counter.incrementAndGet()}"
     val dim = broadcast(Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
     withStatePartitions(spark) {
-      val q = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = Tables.readStreamTable(spark, dir, "events")
         .join(dim, Seq("user_id"))                     // stream ⋈ static (broadcast)
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
@@ -261,11 +248,9 @@ object EventsStream {
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_join_${counter.incrementAndGet()}"
     def side(evType: String, prefix: String) =
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      Tables.readStreamTable(spark, dir, "events")
         .filter(col("event_type") === evType)
         .select(col("user_id").as(s"${prefix}_user"),
           timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"),
@@ -299,9 +284,7 @@ object EventsStream {
   def foreachBatchUpsert(spark: SparkSession, dir: String, targetDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = Tables.readStreamTable(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
       .writeStream
@@ -336,12 +319,9 @@ object EventsStream {
     */
   def dedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_dedup_${counter.incrementAndGet()}"
     withStatePartitions(spark) {
-      val q = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val q = Tables.readStreamTable(spark, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
