@@ -44,6 +44,14 @@ object DocsStream {
   /** q112: exact-layer streaming admission — each arriving incoming document
     * (doc_id % 5 = 0) gets `exact`/`new` against the static corpus md5
     * index, emitted once, append mode, stateless.
+    *
+    * The static side is broadcast here because the harness corpus is small.
+    * At 100 TB the md5 index no longer broadcasts; the production forms are
+    * (a) a shuffled stream-static join — still stateless, each micro-batch
+    * shuffles only its own rows against the bucketed index — or (b) the same
+    * Bloom screen [[bloomBandScreen]] uses, with exact-match suspects
+    * verified async in batch (q111's layer). The join SHAPE is identical in
+    * all three; only the distribution strategy changes.
     */
   def streamingAdmission(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_admission_${counter.incrementAndGet()}"
