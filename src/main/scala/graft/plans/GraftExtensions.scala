@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, H48, PolyFp}
+import graft.functions.{DotProduct, H48, MinHashSig, PolyFp, ShingleHashes}
 
 /** `SparkSessionExtensions` installer exposing graft's native Catalyst
   * expressions to the SQL surface — the SURVEY §2/§7.3 extension seam: a
@@ -37,7 +37,26 @@ object GraftExtensions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("poly_fp"),
       new ExpressionInfo("graft.functions.PolyFp", "poly_fp"),
-      (children: Seq[Expression]) => PolyFp(children.head)))
+      (children: Seq[Expression]) => PolyFp(children.head)),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo("graft.functions.ShingleHashes", "shingle_hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashes(children(0), intArg(children(1)), longArg(children(2)))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo("graft.functions.MinHashSig", "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children(0),
+        intArg(children(1)), longArg(children(2)), intArg(children(3)))))
+
+  /** SQL-side shape/permutation arguments must be literals (they size the
+    * generated code); evaluated once at resolution.
+    */
+  private def intArg(e: Expression): Int = longArg(e).toInt
+  private def longArg(e: Expression): Long = e.eval() match {
+    case i: Int  => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal argument, got $other")
+  }
 
   /** Register into a live session's function registry. */
   def install(spark: SparkSession): Unit =

@@ -32,4 +32,20 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(viaSql.sameElements(viaCol))
   }
+
+  test("minhash_sig and shingle_hashes are callable from SQL and match the Column API") {
+    GraftExtensions.install(spark)
+    Tables.documents(spark, sf001).createOrReplaceTempView("docs_ext2")
+    val m31 = graft.functions.PortableHash.M31
+    val viaSql = spark.sql(
+      s"SELECT doc_id, minhash_sig(text, 3, ${m31}L, 8) AS sg, " +
+      s"shingle_hashes(text, 3, ${m31}L) AS sh FROM docs_ext2 ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    val viaCol = Tables.documents(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.MinHashSig(org.apache.spark.sql.functions.col("text"), 3, m31, 8).as("sg"),
+        graft.functions.ShingleHashes(org.apache.spark.sql.functions.col("text"), 3, m31).as("sh"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    assert(viaSql.sameElements(viaCol))
+  }
 }
