@@ -51,7 +51,12 @@ object Tables {
   def readStreamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val schema = spark.read.parquet(path).schema
-    if (new java.io.File(path).isDirectory)
+    // layout probe through the Hadoop FS API — java.io.File would answer
+    // false for every hdfs://, s3a:// path and silently re-open the
+    // zero-row blind spot on object-store tables
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(hPath).isDirectory)
       spark.readStream.schema(schema).parquet(path)
     else
       spark.readStream.schema(schema)

@@ -795,8 +795,12 @@ object Relational {
     val hot = keyedAll.groupBy(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("df")).filter(col("df") > maxBlock)
       .select(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
+    // cache the capped variant rows: the hot-df aggregation already paid one
+    // full SymDeleteHashes explode, and WITHOUT this cache the self-join's
+    // two sides would each re-run the explode + anti-join (3 evaluations of
+    // the documented q107 hot spot instead of 1)
     val keyed = keyedAll.join(broadcast(hot),
-      Seq("vhash", "c_nationkey", "c_mktsegment"), "left_anti")
+      Seq("vhash", "c_nationkey", "c_mktsegment"), "left_anti").cache()
     // candidate pairs as narrow id rows first: near-identical names share
     // HUNDREDS of deletion variants, so the raw join output carries high
     // multiplicity — dedupe it on the 4 id columns BEFORE re-attaching the

@@ -158,9 +158,23 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val MinHashPerms = 64
-  private val Bands = 16
-  private val RowsPerBand = MinHashPerms / Bands   // 4 → LSH threshold ≈ 0.5
+  // Shared across the batch LSH pipelines (q36/q38/q101/q102/q111) AND the
+  // streaming band screen (q112, DocsStream): one source of truth so the
+  // stream's Bloom keys can never silently diverge from the batch bands.
+  private[graft] val MinHashPerms = 64
+  private[graft] val Bands = 16
+  private[graft] val RowsPerBand = MinHashPerms / Bands // 4 → LSH threshold ≈ 0.5
+
+  /** The 16 band-signature strings of a 64-slot MinHash signature column —
+    * the ONE definition of the band layout (m[4k]..m[4k+3] joined by ':').
+    * Callers must ensure `sg` has [[MinHashPerms]] elements (MinHashSig
+    * yields an empty array for <n-token docs; `element_at` on it would
+    * throw under ANSI mode).
+    */
+  private[graft] def bandSigCols(sg: Column): Seq[Column] =
+    (0 until Bands).map(bi =>
+      concat_ws(":", (0 until RowsPerBand).map(k =>
+        element_at(sg, bi * RowsPerBand + k + 1).cast("string")): _*))
 
   /** q36: MinHash + LSH near-dup pairs — signature (64 portable permutations)
     * → 16 bands of 4 → band-bucket self-join for candidates → exact Jaccard
@@ -193,9 +207,7 @@ object TextOps {
       .select(col("doc_id"),
         graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
       .filter(size(col("sg")) > 0)
-    val bandCols = array((0 until Bands).map(bi =>
-      concat_ws(":", (0 until RowsPerBand).map(k =>
-        element_at(col("sg"), bi * RowsPerBand + k + 1).cast("string")): _*)): _*)
+    val bandCols = array(bandSigCols(col("sg")): _*)
     // One row per (doc, band) — tiny relative to the shingle set. Cache it so
     // the self-join's two sides read the materialized bands instead of each
     // re-running the 64-aggregate signature pipeline (AQE then sizes the join
@@ -245,9 +257,8 @@ object TextOps {
     val minAggs = (0 until MinHashPerms).map(j =>
       min(permuted(lit(j), col("shash"))).as(s"m$j"))
     val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = array((0 until Bands).map(bi =>
-      concat_ws(":", (0 until RowsPerBand).map(k =>
-        col(s"m${bi * RowsPerBand + k}").cast("string")): _*)): _*)
+    val bandCols = array(bandSigCols(
+      array((0 until MinHashPerms).map(j => col(s"m$j")): _*)): _*)
     val bands = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
       .cache()
@@ -331,9 +342,7 @@ object TextOps {
     val sig = d.select(col("doc_id"),
         graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
       .filter(size(col("sg")) > 0)
-    val bandCols = array((0 until Bands).map(bi =>
-      concat_ws(":", (0 until RowsPerBand).map(k =>
-        element_at(col("sg"), bi * RowsPerBand + k + 1).cast("string")): _*)): _*)
+    val bandCols = array(bandSigCols(col("sg")): _*)
     val bands = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
       .cache()

@@ -50,7 +50,12 @@ object GraftExtensions {
   /** SQL-side shape/permutation arguments must be literals (they size the
     * generated code); evaluated once at resolution.
     */
-  private def intArg(e: Expression): Int = longArg(e).toInt
+  private def intArg(e: Expression): Int = {
+    val v = longArg(e)
+    if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+      s"integer argument out of range: $v")
+    v.toInt
+  }
   private def longArg(e: Expression): Long = e.eval() match {
     case i: Int  => i.toLong
     case l: Long => l

@@ -28,17 +28,25 @@ object DocsStream {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
   private val M31 = graft.functions.PortableHash.M31
-  private val Perms = 64
-  private val Bands = 16
-  private val RowsPerBand = Perms / Bands
+  import graft.operators.TextOps.MinHashPerms
 
-  /** The 16 band-signature strings of a document as an array column. */
+  /** The band-key strings of a document as an array column: band index
+    * prefixed onto the SHARED batch band layout (TextOps.bandSigCols — one
+    * definition, so the stream's Bloom keys can never diverge from the
+    * q111 batch bands). A document with fewer than n tokens has an empty
+    * signature and yields an EMPTY key array (`exists` → not suspect; a
+    * corpus-side `explode` → no index entries) — guarded here because
+    * `element_at` past the end throws under ANSI mode, and an unguarded
+    * concat would collapse every shingle-less doc onto shared degenerate
+    * keys, flagging all short docs as mutual suspects.
+    */
   def bandSigs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val sg = graft.functions.MinHashSig(text, 3, M31, Perms)
-    array((0 until Bands).map(bi =>
-      concat_ws(":", lit(bi).cast("string") +:
-        (0 until RowsPerBand).map(k =>
-          element_at(sg, bi * RowsPerBand + k + 1).cast("string")): _*)): _*)
+    val sg = graft.functions.MinHashSig(text, 3, M31, MinHashPerms)
+    val keyed = graft.operators.TextOps.bandSigCols(sg).zipWithIndex.map {
+      case (b, bi) => concat(lit(s"$bi:"), b)
+    }
+    when(size(sg) === MinHashPerms, array(keyed: _*))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** q112: exact-layer streaming admission — each arriving incoming document

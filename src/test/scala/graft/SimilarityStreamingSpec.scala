@@ -162,6 +162,18 @@ class SimilarityStreamingSpec extends SparkSpec {
     }
   }
 
+  test("bandSigs yields an empty key array for sub-shingle documents (ANSI-safe)") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    // <3 tokens → empty MinHash signature → EMPTY band keys, not an ANSI
+    // element_at crash and not degenerate shared "bi:" keys
+    val rows = Seq("hello world", "", "one", "tok0 tok1 tok2 tok3").toDF("text")
+      .select(DocsStream.bandSigs(col("text")).as("bands"))
+      .collect().map(_.getSeq[String](0))
+    assert(rows(0).isEmpty && rows(1).isEmpty && rows(2).isEmpty)
+    assert(rows(3).length == 16 && rows(3).head.startsWith("0:"))
+  }
+
   test("streaming bloom band screen never misses a true band match (one-sided error)") {
     import graft.streaming.DocsStream
     // ground truth: incoming docs sharing >=1 MinHash band with the corpus,
