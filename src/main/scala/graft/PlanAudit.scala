@@ -104,6 +104,19 @@ object PlanAudit {
     val schemaLine = q2scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("<no ReadSchema>")
     val pruned = schemaLine.contains("l_orderkey") && !schemaLine.contains("l_shipdate") && !schemaLine.contains("l_tax")
     println(s"[audit] q02 column pruning " + (if (pruned) "OK (5-col ReadSchema)" else "CHECK: " + schemaLine.trim.take(200)))
+    // sequence packing: the per-document cumulative sum must be a
+    // bucket-partitioned window (hashpartitioning on the bucket key) with
+    // the tiny bucket-offset table rejoined via broadcast — the ONLY
+    // single-partition window runs over O(buckets) rows, never documents
+    val q114 = SparkEntry.queries("q114_sequence_pack")(spark, dir)
+    q114.collect()
+    val q114plan = q114.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q114ok = q114plan.contains("BroadcastHashJoin") &&
+      q114plan.contains("hashpartitioning(bucket")
+    println(s"[audit] q114 two-level prefix sum " +
+      (if (q114ok) "OK (bucket-partitioned doc window + broadcast offsets)"
+       else "CHECK: expected broadcast offsets + bucket-hash window"))
     // incremental dedup: candidates must come from equi-joins (band buckets
     // and md5 keys) — an all-pairs product over the corpus must NOT appear
     val q111 = SparkEntry.queries("q111_incremental_dedup")(spark, dir)

@@ -88,6 +88,8 @@ object SparkEntry {
     "q111_incremental_dedup" -> (TextOps.incrementalDedup _),
     "q112_stream_admission"  -> (graft.streaming.DocsStream.streamingAdmission _),
     "q113_source_cap"        -> (TextOps.sourceCap _),
+    "q114_sequence_pack"     -> (TextOps.sequencePack _),
+    "q115_temperature_mix"   -> (TextOps.temperatureMix _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -646,6 +648,40 @@ object SparkEntry {
          |SELECT source, src_rank, doc_id, n_chars FROM r
          |WHERE src_rank <= ${TextOps.SourceCapK}
          |ORDER BY source, src_rank""".stripMargin,
+    "q114_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(${PortableHash.tokensSql("text")},
+         |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS tok
+         |FROM documents),
+         |c AS (SELECT doc_id, tok,
+         |  sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         |a AS (SELECT doc_id, tok,
+         |  (cum - tok) // ${TextOps.PackBudget} AS shard,
+         |  CASE WHEN tok > 0 THEN (cum - 1) // ${TextOps.PackBudget}
+         |       ELSE (cum - tok) // ${TextOps.PackBudget} END AS end_shard
+         |FROM c)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS shard_tokens,
+         |  CAST(sum(CASE WHEN end_shard > shard THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "q115_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         |  CAST(sum(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sq_i
+         |FROM c),
+         |r AS (SELECT source, n_docs,
+         |  ${PortableHash.proundSql(
+             s"least(1.0, ${TextOps.MixTargetFrac} * CAST(n_total AS DOUBLE) * " +
+             "(sqrt(CAST(n_docs AS DOUBLE)) / (CAST(sq_i AS DOUBLE) / 1e9)) / " +
+             "CAST(n_docs AS DOUBLE))", 6)} AS rate
+         |FROM c, t),
+         |r2 AS (SELECT *, CAST(floor(rate * 1e6 + 0.5) AS BIGINT) AS thresh FROM r),
+         |s AS (SELECT d.source, count(*) AS n_sampled
+         |      FROM documents d JOIN r2 USING (source)
+         |      WHERE ${PortableHash.h48Sql("d.text || ':mix'")} % 1000000 < thresh
+         |      GROUP BY d.source)
+         |SELECT source, n_docs, rate, coalesce(n_sampled, 0) AS n_sampled
+         |FROM r2 LEFT JOIN s USING (source) ORDER BY source""".stripMargin,
     "q37_simhash_pairs" ->
       s"""WITH $SimhashCteBody
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming

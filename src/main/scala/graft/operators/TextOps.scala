@@ -577,6 +577,113 @@ object TextOps {
       .orderBy(col("source"), col("src_rank"))
   }
 
+  /** Tokens per packed training shard (q114). */
+  val PackBudget = 4096L
+
+  /** Documents per prefix-sum bucket (q114). Sized so the bucket-offset
+    * window stays tiny at harness scale; in production you size it to keep
+    * the bucket count ~1e5 regardless of corpus size (the offset table must
+    * stay broadcast-able — it is the ONLY non-partition-local state).
+    */
+  val PackBucketWidth = 64L
+
+  /** q114: sequence packing — assign every document to a fixed-token-budget
+    * training shard by concatenation order (GPT-style pretraining packs the
+    * corpus as one token stream and cuts it every `PackBudget` tokens; a
+    * document lands in the shard where its first token falls, and may span
+    * into the next shard). Token weight is q32's subword estimate, so the
+    * packing is engine-exact and oracle-checkable.
+    *
+    * Scale shape: the naive form is a GLOBAL ordered cumulative sum — a
+    * single-partition window that cannot run on a large corpus. This is the
+    * distributed two-level prefix sum instead: (1) per-bucket token
+    * subtotals (one hash agg, ~corpus/width rows), (2) exclusive prefix sum
+    * over the tiny bucket table (the only global window, one row per
+    * bucket), (3) broadcast the offsets back and finish with a
+    * bucket-partitioned local window. Every per-document step is partition-
+    * local; only O(buckets) rows ever cross a global ordering.
+    *
+    * Output is the per-shard packing manifest: documents starting in the
+    * shard, their token mass, how many straddle the shard boundary, and the
+    * doc-id range (contiguous because packing preserves corpus order).
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val base = d.select(
+        col("doc_id"),
+        aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+          .as("tok"),
+        expr(s"doc_id DIV $PackBucketWidth").as("bucket"))
+    val subtotals = base.groupBy(col("bucket")).agg(sum(col("tok")).as("btok"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("boff", coalesce(sum(col("btok")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wLoc = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val packed = base.join(broadcast(offsets), "bucket")
+      .withColumn("cum", sum(col("tok")).over(wLoc) + col("boff"))
+      .select(col("doc_id"), col("tok"),
+        expr(s"(cum - tok) DIV $PackBudget").as("shard"),
+        // a zero-token document cannot straddle; (cum-1) underflows for it
+        when(col("tok") > 0, expr(s"(cum - 1) DIV $PackBudget"))
+          .otherwise(expr(s"(cum - tok) DIV $PackBudget")).as("end_shard"))
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("tok")).as("shard_tokens"),
+           sum(when(col("end_shard") > col("shard"), 1L).otherwise(0L)).as("n_spanning"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
+  /** Target sampled fraction of the corpus for q115. */
+  val MixTargetFrac = 0.2
+
+  /** q115: temperature-flattened source mix — rebalance the corpus toward
+    * under-represented sources by sampling source s at a rate proportional
+    * to share_s^α / share_s with α = 0.5 (the mT5/Gopher-style temperature
+    * rebalancing that upweights rare domains; α = 1 would keep the natural
+    * mix, α → 0 the uniform one). α is fixed at 1/2 deliberately: the
+    * weight is then sqrt(n_s), and IEEE-754 sqrt is exactly rounded in
+    * every engine, so the whole rate computation is bit-identical to the
+    * oracle (fractional `pow` is not). The sqrt-weight normalizer is summed
+    * as 1e-9-scaled integers, making it independent of partition order.
+    *
+    * Which documents survive is the deterministic hash-rate choice (h48 of
+    * the content against a per-source integer threshold — reproducible
+    * across runs/engines/partitionings, never `rand()`), so the sampled
+    * set, not just its size, is stable.
+    *
+    * Scale shape: two tiny per-source aggregates (broadcast both ways), one
+    * narrow broadcast-probe filter over the corpus, one final hash agg —
+    * the corpus is scanned once and never shuffled on a data key.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(
+        sum(col("n_docs")).as("n_total"),
+        sum(floor(sqrt(col("n_docs").cast("double")) * lit(1e9)).cast("long")).as("sq_i"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate", pround(
+          least(lit(1.0),
+            lit(MixTargetFrac) * col("n_total").cast("double") *
+              (sqrt(col("n_docs").cast("double")) /
+                (col("sq_i").cast("double") / lit(1e9))) /
+              col("n_docs").cast("double")), 6))
+      .withColumn("thresh", floor(col("rate") * lit(1e6) + lit(0.5)).cast("long"))
+    val sampled = d
+      .join(broadcast(rates.select(col("source"), col("thresh"))), "source")
+      .filter(h48(concat(col("text"), lit(":mix"))) % lit(1000000L) < col("thresh"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    rates.select(col("source"), col("n_docs"), col("rate"))
+      .join(sampled, Seq("source"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
   private val MaxCcIterations = 20
 
   /** Connected components by alternating large-star / small-star edge

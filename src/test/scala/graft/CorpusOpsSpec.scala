@@ -204,4 +204,83 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(15L) == (("new", None)))
     assert(out.size == 3)
   }
+
+  test("temperatureMix equals a driver-side sqrt-weighted rate computation") {
+    // raw 48-bit h48 (no modulus) for the sampling filter
+    def h48raw(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      hex.foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16))
+    }
+    val docs = graft.Tables.documents(spark, sf001).select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val counts = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nTotal = counts.values.sum
+    val sqI = counts.values.map(n => math.floor(math.sqrt(n.toDouble) * 1e9).toLong).sum
+    val expRate = counts.map { case (s, n) =>
+      val raw = TextOps.MixTargetFrac * nTotal.toDouble *
+        (math.sqrt(n.toDouble) / (sqI.toDouble / 1e9)) / n.toDouble
+      s -> math.floor(math.min(1.0, raw) * 1e6 + 0.5) / 1e6
+    }
+    val expSampled = docs.groupBy(_._1).map { case (s, ds) =>
+      val thresh = math.floor(expRate(s) * 1e6 + 0.5).toLong
+      s -> ds.count(d => h48raw(d._2 + ":mix") % 1000000L < thresh).toLong
+    }
+
+    val rows = TextOps.temperatureMix(spark, sf001).collect()
+    assert(rows.length == counts.size, "one row per source")
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_docs") == counts(s), s"source $s count")
+      assert(r.getAs[Double]("rate") == expRate(s), s"source $s rate")
+      assert(r.getAs[Long]("n_sampled") == expSampled(s), s"source $s sample")
+      assert(r.getAs[Long]("n_sampled") <= counts(s))
+      assert(r.getAs[Double]("rate") > 0.0 && r.getAs[Double]("rate") <= 1.0)
+    }
+    // the point of the operator: rarer sources sample at a ≥ rate
+    val byCount = rows.sortBy(_.getAs[Long]("n_docs"))
+    byCount.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("rate") >= b.getAs[Double]("rate"),
+          "rate must be non-increasing in source size")
+      case _ =>
+    }
+  }
+
+  test("sequencePack equals a driver-side sequential cut of the token stream") {
+    val B = TextOps.PackBudget
+    // same token weight as q32: ⌈len/4⌉ summed over whitespace tokens
+    val toksOf = docTokens().map { case (id, w) =>
+      id -> w.map(t => (t.length + 3) / 4).map(_.toLong).sum
+    }
+    var cum = 0L
+    val expected = toksOf.toSeq.sortBy(_._1).map { case (id, tok) =>
+      cum += tok
+      val shard = (cum - tok) / B
+      val end = if (tok > 0) (cum - 1) / B else shard
+      (id, tok, shard, end)
+    }
+    val exp = expected.groupBy(_._3).map { case (shard, rs) =>
+      shard -> ((rs.size.toLong, rs.map(_._2).sum,
+                 rs.count(r => r._4 > r._3).toLong,
+                 rs.map(_._1).min, rs.map(_._1).max))
+    }
+
+    val rows = TextOps.sequencePack(spark, sf001).collect()
+    assert(rows.length == exp.size, "one manifest row per shard")
+    assert(rows.length > 1, "fixture must actually span multiple shards")
+    rows.foreach { r =>
+      val s = r.getAs[Long]("shard")
+      assert(exp(s) == ((r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+        r.getAs[Long]("n_spanning"), r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc"))), s"shard $s manifest")
+    }
+    // packing preserves corpus order: doc-id ranges tile the corpus
+    val ordered = rows.sortBy(_.getAs[Long]("shard"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+  }
 }
