@@ -117,6 +117,10 @@ object PlanAudit {
     println(s"[audit] q114 two-level prefix sum " +
       (if (q114ok) "OK (bucket-partitioned doc window + broadcast offsets)"
        else "CHECK: expected broadcast offsets + bucket-hash window"))
+    // temperature mix: per-source thresholds rejoin the corpus via
+    // broadcast, and the sampled count partial-aggregates map-side — the
+    // corpus rows themselves never shuffle
+    audit("q115_temperature_mix", Seq("BroadcastHashJoin", "HashAggregate"))
     // incremental dedup: candidates must come from equi-joins (band buckets
     // and md5 keys) — an all-pairs product over the corpus must NOT appear
     val q111 = SparkEntry.queries("q111_incremental_dedup")(spark, dir)
