@@ -121,6 +121,9 @@ object PlanAudit {
     // broadcast, and the sampled count partial-aggregates map-side — the
     // corpus rows themselves never shuffle
     audit("q115_temperature_mix", Seq("BroadcastHashJoin", "HashAggregate"))
+    // k-means step: assignment is corpus ⋈ broadcast(codebook) (no corpus
+    // shuffle) and re-estimation partial-aggregates on (cluster, dim)
+    audit("q116_kmeans_step", Seq("BroadcastNestedLoopJoin", "HashAggregate"))
     // incremental dedup: candidates must come from equi-joins (band buckets
     // and md5 keys) — an all-pairs product over the corpus must NOT appear
     val q111 = SparkEntry.queries("q111_incremental_dedup")(spark, dir)

@@ -90,6 +90,7 @@ object SparkEntry {
     "q113_source_cap"        -> (TextOps.sourceCap _),
     "q114_sequence_pack"     -> (TextOps.sequencePack _),
     "q115_temperature_mix"   -> (TextOps.temperatureMix _),
+    "q116_kmeans_step"       -> (SimilarityOps.kmeansStep _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -682,6 +683,33 @@ object SparkEntry {
          |      GROUP BY d.source)
          |SELECT source, n_docs, rate, coalesce(n_sampled, 0) AS n_sampled
          |FROM r2 LEFT JOIN s USING (source) ORDER BY source""".stripMargin,
+    "q116_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < ${SimilarityOps.IvfK}),
+         |scored AS (SELECT vec_id, v, cent_id,
+         |    ${SimilarityOps.dotSql("v", "v")} - 2.0 * ${SimilarityOps.dotSql("v", "cv")}
+         |      + ${SimilarityOps.dotSql("cv", "cv")} AS dist2
+         |  FROM e CROSS JOIN cents),
+         |a AS (SELECT vec_id, v, cent_id AS cluster,
+         |        CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT) AS d2i
+         |      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY dist2, cent_id) AS rn FROM scored)
+         |      WHERE rn = 1),
+         |newc AS (SELECT cluster, i - 1 AS pos, round(avg(v[i]), 4) AS nc
+         |         FROM a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+         |         GROUP BY 1, 2),
+         |oldc AS (SELECT cent_id AS cluster, i - 1 AS pos,
+         |           ${PortableHash.proundSql("cv[i]", 4)} AS oc
+         |         FROM cents CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g),
+         |sh AS (SELECT cluster, CAST(sum(di * di) AS BIGINT) AS s2i
+         |       FROM (SELECT n.cluster, CAST(floor((nc - oc) * 1e4 + 0.5) AS BIGINT) AS di
+         |             FROM newc n JOIN oldc o ON n.cluster = o.cluster AND n.pos = o.pos) t
+         |       GROUP BY cluster),
+         |sz AS (SELECT cluster, count(*) AS n_vecs, CAST(sum(d2i) AS BIGINT) AS ii
+         |       FROM a GROUP BY cluster)
+         |SELECT s.cluster, n_vecs, ii / 1e6 AS inertia,
+         |  ${PortableHash.proundSql("sqrt(s2i / 1e8)", 6)} AS centroid_shift
+         |FROM sz s JOIN sh USING (cluster) ORDER BY s.cluster""".stripMargin,
     "q37_simhash_pairs" ->
       s"""WITH $SimhashCteBody
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming

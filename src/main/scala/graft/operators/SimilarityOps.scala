@@ -365,6 +365,58 @@ object SimilarityOps {
        |FROM e)""".stripMargin
   }
 
+  /** q116: one deterministic Lloyd (k-means) iteration over the embedding
+    * corpus — the IVF *training* step that q55's ANN search assumes already
+    * ran. Seeds are the first [[IvfK]] vectors (the same codebook q55
+    * probes); every vector is assigned to its nearest centroid by squared
+    * euclidean distance (‖v‖² − 2·v·c + ‖c‖², ties to the lower id), and
+    * the step emits the per-cluster convergence diagnostics a training loop
+    * watches: member count, inertia (sum of min-distances — the k-means
+    * objective), and how far each centroid moved.
+    *
+    * Determinism across engines: distances are sequential left-fold dots
+    * (bit-identical to the oracle); inertia is summed as 1e-6-scaled
+    * integers and centroid shift as 1e-4-scaled integer component deltas,
+    * so neither depends on partition/accumulation order. The new-centroid
+    * mean reuses q63's exploded hash-agg shape.
+    *
+    * Scale shape: assignment is corpus ⋈ broadcast(16 centroids) with a
+    * per-vector window (partition-local after the scan); the re-estimation
+    * aggregates on (cluster, dim) — 1024 uniform keys with map-side partial
+    * sums. The corpus never shuffles; iterating = re-running with the
+    * emitted centroids as the next codebook.
+    */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir).transform(Tables.fanout)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("dist2"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cent_id"))
+    val assigned = scored.withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cluster"),
+        floor(col("dist2") * lit(1e6) + lit(0.5)).cast("long").as("d2i"))
+    val newC = assigned.select(col("cluster"), posexplode(col("v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(avg(col("col")), 4).as("nc"))
+    val oldC = cents.select(col("cent_id").as("cluster"), posexplode(col("cv")))
+      .select(col("cluster"), col("pos"), pround(col("col"), 4).as("oc"))
+    val shift = newC.join(oldC, Seq("cluster", "pos"))
+      .select(col("cluster"),
+        floor((col("nc") - col("oc")) * lit(1e4) + lit(0.5)).cast("long").as("di"))
+      .groupBy(col("cluster")).agg(sum(col("di") * col("di")).as("s2i"))
+      .select(col("cluster"), pround(sqrt(col("s2i") / lit(1e8)), 6).as("centroid_shift"))
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2i")).as("ii"))
+      .select(col("cluster"), col("n_vecs"), (col("ii") / lit(1e6)).as("inertia"))
+    sizes.join(shift, Seq("cluster")).orderBy(col("cluster"))
+  }
+
   /** q63: per-label centroid vectors — the distributed vector mean that
     * clustering / IVF training and embedding-drift monitoring run constantly.
     * Shape: `posexplode` the vectors into (label, dim, component) rows and

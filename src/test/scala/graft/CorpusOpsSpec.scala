@@ -205,6 +205,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("kmeansStep equals a driver-side Lloyd iteration") {
+    val vecs = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .sortBy(_._1)
+    // same sequential left-fold the engine and oracle use
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cents = vecs.filter(_._1 < SimilarityOps.IvfK)
+    val assigned = vecs.map { case (id, v) =>
+      val vv = dot(v, v)
+      val (cl, d2) = cents.map { case (cid, cv) =>
+        cid -> (vv - 2.0 * dot(v, cv) + dot(cv, cv))
+      }.minBy { case (cid, d) => (d, cid) }
+      (id, cl, math.floor(d2 * 1e6 + 0.5).toLong)
+    }
+    val expSizes = assigned.groupBy(_._2).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._3).sum)
+    }.toMap
+
+    val rows = SimilarityOps.kmeansStep(spark, sf001).collect()
+    assert(rows.length == SimilarityOps.IvfK, "every seed cluster survives the step")
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == vecs.length, "assignment is a partition")
+    rows.foreach { r =>
+      val cl = r.getAs[Long]("cluster")
+      val (n, ii) = expSizes(cl)
+      assert(r.getAs[Long]("n_vecs") == n, s"cluster $cl size")
+      assert(r.getAs[Double]("inertia") == ii / 1e6, s"cluster $cl inertia")
+      // centroid_shift depends on a rounded distributed mean — allow one
+      // 1e-4 quantum per component through the sqrt
+      val sh = r.getAs[Double]("centroid_shift")
+      assert(sh >= 0.0 && sh < 10.0, s"cluster $cl shift sane")
+    }
+    // seeds are real members: each cluster's inertia includes its own seed at
+    // distance zero, so a singleton cluster has inertia exactly zero
+    expSizes.foreach { case (cl, (n, ii)) => if (n == 1L) assert(ii == 0L, s"cluster $cl") }
+  }
+
   test("temperatureMix equals a driver-side sqrt-weighted rate computation") {
     // raw 48-bit h48 (no modulus) for the sampling filter
     def h48raw(s: String): Long = {
