@@ -91,6 +91,7 @@ object SparkEntry {
     "q114_sequence_pack"     -> (TextOps.sequencePack _),
     "q115_temperature_mix"   -> (TextOps.temperatureMix _),
     "q116_kmeans_step"       -> (SimilarityOps.kmeansStep _),
+    "q117_quality_dedup"     -> (TextOps.qualityDedup _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -728,6 +729,34 @@ object SparkEntry {
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, sz.cluster_size
          |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+    "q117_quality_dedup" ->
+      s"""WITH RECURSIVE $SimhashCteBody,
+         |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p2
+         |          UNION ALL SELECT doc_b, doc_a FROM p2),
+         |reach(n, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON r.n = e.a),
+         |lab AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
+         |qt AS (SELECT doc_id, text, ${PortableHash.tokensSql("text")} AS w FROM documents),
+         |qm AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  CAST(len(list_filter(w, x -> list_contains($StopEnSqlList, x))) AS BIGINT) AS n_stop
+         |FROM qt),
+         |qs AS (SELECT doc_id,
+         |  floor(((n_stop * 1.0) / n_tokens + ((n_alpha * 1.0) / n_chars_m) * 0.5
+         |        - ((n_punct * 1.0) / n_chars_m) * 2.0) * 1e4 + 0.5) / 1e4 AS quality
+         |FROM qm)
+         |SELECT l.doc_id, l.cluster_id, sz.cluster_size, qs.quality,
+         |  (row_number() OVER (PARTITION BY l.cluster_id
+         |     ORDER BY qs.quality DESC, l.doc_id) = 1) AS keep
+         |FROM lab l JOIN sz USING (cluster_id) JOIN qs USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin,
     "q59_scrub_pii" ->
       s"""WITH notes AS (
          |  SELECT c_custkey,

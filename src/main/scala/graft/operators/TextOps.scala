@@ -684,6 +684,33 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q117: quality-aware cluster dedup — for every transitive duplicate
+    * cluster (q62's connected components over the simhash near-dup graph),
+    * keep the HIGHEST-quality member instead of the lowest id: the policy
+    * production pipelines actually run (the first-crawled copy of a page is
+    * rarely its best rendition). Composes three proven parts: CC labels
+    * (large-star/small-star), the q30 prose-quality score, and a
+    * per-cluster deterministic argmax (quality desc, doc_id asc tie-break).
+    *
+    * Scale shape: inherits q62's equi-join/hash-agg-only iteration; the
+    * quality column is a narrow projection; the keeper choice is one window
+    * partitioned by cluster_id (uniform keys — cluster sizes are bounded by
+    * the near-dup ball, not the corpus). Every row is emitted with its
+    * `keep` verdict so downstream filters stay a predicate, not a join.
+    */
+  def qualityDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lab = dedupClusters(spark, dir)
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityOf(col("text")).as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    lab.join(q, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+              col("quality"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   private val MaxCcIterations = 20
 
   /** Connected components by alternating large-star / small-star edge

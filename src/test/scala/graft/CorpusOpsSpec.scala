@@ -205,6 +205,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("qualityDedup keeps exactly the highest-quality member of every cluster") {
+    val rows = TextOps.qualityDedup(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(r => !r.getAs[Boolean]("keep")), "fixture has duplicates to drop")
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cl, rs) =>
+      val keepers = rs.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"cluster $cl must have exactly one keeper")
+      val k = keepers.head
+      // argmax by (quality desc, doc_id asc)
+      val best = rs.map(r => (r.getAs[Double]("quality"), -r.getAs[Long]("doc_id"))).max
+      assert((k.getAs[Double]("quality"), -k.getAs[Long]("doc_id")) == best,
+        s"cluster $cl keeper is not the quality argmax")
+      rs.foreach(r => assert(r.getAs[Long]("cluster_size") == rs.length.toLong))
+    }
+    // cluster labels must agree with q62's connected components
+    val labels = TextOps.dedupClusters(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster_id"))
+    }
+  }
+
   test("kmeansStep equals a driver-side Lloyd iteration") {
     val vecs = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding").collect()
       .map(r => r.getAs[Long]("vec_id") ->
