@@ -25,12 +25,18 @@ object Bench {
     // (GC/JIT-deopt/page-cache luck), and the min of two cold-cache runs is
     // a steadier estimate of steady-state cost (each pass still pays its
     // full pipeline — caches are cleared before every query).
+    // A failed query must never masquerade as a fast one (a broken reader
+    // once yielded 23 exception-timed ~0.06 s rows): record every throw and
+    // surface the list in the JSON line.
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         spark.catalog.clearCache()   // per-query cold cache; no cross-query cache pollution
         System.gc()   // keep GC pauses out of individual query timings
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName}"; -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val pass1 = timedPass().toMap
@@ -42,7 +48,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -148,8 +148,9 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events carries TIMESTAMP(NANOS) — read it as raw long (the Tables
-    // convention) so the tiled copy round-trips as plain INT64 nanos
+    // if events carries TIMESTAMP(NANOS), read it as raw long so the tiled
+    // copy round-trips as plain INT64 nanos; Tables.normalizeEventTs probes
+    // the tiled layout either way (micros layouts are unaffected)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val marker = new java.io.File(s"$out/_TILED_$tiles")
     if (!marker.exists()) {
@@ -171,7 +172,21 @@ object ScaleBench {
       System.err.println(f"[scale] $name%-22s $sec%8.2f s  ($n rows)")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Label-reuse path: a composed pipeline that just ran q62 already holds
+    // the cluster labels, so q117's marginal cost on top of them is one
+    // quality projection + window + join — measure that form separately
+    // (the standalone q117 row above stays the oracle-checked composition).
+    val shared =
+      if (results.exists(_._1 == "q117_quality_dedup")) {
+        val labels = graft.operators.TextOps.dedupClusters(spark, out).localCheckpoint()
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        val n = graft.operators.TextOps.qualityDedupOf(spark, out, labels).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] q117_shared_labels    $sec%8.2f s  ($n rows)")
+        Seq("q117_shared_labels" -> sec)
+      } else Seq.empty
+    val qs = (results ++ shared).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$src x$tiles","tiles":$tiles}""")
     spark.stop()

@@ -658,9 +658,9 @@ object SparkEntry {
          |c AS (SELECT doc_id, tok,
          |  sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t),
          |a AS (SELECT doc_id, tok,
-         |  (cum - tok) // ${TextOps.PackBudget} AS shard,
-         |  CASE WHEN tok > 0 THEN (cum - 1) // ${TextOps.PackBudget}
-         |       ELSE (cum - tok) // ${TextOps.PackBudget} END AS end_shard
+         |  CAST((cum - tok) // ${TextOps.PackBudget} AS BIGINT) AS shard,
+         |  CAST(CASE WHEN tok > 0 THEN (cum - 1) // ${TextOps.PackBudget}
+         |       ELSE (cum - tok) // ${TextOps.PackBudget} END AS BIGINT) AS end_shard
          |FROM c)
          |SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS shard_tokens,
          |  CAST(sum(CASE WHEN end_shard > shard THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
@@ -696,7 +696,10 @@ object SparkEntry {
          |      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
          |              ORDER BY dist2, cent_id) AS rn FROM scored)
          |      WHERE rn = 1),
-         |newc AS (SELECT cluster, i - 1 AS pos, round(avg(v[i]), 4) AS nc
+         |newc AS (SELECT cluster, i - 1 AS pos,
+         |           ${PortableHash.proundSql(
+                       "CAST(CAST(sum(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) " +
+                       "AS DOUBLE) / 1e9 / count(*)", 4)} AS nc
          |         FROM a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
          |         GROUP BY 1, 2),
          |oldc AS (SELECT cent_id AS cluster, i - 1 AS pos,
@@ -812,11 +815,13 @@ object SparkEntry {
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q63_label_centroids" ->
-      """SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
-        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid,
-        |  count(*) AS n_vecs
-        |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
+         |  ${PortableHash.proundSql(
+             "CAST(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) " +
+             "AS BIGINT) AS DOUBLE) / 1e9 / count(*)", 4)} AS centroid,
+         |  count(*) AS n_vecs
+         |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q40_cosine_topk" ->
       s"""${SimilarityOps.vectorsCteSql},
          |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM vecs WHERE vec_id < 10),

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical parquet scans over the driver test tables (TESTDATA.md).
   *
@@ -25,17 +27,43 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which the Spark
-    * vectorized reader rejects; read it as nanos-long (legacy conf) and
-    * truncate to a micros timestamp with *integer* division (a double
-    * division would lose precision above 2^53 ns ≈ 1970+104 days — and
-    * DuckDB's own ns→us conversion truncates identically).
+  /** Normalize the events `ts` column to `timestamp_ntz` whatever the
+    * on-disk parquet layout. Observed layouts of the driver's test tables:
+    *
+    *  - TIMESTAMP(NANOS): the vectorized reader rejects it unless the
+    *    legacy nanos-as-long conf is set, in which case `ts` scans as
+    *    `LongType` nanos → truncate to micros with *integer* division (a
+    *    double division would lose precision above 2^53 ns, and DuckDB's
+    *    own ns→us conversion truncates identically) and re-type.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): scans directly as
+    *    `timestamp_ntz` → pass through.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=true): scans as `timestamp` →
+    *    cast to ntz (sessions run UTC, so the wall clock is unchanged).
+    *
+    * Probing the SCANNED schema instead of assuming one historical layout is
+    * the same defensive seam [[readStreamTable]] applies to the directory
+    * question — a production table's physical encoding is the writer's
+    * choice, not the engine's.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    case TimestampNTZType => df
+    case TimestampType    => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported physical type $other (expected int64 nanos or timestamp)")
+  }
+
+  /** Micros-since-epoch from a [[normalizeEventTs]]-normalized ntz `ts`
+    * (sessions run UTC, so ntz wall time == the instant).
+    */
+  def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // harmless under the micros layouts (only NANOS columns are affected);
+    // required before the scan under the nanos layout
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+    normalizeEventTs(apply(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
@@ -61,6 +89,15 @@ object Tables {
     else
       spark.readStream.schema(schema)
         .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
+  /** Streaming events source with the same layout-probed `ts` normalization
+    * as the batch [[events]] reader — every streaming query reads through
+    * here so batch and streaming can never disagree on the physical layout.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(readStreamTable(spark, dir, "events"))
   }
 
   /** Test-scale fan-out seam. Local runs scan ONE parquet file per table, so

@@ -401,9 +401,17 @@ object SimilarityOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cluster"),
         floor(col("dist2") * lit(1e6) + lit(0.5)).cast("long").as("d2i"))
+    // mean via 1e-9-scaled integer sums (the q115 normalizer trick): a
+    // double `avg` is accumulation-order dependent at 4-dp rounding
+    // boundaries; exact integer sums make the result partition-count
+    // independent. Headroom: |component|·1e9 ≲ 1e10 per row, so the
+    // per-(cluster,dim) sum stays < 2^63 up to ~1e8 members per cluster.
     val newC = assigned.select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))
-      .agg(round(avg(col("col")), 4).as("nc"))
+      .agg(sum(floor(col("col") * lit(1e9) + lit(0.5)).cast("long")).as("ci"),
+           count(lit(1)).as("nn"))
+      .select(col("cluster"), col("pos"),
+        pround(col("ci").cast("double") / lit(1e9) / col("nn").cast("double"), 4).as("nc"))
     val oldC = cents.select(col("cent_id").as("cluster"), posexplode(col("cv")))
       .select(col("cluster"), col("pos"), pround(col("col"), 4).as("oc"))
     val shift = newC.join(oldC, Seq("cluster", "pos"))
@@ -424,15 +432,21 @@ object SimilarityOps {
     * small keys, partial sums map-side, and NO per-partition array state, so
     * it scales to any dimension × corpus size (the per-group alternative of
     * `aggregate()` over collected arrays would hold whole vectors per group
-    * in memory). Components are summed as doubles (float→double is exact).
+    * in memory). Components are summed as 1e-9-scaled integers (exact, so
+    * the mean is independent of partition/accumulation order — a double
+    * `avg` can flip the 4-dp rounding at boundaries).
     */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .transform(Tables.fanout)
     e.select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos").cast("long").as("dim_idx"))
-      .agg(round(avg(col("col").cast("double")), 4).as("centroid"),
+      .agg(sum(floor(col("col").cast("double") * lit(1e9) + lit(0.5)).cast("long")).as("ci"),
            count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim_idx"),
+        pround(col("ci").cast("double") / lit(1e9) / col("n_vecs").cast("double"), 4)
+          .as("centroid"),
+        col("n_vecs"))
       .orderBy(col("label"), col("dim_idx"))
   }
 }

@@ -698,13 +698,21 @@ object TextOps {
     * the near-dup ball, not the corpus). Every row is emitted with its
     * `keep` verdict so downstream filters stay a predicate, not a join.
     */
-  def qualityDedup(spark: SparkSession, dir: String): DataFrame = {
-    val lab = dedupClusters(spark, dir)
+  def qualityDedup(spark: SparkSession, dir: String): DataFrame =
+    qualityDedupOf(spark, dir, dedupClusters(spark, dir))
+
+  /** Label-reuse form of [[qualityDedup]]: a pipeline that already holds
+    * cluster labels (doc_id, cluster_id, cluster_size) — e.g. one that just
+    * ran [[dedupClusters]] — pays only the quality projection + one window
+    * here instead of re-running the whole SimHash+CC pass. The standalone
+    * [[qualityDedup]] stays as the oracle-checked composition.
+    */
+  def qualityDedupOf(spark: SparkSession, dir: String, labels: DataFrame): DataFrame = {
     val q = Tables.documents(spark, dir)
       .select(col("doc_id"), qualityOf(col("text")).as("quality"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
-    lab.join(q, "doc_id")
+    labels.join(q, "doc_id")
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
               col("quality"), col("keep"))
@@ -712,6 +720,13 @@ object TextOps {
   }
 
   private val MaxCcIterations = 20
+
+  /** Edge count above which [[ccLargeSmallStar]] fuses two alternation
+    * rounds per planned job (see the loop comment there). The sf1 scale
+    * probe's near-dup graph (~8M edges) sits well above; sf0.1 (~8×
+    * smaller) well below.
+    */
+  private val FuseEdgeThreshold = 2000000L
 
   /** Connected components by alternating large-star / small-star edge
     * rewrites (Kiveris et al., "Connected Components in MapReduce and
@@ -743,7 +758,8 @@ object TextOps {
     * @return (doc_id, label) with label = min reachable id
     */
   def ccLargeSmallStar(vertices: DataFrame, pairs: DataFrame,
-      persist: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      persist: DataFrame => DataFrame = _.localCheckpoint(),
+      fuseRounds: Boolean = false): DataFrame = {
     val canon = pairs.toDF("a", "b")
       .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
@@ -776,14 +792,26 @@ object TextOps {
     var rounds = 0
     var prevProbe = (-1L, -1L)
     while (!converged && rounds < MaxCcIterations) {
-      // TWO alternation rounds fused into one planned/persisted job: the
-      // intermediate edge set is never materialized, and the fixed
-      // per-iteration driver taxes — Catalyst analysis/planning, the
-      // checkpoint barrier, the probe job — are paid once per double-round.
-      // (The sf1 in-sequence profile showed ~half of q62's wall time was
-      // this per-round driver overhead, not executor work.)
-      edges = persist(smallStar(largeStar(smallStar(largeStar(edges)))))
-      rounds += 2
+      // Each loop iterate applies the SAME composite function (a full
+      // large-star→small-star alternation round, or two of them fused), so
+      // equal consecutive iterates occur exactly at the fixpoint — the
+      // alternation is a monotone descent, no period-2 oscillation can fake
+      // convergence.
+      //
+      // `fuseRounds` trades probe granularity for per-iteration driver tax:
+      // fused, TWO alternation rounds run as one planned/persisted job — the
+      // intermediate edge set never materializes and the fixed costs
+      // (Catalyst analysis/planning, checkpoint barrier, probe job) are paid
+      // once per double-round, which the sf1 in-sequence profile showed was
+      // ~half of wall time on dense 8M-edge graphs. Unfused, the probe runs
+      // every single round, so small/sparse graphs (which converge in few
+      // rounds) never pay an extra idempotent double-round — the fused form
+      // cost ~2–3× at sf0.1 for exactly that reason. Callers gate on edge
+      // count ([[dedupClusters]]).
+      edges = persist(
+        if (fuseRounds) smallStar(largeStar(smallStar(largeStar(edges))))
+        else smallStar(largeStar(edges)))
+      rounds += (if (fuseRounds) 2 else 1)
       // set-identity probe: count + order-independent sum of a codegen'd
       // per-edge hash (xxhash64 — no string building, no interpreted
       // ConcatWs/md5 per edge per round; at 8M edges the md5 form burned
@@ -794,11 +822,6 @@ object TextOps {
         coalesce(sum(pmod(xxhash64(col("hi"), col("lo")), lit(1000000007L))),
           lit(0L))).head
       val probe = (p.getLong(0), p.getLong(1))
-      // distance-2 compare: the alternation is a monotone descent (each
-      // round only lowers hook targets), so equal edge sets two rounds
-      // apart occur exactly at the fixpoint — no period-2 oscillation can
-      // fake convergence. Worst case vs per-round probing: one extra
-      // (idempotent) double-round.
       converged = probe == prevProbe
       prevProbe = probe
     }
@@ -843,7 +866,13 @@ object TextOps {
     loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val pairsLoop = loopSession.createDataFrame(pairs.rdd, pairs.schema)
     val verticesLoop = Tables.documents(loopSession, dir).select(col("doc_id"))
-    val labels = ccLargeSmallStar(verticesLoop, pairsLoop)
+    // Dense graphs amortize per-round driver tax by fusing two alternation
+    // rounds per job (executor work dominates there); sparse graphs converge
+    // in few rounds and want the per-round probe instead — the fused form
+    // pays up to one extra idempotent double-round, which at sf0.1 cost
+    // 2–3× total query time.
+    val labels = ccLargeSmallStar(verticesLoop, pairsLoop,
+      fuseRounds = nEdges >= FuseEdgeThreshold)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

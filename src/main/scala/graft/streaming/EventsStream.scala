@@ -54,12 +54,8 @@ object EventsStream {
     * unification of the engine.
     */
   def streamingTumbling(spark: SparkSession, dir: String): DataFrame = {
-    // Schema must be supplied for a streaming file source; reuse the batch
-    // reader's (nanos-as-long) schema, then apply the same ts conversion.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_tumbling_${counter.incrementAndGet()}"
-    val stream = Tables.readStreamTable(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.eventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
                col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
@@ -86,10 +82,9 @@ object EventsStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = 30L * 60 * 1000 * 1000
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_sess_${counter.incrementAndGet()}"
-    val events = Tables.readStreamTable(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us")).as[Ev]
+    val events = Tables.eventsStream(spark, dir)
+      .select(col("user_id"), Tables.tsMicros(col("ts")).as("ts_us")).as[Ev]
 
     val sessions = events
       .groupByKey(_.user_id)
@@ -131,11 +126,11 @@ object EventsStream {
     * eviction through a no-data micro-batch after the last file batch.
     */
   def streamingTumblingAppend(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_append_${counter.incrementAndGet()}"
     withStatePartitions(spark) {
-      val q = Tables.readStreamTable(spark, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = Tables.eventsStream(spark, dir)
+        // watermarks require TIMESTAMP event time (UTC session: same instant)
+        .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", AppendDelay)
         // group by the window STRUCT (not .start): the struct carries the
         // event-time metadata append mode needs to close windows
@@ -164,11 +159,11 @@ object EventsStream {
     * window_end ≤ max(event time) − delay.
     */
   def streamingSlidingAppend(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_sliding_append_${counter.incrementAndGet()}"
     withStatePartitions(spark) {
-      val q = Tables.readStreamTable(spark, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = Tables.eventsStream(spark, dir)
+        // watermarks require TIMESTAMP event time (UTC session: same instant)
+        .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", AppendDelay)
         // group by the window STRUCT: append mode closes windows off its
         // event-time metadata (same contract as q108)
@@ -193,11 +188,9 @@ object EventsStream {
     * Output equals the batch window explode + hash agg (same oracle shape).
     */
   def streamingSliding(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_sliding_${counter.incrementAndGet()}"
     withStatePartitions(spark) {
-      val q = Tables.readStreamTable(spark, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = Tables.eventsStream(spark, dir)
         .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("win_start"),
                  col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -220,12 +213,11 @@ object EventsStream {
     * DuckDB oracle).
     */
   def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_enrich_${counter.incrementAndGet()}"
     val dim = broadcast(Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
     withStatePartitions(spark) {
-      val q = Tables.readStreamTable(spark, dir, "events")
+      val q = Tables.eventsStream(spark, dir)
         .join(dim, Seq("user_id"))                     // stream ⋈ static (broadcast)
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
@@ -247,13 +239,13 @@ object EventsStream {
     * equals the batch interval join (the DuckDB oracle).
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_join_${counter.incrementAndGet()}"
     def side(evType: String, prefix: String) =
-      Tables.readStreamTable(spark, dir, "events")
+      Tables.eventsStream(spark, dir)
         .filter(col("event_type") === evType)
         .select(col("user_id").as(s"${prefix}_user"),
-          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"),
+          // watermarks require TIMESTAMP event time (UTC session: same instant)
+          col("ts").cast("timestamp").as(s"${prefix}_ts"),
           col("event_id").as(s"${prefix}_id"))
         .withWatermark(s"${prefix}_ts", "1 hour")
     withStatePartitions(spark) {
@@ -283,9 +275,7 @@ object EventsStream {
     */
   def foreachBatchUpsert(spark: SparkSession, dir: String, targetDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = Tables.readStreamTable(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val stream = Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -318,11 +308,10 @@ object EventsStream {
     * watermark advancement, which a one-shot replay leaves open).
     */
   def dedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"stream_dedup_${counter.incrementAndGet()}"
     withStatePartitions(spark) {
-      val q = Tables.readStreamTable(spark, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = Tables.eventsStream(spark, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))

@@ -38,9 +38,11 @@ class IncrementalReplaySpec extends SparkSpec {
 
   private def streamEvents: DataFrame = {
     val (dir, schema) = multi
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+      // watermarks require TIMESTAMP event time (UTC session: same instant)
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -173,7 +175,7 @@ class IncrementalReplaySpec extends SparkSpec {
     val gapUs = 30L * 60 * 1000 * 1000
     val name = s"inc_sess_${counter.incrementAndGet()}"
     val sessions = streamEvents
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Ev]
+      .select(col("user_id"), Tables.tsMicros(col("ts")).as("ts_us")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[St, Sess](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[St]) =>
