@@ -48,4 +48,27 @@ class AnnPartitionSpec extends SparkSpec {
     val direct = assigned.filter(col("cell").isin(3, 7)).count()
     assert(probed.count() == direct)
   }
+
+  test("centroid means are independent of partition count (scaled-integer sums)") {
+    // the rounded mean must not depend on accumulation order: a 1-partition
+    // (sequential) and a many-partition run must agree cell-for-cell —
+    // a plain double avg() flips 4-dp roundings at boundaries
+    def fingerprint(parts: Int): Seq[org.apache.spark.sql.Row] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s.conf.set("graft.fanout.enabled", (parts > 1).toString)
+      graft.operators.SimilarityOps.labelCentroids(s, sf001).collect().toSeq
+    }
+    val one = fingerprint(1)
+    val many = fingerprint(32)
+    assert(one == many, "labelCentroids drifted with partition count")
+
+    def kstep(parts: Int): Seq[org.apache.spark.sql.Row] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s.conf.set("graft.fanout.enabled", (parts > 1).toString)
+      graft.operators.SimilarityOps.kmeansStep(s, sf001).collect().toSeq
+    }
+    assert(kstep(1) == kstep(32), "kmeansStep drifted with partition count")
+  }
 }
