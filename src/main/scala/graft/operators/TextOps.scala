@@ -728,6 +728,18 @@ object TextOps {
     */
   private val FuseEdgeThreshold = 2000000L
 
+  /** Drop the storage blocks behind a materialized [[ccLargeSmallStar]]
+    * `persist` seam output (localCheckpoint/checkpoint both plan as a leaf
+    * RDD scan). No-op when the seam didn't materialize (identity persist in
+    * property tests) — then there are no blocks to free and lineage still
+    * recomputes.
+    */
+  private def freeMaterialized(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Connected components by alternating large-star / small-star edge
     * rewrites (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", 2014). Unlike min-label propagation, NO side of any join is
@@ -791,6 +803,7 @@ object TextOps {
     var converged = false
     var rounds = 0
     var prevProbe = (-1L, -1L)
+    var prevEdges = edges
     while (!converged && rounds < MaxCcIterations) {
       // Each loop iterate applies the SAME composite function (a full
       // large-star→small-star alternation round, or two of them fused), so
@@ -824,6 +837,14 @@ object TextOps {
       val probe = (p.getLong(0), p.getLong(1))
       converged = probe == prevProbe
       prevProbe = probe
+      // the superseded round's blocks are dead the moment the new edge set
+      // is materialized (probe above forces it) — free them NOW instead of
+      // waiting for the GC-driven ContextCleaner: an iterative operator
+      // that retains every round's state holds rounds × |edges| of
+      // executor storage at 100 TB (and measurably degrades co-resident
+      // queries even in the local harness)
+      freeMaterialized(prevEdges)
+      prevEdges = edges
     }
     // fixpoint edges are (member, component-min) stars; isolated nodes
     // label themselves
