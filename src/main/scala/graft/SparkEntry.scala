@@ -92,6 +92,7 @@ object SparkEntry {
     "q115_temperature_mix"   -> (TextOps.temperatureMix _),
     "q116_kmeans_step"       -> (SimilarityOps.kmeansStep _),
     "q117_quality_dedup"     -> (TextOps.qualityDedup _),
+    "q118_kmeans_train"      -> (SimilarityOps.kmeansTrain _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -714,6 +715,7 @@ object SparkEntry {
          |SELECT s.cluster, n_vecs, ii / 1e6 AS inertia,
          |  ${PortableHash.proundSql("sqrt(s2i / 1e8)", 6)} AS centroid_shift
          |FROM sz s JOIN sh USING (cluster) ORDER BY s.cluster""".stripMargin,
+    "q118_kmeans_train" -> SimilarityOps.kmeansTrainSql,
     "q37_simhash_pairs" ->
       s"""WITH $SimhashCteBody
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming

@@ -425,6 +425,120 @@ object SimilarityOps {
     sizes.join(shift, Seq("cluster")).orderBy(col("cluster"))
   }
 
+  /** Lloyd iterations for [[kmeansTrain]] (fixed so the oracle can unroll
+    * the same number of CTE blocks). */
+  val KmeansIters = 3
+
+  /** q118: full IVF codebook TRAINING — [[KmeansIters]] Lloyd iterations
+    * over the embedding corpus, completing the ANN stack's lifecycle
+    * (train the codebook here → q116 audits one step's diagnostics → q55
+    * searches with it). Emits the final centroids as (cluster, dim_idx,
+    * centroid) rows plus each cluster's final member count.
+    *
+    * Engine-exact iteration: assignments order by (dist2, cluster) where
+    * dist2 is built from sequential left-fold dots (bit-identical across
+    * engines); each re-estimated mean is a 1e-9-scaled integer sum rounded
+    * to 4 dp (partition-order independent), and the NEXT iteration's
+    * distances are computed from those rounded values, so every iteration's
+    * inputs are bit-identical on both sides. A cluster that loses all
+    * members keeps its previous centroid (rounded), both sides.
+    *
+    * Scale shape: the corpus NEVER shuffles — each iteration is one corpus
+    * scan ⋈ broadcast(K centroids) + one (cluster, dim) hash aggregate
+    * (K·Dim uniform keys, partial map-side). Centroid state between
+    * iterations is a K-row checkpoint, freed eagerly when superseded (the
+    * [[TextOps.ccLargeSmallStar]] iterative-state discipline); lineage
+    * never grows with iteration count. At 100 TB the same loop runs with
+    * the corpus scan as the only wide input, 3 passes total.
+    */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def corpus = Tables.embeddings(spark, dir).transform(Tables.fanout)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var cents = corpus.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+      .localCheckpoint()
+    var sizes: DataFrame = null
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cluster"))
+    for (k <- 1 to KmeansIters) {
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cluster"),
+          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+            + dot(col("cv"), col("cv"))).as("dist2"))
+        .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cluster"))
+      val means = assigned.select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(floor(col("col") * lit(1e9) + lit(0.5)).cast("long")).as("ci"),
+             count(lit(1)).as("nn"))
+        .select(col("cluster"), col("pos"),
+          pround(col("ci").cast("double") / lit(1e9) / col("nn").cast("double"), 4).as("nc"))
+      // empty clusters keep their previous centroid (4-dp view of it)
+      val prevRows = cents.select(col("cluster"), posexplode(col("cv")))
+        .select(col("cluster"), col("pos"), pround(col("col"), 4).as("pc"))
+      val nextRows = prevRows.join(means, Seq("cluster", "pos"), "left")
+        .select(col("cluster"), col("pos"), coalesce(col("nc"), col("pc")).as("nc"))
+      val next = nextRows.groupBy(col("cluster"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("nc")))),
+          x => x.getField("nc")).as("cv"))
+        .localCheckpoint()
+      // checkpoint the K-row sizes BEFORE freeing the centroids they were
+      // assigned against — a lazy reference into freed checkpoint blocks
+      // cannot recompute (truncated lineage)
+      if (k == KmeansIters)
+        sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+          .localCheckpoint()
+      TextOps.freeMaterialized(cents)
+      cents = next
+    }
+    cents.select(col("cluster"), posexplode(col("cv")))
+      .select(col("cluster"), col("pos").cast("long").as("dim_idx"),
+        pround(col("col"), 4).as("centroid"))
+      .join(sizes, Seq("cluster"), "left")
+      .select(col("cluster"), col("dim_idx"), col("centroid"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .orderBy(col("cluster"), col("dim_idx"))
+  }
+
+  /** The q118 oracle: the same [[KmeansIters]] Lloyd iterations unrolled as
+    * DuckDB CTE blocks (one assignment + re-estimation + carry-forward +
+    * array-rebuild block per iteration), generated from the SAME constants
+    * so Spark and SQL can never disagree on iteration count or tie rules.
+    */
+  def kmeansTrainSql: String = {
+    import graft.functions.PortableHash.proundSql
+    val g = "(SELECT unnest(generate_series(1, 64)) AS i) g"
+    def dist2(cv: String) =
+      s"${dotSql("e.v", "e.v")} - 2.0 * ${dotSql("e.v", cv)} + ${dotSql(cv, cv)}"
+    val blocks = (1 to KmeansIters).map { k =>
+      val prev = s"c${k - 1}"
+      s"""a$k AS (SELECT vec_id, v, cluster FROM (
+         |  SELECT e.vec_id, e.v, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist2("c.cv")}, c.cluster) AS rn
+         |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
+         |m$k AS (SELECT cluster, i - 1 AS pos,
+         |  ${proundSql(
+               "CAST(CAST(sum(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) " +
+               "AS DOUBLE) / 1e9 / count(*)", 4)} AS nc
+         |  FROM a$k CROSS JOIN $g GROUP BY 1, 2),
+         |r$k AS (SELECT p.cluster, p.pos, coalesce(m.nc, p.pc) AS nc
+         |  FROM (SELECT cluster, i - 1 AS pos, ${proundSql("cv[i]", 4)} AS pc
+         |        FROM $prev CROSS JOIN $g) p
+         |  LEFT JOIN m$k m ON p.cluster = m.cluster AND p.pos = m.pos),
+         |c$k AS (SELECT cluster, list(nc ORDER BY pos) AS cv FROM r$k GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $IvfK),
+       |$blocks,
+       |s AS (SELECT cluster, count(*) AS n_vecs FROM a$KmeansIters GROUP BY cluster)
+       |SELECT c.cluster, CAST(i - 1 AS BIGINT) AS dim_idx,
+       |  ${proundSql("cv[i]", 4)} AS centroid,
+       |  coalesce(n_vecs, 0) AS n_vecs
+       |FROM c$KmeansIters c CROSS JOIN $g LEFT JOIN s ON c.cluster = s.cluster
+       |ORDER BY c.cluster, dim_idx""".stripMargin
+  }
+
   /** q63: per-label centroid vectors — the distributed vector mean that
     * clustering / IVF training and embedding-drift monitoring run constantly.
     * Shape: `posexplode` the vectors into (label, dim, component) rows and

@@ -734,7 +734,7 @@ object TextOps {
     * property tests) — then there are no blocks to free and lineage still
     * recomputes.
     */
-  private def freeMaterialized(df: DataFrame): Unit =
+  private[operators] def freeMaterialized(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()

@@ -71,4 +71,23 @@ class AnnPartitionSpec extends SparkSpec {
     }
     assert(kstep(1) == kstep(32), "kmeansStep drifted with partition count")
   }
+
+  test("k-means training loop is partition-independent and conserves the corpus") {
+    def train(parts: Int): Seq[org.apache.spark.sql.Row] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s.conf.set("graft.fanout.enabled", (parts > 1).toString)
+      graft.operators.SimilarityOps.kmeansTrain(s, sf001).collect().toSeq
+    }
+    val one = train(1)
+    assert(one == train(32), "kmeansTrain drifted with partition count")
+    // shape: IvfK clusters × Dim dims, every cluster present even if empty
+    import graft.operators.SimilarityOps.{Dim, IvfK}
+    assert(one.size == IvfK * Dim)
+    // each corpus vector is assigned to exactly one cluster in the final pass
+    val nVecs = one.groupBy(_.getAs[Long]("cluster"))
+      .map(_._2.head.getAs[Long]("n_vecs")).sum
+    val corpus = Tables.embeddings(spark, sf001).count()
+    assert(nVecs == corpus, s"final assignment covers $nVecs of $corpus vectors")
+  }
 }
