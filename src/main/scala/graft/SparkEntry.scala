@@ -93,6 +93,7 @@ object SparkEntry {
     "q116_kmeans_step"       -> (SimilarityOps.kmeansStep _),
     "q117_quality_dedup"     -> (TextOps.qualityDedup _),
     "q118_kmeans_train"      -> (SimilarityOps.kmeansTrain _),
+    "q119_stream_left_join"  -> (EventsStream.streamStreamLeftJoin _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -386,6 +387,25 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, buy_id""".stripMargin,
+    "q119_stream_left_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT date_trunc('milliseconds',
+        |         least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)))
+        |       - INTERVAL 1 HOUR AS w),
+        |matched AS (
+        |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        |unmatched AS (
+        |  SELECT c.user_id, c.event_id AS click_id, CAST(NULL AS BIGINT) AS buy_id
+        |  FROM c, wm
+        |  WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |                    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE))
+        |SELECT user_id, click_id, buy_id FROM matched
+        |UNION ALL SELECT user_id, click_id, buy_id FROM unmatched
+        |ORDER BY click_id, buy_id NULLS FIRST""".stripMargin,
     "q57_salted_join" ->
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey

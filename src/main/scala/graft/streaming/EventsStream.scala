@@ -260,6 +260,43 @@ object EventsStream {
     spark.table(name).orderBy(col("click_id"), col("buy_id"))
   }
 
+  /** q119: stream-stream interval LEFT OUTER join — q58's attribution with
+    * the no-conversion channel, the shape a production attribution feed
+    * actually needs (clicks that never converted are rows, not absences).
+    * Outer semantics are watermark-driven: a click's null-extended row can
+    * only emit once the watermark proves no future purchase can match
+    * (wm > click_ts + 30min), at which point its join state is evicted —
+    * so state stays bounded exactly as in the inner form, and every click
+    * is emitted at most once (matched rows as they arrive, unmatched rows
+    * on eviction). Clicks still inside the watermark horizon at
+    * end-of-replay remain in state and emit nothing, so the DuckDB oracle
+    * is the batch interval join UNION the anti-joined clicks older than
+    * the final watermark (min of both sides' max event time − delay,
+    * millisecond-floored — the engine's watermark granularity).
+    */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_left_join_${counter.incrementAndGet()}"
+    def side(evType: String, prefix: String) =
+      Tables.eventsStream(spark, dir)
+        .filter(col("event_type") === evType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").cast("timestamp").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    withStatePartitions(spark) {
+      val q = side("click", "click").join(side("purchase", "buy"),
+          expr("""click_user = buy_user AND
+                  buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 30 MINUTES"""),
+          "leftOuter")
+        .select(col("click_user").as("user_id"), col("click_id"), col("buy_id"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .orderBy(col("click_id"), col("buy_id").asc_nulls_first)
+  }
+
   /** `foreachBatch` upsert sink — the reference's overwrite-by-name archive
     * semantics (report_generator.py:64-68: regenerating a letter replaces the
     * file with the same name) as a streaming merge: each micro-batch is

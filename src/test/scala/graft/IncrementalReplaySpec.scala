@@ -168,6 +168,59 @@ class IncrementalReplaySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer interval-join emits each unmatched click exactly once across batches") {
+    // q119's shape under true multi-batch replay: an unmatched click's
+    // null-extended row may only emit when the ADVANCING watermark proves
+    // no future purchase can match; crossing batch boundaries must neither
+    // drop it nor emit it twice
+    def side(evType: String, prefix: String) = streamEvents
+      .filter(col("event_type") === evType)
+      .select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"),
+              col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val name = s"inc_left_join_${counter.incrementAndGet()}"
+    val q = side("click", "click").join(side("purchase", "buy"),
+        expr("""click_user = buy_user AND
+                buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 30 MINUTES"""),
+        "leftOuter")
+      .select(col("click_id"), col("buy_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(streamed.length == streamed.toSet.size, "a row emitted more than once")
+    // batch twin: interval join ∪ watermark-closed unmatched clicks
+    val e = Tables.events(spark, sf001)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("buy_id"))
+    val matched = c.join(p, Seq("user_id"))
+      .filter(col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("buy_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def us(x: Any): Long = x match {
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000 +
+          d.getNano / 1000 % 1000
+      case t: java.sql.Timestamp => t.getTime * 1000 + t.getNanos / 1000 % 1000
+      case other => fail(s"unexpected timestamp class ${other.getClass}")
+    }
+    val maxC = us(c.agg(max(col("cts"))).head.get(0))
+    val maxP = us(p.agg(max(col("pts"))).head.get(0))
+    // the engine tracks watermarks at ms granularity
+    val wmUs = (math.min(maxC, maxP) / 1000) * 1000 - 3600L * 1000000
+    val matchedClicks = matched.map(_._1)
+    val unmatched = c.collect()
+      .map(r => (r.getAs[Long]("click_id"), us(r.getAs[Any]("cts"))))
+      .filter { case (id, t) => !matchedClicks.contains(id) &&
+        t + 30L * 60 * 1000000 < wmUs }
+      .map { case (id, _) => (id, -1L) }.toSet
+    assert(streamed.toSet == matched ++ unmatched)
+    assert(unmatched.nonEmpty, "fixture should close at least one unmatched click")
+  }
+
   test("flatMapGroupsWithState session state carries open sessions across batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
