@@ -124,6 +124,12 @@ object PlanAudit {
     // k-means step: assignment is corpus ⋈ broadcast(codebook) (no corpus
     // shuffle) and re-estimation partial-aggregates on (cluster, dim)
     audit("q116_kmeans_step", Seq("BroadcastNestedLoopJoin", "HashAggregate"))
+    // k-means TRAINING loop: each iteration runs eagerly at its checkpoint,
+    // so the per-iteration corpus ⋈ broadcast(codebook) shape is the q116
+    // audit above (identical assignment plan); the returned frame is the
+    // K-row centroid expansion joined to the K-row sizes — broadcast, never
+    // a shuffled join
+    audit("q118_kmeans_train", Seq("BroadcastHashJoin", "Generate posexplode"))
     // incremental dedup: candidates must come from equi-joins (band buckets
     // and md5 keys) — an all-pairs product over the corpus must NOT appear
     val q111 = SparkEntry.queries("q111_incremental_dedup")(spark, dir)
