@@ -94,6 +94,8 @@ object SparkEntry {
     "q117_quality_dedup"     -> (TextOps.qualityDedup _),
     "q118_kmeans_train"      -> (SimilarityOps.kmeansTrain _),
     "q119_stream_left_join"  -> (EventsStream.streamStreamLeftJoin _),
+    "q120_rate_anomalies"    -> (Analytics.rateAnomalies _),
+    "q121_countmin_audit"    -> (Analytics.countMinAudit _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -387,6 +389,54 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, buy_id""".stripMargin,
+    "q120_rate_anomalies" ->
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |            count(*) AS n
+         |          FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, hour_start, n,
+         |        count(n) OVER win AS m,
+         |        CAST(sum(n) OVER win AS BIGINT) AS s1,
+         |        CAST(sum(n * n) OVER win AS BIGINT) AS s2
+         |      FROM h
+         |      WINDOW win AS (PARTITION BY event_type ORDER BY hour_start
+         |        ROWS BETWEEN ${Analytics.AnomalyHistory} PRECEDING AND 1 PRECEDING)),
+         |v AS (SELECT event_type, hour_start, n,
+         |        CAST(s1 AS DOUBLE) / m AS mean,
+         |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / m)
+         |          / (m - 1.0) AS var
+         |      FROM w WHERE m >= ${Analytics.AnomalyMinHistory})
+         |SELECT event_type, hour_start, n,
+         |  ${PortableHash.proundSql("mean", 6)} AS trailing_mean,
+         |  CASE WHEN var > 0 THEN ${PortableHash.proundSql("(n - mean) / sqrt(var)", 6)}
+         |       END AS z,
+         |  CASE WHEN var > 0
+         |       THEN abs(${PortableHash.proundSql("(n - mean) / sqrt(var)", 6)}) > 3.0
+         |       ELSE false END AS anomaly
+         |FROM v ORDER BY event_type, hour_start""".stripMargin,
+    "q121_countmin_audit" ->
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |ds AS (SELECT unnest(generate_series(0, ${Analytics.CmDepth - 1})) AS d),
+         |keyed AS (SELECT d,
+         |    ${PortableHash.h48Sql(
+               "'cm' || CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
+         |      % ${Analytics.CmWidth} AS bucket
+         |  FROM ev CROSS JOIN ds),
+         |cells AS (SELECT d, bucket, count(*) AS cell FROM keyed GROUP BY 1, 2),
+         |hh AS (SELECT user_id, exact_n,
+         |         CAST(row_number() OVER (ORDER BY exact_n DESC, user_id) AS BIGINT)
+         |           AS hh_rank
+         |       FROM (SELECT user_id, count(*) AS exact_n FROM ev GROUP BY 1)),
+         |probes AS (SELECT hh_rank, user_id, exact_n, d,
+         |    ${PortableHash.h48Sql(
+               "'cm' || CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
+         |      % ${Analytics.CmWidth} AS bucket
+         |  FROM hh CROSS JOIN ds WHERE hh_rank <= ${Analytics.CmTopK})
+         |SELECT hh_rank, user_id, exact_n,
+         |  CAST(min(cell) AS BIGINT) AS est,
+         |  CAST(min(cell) - exact_n AS BIGINT) AS overestimate
+         |FROM probes JOIN cells USING (d, bucket)
+         |GROUP BY hh_rank, user_id, exact_n
+         |ORDER BY hh_rank""".stripMargin,
     "q119_stream_left_join" ->
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),

@@ -232,4 +232,99 @@ object Analytics {
       .select(col("event_type"), col("n_total"), col("peak_hour"), col("peak_n"))
       .orderBy(col("event_type"))
   }
+
+  /** Trailing-history window for [[rateAnomalies]]: 24 one-hour buckets,
+    * current hour excluded; flag only with ≥12 hours of history. */
+  val AnomalyHistory = 24
+  val AnomalyMinHistory = 12
+
+  /** q120: event-rate anomaly detection — each (event_type, hour)'s count is
+    * z-scored against its own trailing 24-hour history (current hour
+    * excluded so a spike can't mask itself), the alerting primitive every
+    * ingestion/monitoring pipeline runs over its rate telemetry.
+    *
+    * Engine-exact: the trailing mean/variance come from integer window sums
+    * (`Σn`, `Σn²` exact as longs; the two-pass textbook variance
+    * `(Σn² − (Σn)²/m)/(m−1)` is then pure double arithmetic, identical
+    * ops both engines) — never a built-in `stddev`, whose Welford vs
+    * sum-of-squares internals differ across engines. z is 6-dp portable-
+    * rounded and the anomaly flag thresholds the ROUNDED value, so the
+    * boolean can never straddle an ulp.
+    *
+    * Scale shape: one hash aggregate shrinks the stream to (type, hour)
+    * rows — counts, not events, flow into the windows — and the ranking
+    * window is partitioned by event_type, never global. At 100 TB the
+    * window input is O(types × hours) regardless of event volume.
+    */
+  def rateAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(-AnomalyHistory, -1)
+    val mean = col("s1").cast("double") / col("m").cast("double")
+    val variance = (col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / col("m").cast("double")) /
+      (col("m").cast("double") - lit(1.0))
+    hourly
+      .withColumn("m", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("m") >= AnomalyMinHistory)
+      // date_trunc yields a tz timestamp; emit ntz like every other
+      // events-hour query (UTC session: same wall clock)
+      .select(col("event_type"), col("hour_start").cast("timestamp_ntz").as("hour_start"),
+        col("n"),
+        pround(mean, 6).as("trailing_mean"),
+        when(variance > 0, pround((col("n").cast("double") - mean) / sqrt(variance), 6))
+          .as("z"),
+        when(variance > 0,
+          abs(pround((col("n").cast("double") - mean) / sqrt(variance), 6)) > lit(3.0))
+          .otherwise(lit(false)).as("anomaly"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  /** Count-min sketch geometry for [[countMinAudit]]: depth 4 × width 256
+    * cells (ε ≈ e/256 ≈ 1.1%, δ ≈ e⁻⁴), keyed by the portable 48-bit md5
+    * hash so the oracle builds the identical sketch. */
+  val CmDepth = 4
+  val CmWidth = 256
+  val CmTopK = 20
+
+  /** q121: count-min heavy-hitter audit — build a count-min sketch over the
+    * event stream's user ids and report, for the EXACT top-[[CmTopK]] users,
+    * the sketch estimate next to the true count (est ≥ exact always; the
+    * overestimate column is the collision error a consumer of the sketch
+    * would see). This is the in-query accuracy audit (the q19/q69 pattern)
+    * for the sketch a 100 TB pipeline would actually deploy: the sketch is
+    * [[CmDepth]]×[[CmWidth]] integer cells built in ONE pass with map-side
+    * partial aggregation — constant state per partition, mergeable across
+    * executors, no per-key state — while the exact side here exists only to
+    * audit it at test scale.
+    */
+  def countMinAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.h48
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    def keys = array((0 until CmDepth).map(d =>
+      struct(lit(d.toLong).as("d"),
+        (h48(concat(lit(s"cm$d:"), col("user_id").cast("string"))) % CmWidth)
+          .as("bucket"))): _*)
+    val cells = ev.select(explode(keys).as("k"))
+      .groupBy(col("k.d").as("d"), col("k.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val wRank = Window.orderBy(col("exact_n").desc, col("user_id"))
+    val hh = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .withColumn("hh_rank", row_number().over(wRank).cast("long"))
+      .filter(col("hh_rank") <= CmTopK)
+    val probes = hh.select(col("hh_rank"), col("user_id"), col("exact_n"),
+        explode(keys).as("k"))
+      .select(col("hh_rank"), col("user_id"), col("exact_n"),
+        col("k.d").as("d"), col("k.bucket").as("bucket"))
+    probes.join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy(col("hh_rank"), col("user_id"), col("exact_n"))
+      .agg(min(col("cell")).as("est"))
+      .select(col("hh_rank"), col("user_id"), col("exact_n"), col("est"),
+        (col("est") - col("exact_n")).as("overestimate"))
+      .orderBy(col("hh_rank"))
+  }
 }

@@ -319,4 +319,49 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("peak_n") == best._3)
     }
   }
+
+  test("rateAnomalies: z recomputes from trailing history; flag matches |z| > 3") {
+    val rows = Analytics.rateAnomalies(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // recompute one partition's stats driver-side from the raw hourly counts
+    val hourly = Tables.events(spark, sf001)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("event_type"),
+                 String.valueOf(r.getAs[Any]("h")), r.getAs[Long]("n")))
+    val byType = hourly.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    rows.foreach { r =>
+      val flag = r.getAs[Boolean]("anomaly")
+      if (r.isNullAt(r.fieldIndex("z"))) assert(!flag)
+      else assert(flag == (math.abs(r.getAs[Double]("z")) > 3.0))
+    }
+    // every row has >= AnomalyMinHistory trailing hours by construction
+    val perType = rows.groupBy(_.getAs[String]("event_type")).view.mapValues(_.length)
+    perType.foreach { case (et, k) =>
+      assert(k <= math.max(0, byType(et).length - Analytics.AnomalyMinHistory))
+    }
+  }
+
+  test("countMinAudit: estimates never undercount and cover the exact top-20") {
+    val rows = Analytics.countMinAudit(spark, sf001).collect()
+    val nUsers = Tables.events(spark, sf001).select("user_id").distinct().count()
+    val expectK = math.min(Analytics.CmTopK.toLong, nUsers)
+    assert(rows.length == expectK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact_n"),
+        "count-min must never underestimate")
+      assert(r.getAs[Long]("overestimate") ==
+        r.getAs[Long]("est") - r.getAs[Long]("exact_n"))
+    }
+    assert(rows.map(_.getAs[Long]("hh_rank")).toSeq == (1L to expectK))
+    // the exact side really is the global top-K
+    val exact = Tables.events(spark, sf001).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+      .sortBy { case (u, n) => (-n, u) }.take(expectK.toInt).toMap
+    rows.foreach { r =>
+      assert(exact(r.getAs[Long]("user_id")) == r.getAs[Long]("exact_n"))
+    }
+  }
 }
