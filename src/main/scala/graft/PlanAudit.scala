@@ -130,6 +130,23 @@ object PlanAudit {
     // K-row centroid expansion joined to the K-row sizes — broadcast, never
     // a shuffled join
     audit("q118_kmeans_train", Seq("BroadcastHashJoin", "Generate posexplode"))
+    // rate anomalies: the z-score windows must run over the aggregated
+    // (type, hour) rows — a hash aggregate below a PARTITIONed window, no
+    // single-partition exchange of raw events
+    val q120 = SparkEntry.queries("q120_rate_anomalies")(spark, dir)
+    q120.collect()
+    val q120plan = q120.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q120ok = q120plan.contains("HashAggregate") &&
+      q120plan.contains("hashpartitioning(event_type") &&
+      !q120plan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("SinglePartition"))
+    println(s"[audit] q120 windowed anomalies " +
+      (if (q120ok) "OK (agg before window, event_type-partitioned)"
+       else "CHECK: expected hash agg + partitioned window"))
+    // count-min: the sketch must partial-aggregate map-side (constant state
+    // per partition) and the 1024-cell sketch must broadcast to the probes
+    audit("q121_countmin_audit", Seq("partial_count", "BroadcastHashJoin"))
     // incremental dedup: candidates must come from equi-joins (band buckets
     // and md5 keys) — an all-pairs product over the corpus must NOT appear
     val q111 = SparkEntry.queries("q111_incremental_dedup")(spark, dir)
