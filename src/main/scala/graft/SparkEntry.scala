@@ -96,6 +96,7 @@ object SparkEntry {
     "q119_stream_left_join"  -> (EventsStream.streamStreamLeftJoin _),
     "q120_rate_anomalies"    -> (Analytics.rateAnomalies _),
     "q121_countmin_audit"    -> (Analytics.countMinAudit _),
+    "q122_hist_quantiles"    -> (Relational.histogramQuantiles _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -437,6 +438,31 @@ object SparkEntry {
          |FROM probes JOIN cells USING (d, bucket)
          |GROUP BY hh_rank, user_id, exact_n
          |ORDER BY hh_rank""".stripMargin,
+    "q122_hist_quantiles" ->
+      s"""WITH li AS (SELECT l_extendedprice AS x, l_orderkey, l_linenumber FROM lineitem),
+         |ext AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM li),
+         |b AS (SELECT least(${Relational.QuantileBuckets - 1}, CAST(floor((x - lo) /
+         |        ((hi - lo) / ${Relational.QuantileBuckets}.0)) AS BIGINT)) AS bucket
+         |      FROM li, ext),
+         |hist AS (SELECT bucket, count(*) AS bn FROM b GROUP BY 1),
+         |cum AS (SELECT bucket, CAST(sum(bn) OVER (ORDER BY bucket
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+         |ks AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS k
+         |       FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q), ext),
+         |est AS (SELECT k.q, k.k, min(c.bucket) AS bucket
+         |        FROM ks k JOIN cum c ON c.cum >= k.k GROUP BY k.q, k.k),
+         |ranked AS (SELECT x, CAST(row_number() OVER (ORDER BY x, l_orderkey,
+         |             l_linenumber) AS BIGINT) AS rn FROM li),
+         |ex AS (SELECT q, x AS exact_val FROM ks JOIN ranked ON rn = k)
+         |SELECT e.q,
+         |  ${PortableHash.proundSql(
+             s"lo + e.bucket * ((hi - lo) / ${Relational.QuantileBuckets}.0)", 4)} AS est_p,
+         |  ${PortableHash.proundSql("exact_val", 4)} AS exact_p,
+         |  least(${Relational.QuantileBuckets - 1}, CAST(floor((exact_val - lo) /
+         |    ((hi - lo) / ${Relational.QuantileBuckets}.0)) AS BIGINT)) = e.bucket
+         |    AS within_bucket,
+         |  n
+         |FROM est e JOIN ex USING (q), ext ORDER BY e.q""".stripMargin,
     "q119_stream_left_join" ->
       """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),

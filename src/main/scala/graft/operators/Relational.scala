@@ -372,6 +372,61 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Histogram geometry for [[histogramQuantiles]]. */
+  val QuantileBuckets = 1024
+
+  /** q122: histogram quantiles — fully deterministic approximate quantiles
+    * via a fixed [[QuantileBuckets]]-bucket equi-width histogram, with the exact
+    * rank value audited in-query (the q19/q69/q121 pattern). Unlike the GK
+    * sketch (q69), whose internal estimates are engine-specific, every
+    * number here is reproducible bit-for-bit on any engine: bucket
+    * assignment, cumulative counts, and the bucket lower edge reported as
+    * the estimate are all exact-integer or identical-IEEE arithmetic — so
+    * the ESTIMATE itself is oracle-checked, not just an error bound.
+    *
+    * Scale shape: one tiny extent aggregate (broadcast back), one
+    * bucketing pass with a map-side-partial 1024-key hash aggregate, and
+    * windows over the 1024-row histogram only. The exact-rank side (a
+    * global row_number) exists purely to AUDIT the histogram at test
+    * scale — at 100 TB only the histogram path runs, the same
+    * read-mostly shape feature-binning / quantile-bucketing jobs use.
+    * Assumes a non-degenerate extent (min < max), which holds for any
+    * real-valued measure column.
+    */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("x"), col("l_orderkey"), col("l_linenumber"))
+    val ext = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+      count(lit(1)).as("n"))
+    val width = (col("hi") - col("lo")) / lit(QuantileBuckets.toDouble)
+    def bucketOf(x: Column) =
+      least(lit(QuantileBuckets - 1L), floor((x - col("lo")) / width))
+    val hist = li.crossJoin(broadcast(ext))
+      .select(bucketOf(col("x")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+    val cum = hist.withColumn("cum", sum(col("bn")).over(
+      Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ks = spark.range(1)
+      .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      .crossJoin(broadcast(ext))
+      .select(col("q"), ceil(col("q") * col("n")).as("k"))
+    val est = ks.join(cum, col("cum") >= col("k"))
+      .groupBy(col("q"), col("k")).agg(min(col("bucket")).as("bucket"))
+    val exact = li.withColumn("rn",
+        row_number().over(Window.orderBy(col("x"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long"))
+      .join(broadcast(ks), col("rn") === col("k"))
+      .select(col("q"), col("x").as("exact_val"))
+    est.join(exact, Seq("q")).crossJoin(broadcast(ext))
+      .select(col("q"),
+        pround(col("lo") + col("bucket") * width, 4).as("est_p"),
+        pround(col("exact_val"), 4).as("exact_p"),
+        (bucketOf(col("exact_val")) === col("bucket")).as("within_bucket"),
+        col("n"))
+      .orderBy(col("q"))
+  }
+
   /** q28: JSON serde round-trip — S1/S12 (schema-on-read ingest + session
     * persistence): serialize records with to_json, corrupt a deterministic
     * subset, re-parse with from_json (PERMISSIVE → null struct = the bad-record

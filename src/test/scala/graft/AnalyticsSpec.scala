@@ -364,4 +364,18 @@ class AnalyticsSpec extends SparkSpec {
       assert(exact(r.getAs[Long]("user_id")) == r.getAs[Long]("exact_n"))
     }
   }
+
+  test("histogramQuantiles: estimate bucket always contains the exact rank value") {
+    val rows = Relational.histogramQuantiles(spark, sf001).collect()
+    assert(rows.map(_.getAs[Double]("q")).toSeq == Seq(0.5, 0.9, 0.99))
+    rows.foreach { r =>
+      // by construction cum(b-1) < k <= cum(b), so the rank-k value falls in
+      // the estimated bucket — the within_bucket audit must always hold
+      assert(r.getAs[Boolean]("within_bucket"),
+        s"q=${r.getAs[Double]("q")}: exact value escaped the estimated bucket")
+      assert(r.getAs[Double]("est_p") <= r.getAs[Double]("exact_p"))
+    }
+    val n = Tables.lineitem(spark, sf001).count()
+    rows.foreach(r => assert(r.getAs[Long]("n") == n))
+  }
 }
