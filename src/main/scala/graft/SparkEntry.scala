@@ -97,6 +97,7 @@ object SparkEntry {
     "q120_rate_anomalies"    -> (Analytics.rateAnomalies _),
     "q121_countmin_audit"    -> (Analytics.countMinAudit _),
     "q122_hist_quantiles"    -> (Relational.histogramQuantiles _),
+    "q123_stream_session_window" -> (EventsStream.streamingSessionWindow _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -620,6 +621,20 @@ object SparkEntry {
         |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    "q123_stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |g AS (SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |        count(*) AS n_events
+        |      FROM s GROUP BY user_id, sid),
+        |wm AS (SELECT epoch_us(date_trunc('milliseconds', max(ts))) - 1800000000 AS w
+        |       FROM events)
+        |SELECT user_id, start_us, end_us, n_events FROM g, wm
+        |WHERE end_us <= w
         |ORDER BY user_id, start_us""".stripMargin,
     "q22_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -260,6 +260,37 @@ object EventsStream {
     spark.table(name).orderBy(col("click_id"), col("buy_id"))
   }
 
+  /** q123: watermarked streaming `session_window` aggregation — the
+    * BUILT-IN sessionizer under the streaming engine (q71 is its batch
+    * twin; q81 is the custom-state escalation for when the built-in gap
+    * merge can't express the state machine). Append mode emits each
+    * merged session exactly once, when the watermark passes its end
+    * (end = last event + gap), so state is bounded by the open sessions
+    * inside the watermark horizon. The DuckDB oracle is the batch gap
+    * sessionization filtered to watermark-closed sessions
+    * (end ≤ min-floored max event time − delay — the q108 closed-window
+    * trick applied to merged sessions).
+    */
+  def streamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_sess_win_${counter.incrementAndGet()}"
+    withStatePartitions(spark) {
+      val q = Tables.eventsStream(spark, dir)
+        // watermarks require TIMESTAMP event time (UTC session: same instant)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", AppendDelay)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy(col("user_id"), col("start_us"))
+  }
+
   /** q119: stream-stream interval LEFT OUTER join — q58's attribution with
     * the no-conversion channel, the shape a production attribution feed
     * actually needs (clicks that never converted are rows, not absences).

@@ -221,6 +221,36 @@ class IncrementalReplaySpec extends SparkSpec {
     assert(unmatched.nonEmpty, "fixture should close at least one unmatched click")
   }
 
+  test("session_window merges gap-sessions across batches and emits only closed ones") {
+    val name = s"inc_sess_win_${counter.incrementAndGet()}"
+    val q = streamEvents
+      .withWatermark("ts", graft.streaming.EventsStream.AppendDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 4, s"expected >=4 non-empty micro-batches, saw $nBatches")
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+                 r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+    assert(streamed.length == streamed.toSet.size, "a session emitted twice")
+    // batch twin: q71's gap sessionization filtered to watermark-closed ones
+    val e = Tables.events(spark, sf001)
+    val maxUs = Tables.tsMicros(max(col("ts")))
+    val maxTs = e.agg(maxUs.as("m")).head.getLong(0)
+    val wmUs = (maxTs / 1000) * 1000 - 30L * 60 * 1000000   // ms-floored − delay
+    val closed = EventOps.sessionWindowAgg(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+                 r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .filter(_._3 <= wmUs).toSet
+    assert(streamed.toSet == closed)
+    assert(closed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState session state carries open sessions across batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
