@@ -452,9 +452,18 @@ object SparkEntry {
          |       FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q), ext),
          |est AS (SELECT k.q, k.k, min(c.bucket) AS bucket
          |        FROM ks k JOIN cum c ON c.cum >= k.k GROUP BY k.q, k.k),
-         |ranked AS (SELECT x, CAST(row_number() OVER (ORDER BY x, l_orderkey,
-         |             l_linenumber) AS BIGINT) AS rn FROM li),
-         |ex AS (SELECT q, x AS exact_val FROM ks JOIN ranked ON rn = k)
+         |inb AS (SELECT e.q, e.bucket, e.k - (c.cum - h.bn) AS r
+         |        FROM est e JOIN cum c ON e.bucket = c.bucket
+         |                   JOIN hist h ON e.bucket = h.bucket),
+         |bx AS (SELECT x, l_orderkey, l_linenumber,
+         |         least(${Relational.QuantileBuckets - 1}, CAST(floor((x - lo) /
+         |           ((hi - lo) / ${Relational.QuantileBuckets}.0)) AS BIGINT)) AS bucket
+         |       FROM li, ext),
+         |ranked AS (SELECT i.q, bx.x, i.r,
+         |             CAST(row_number() OVER (PARTITION BY i.q
+         |               ORDER BY bx.x, bx.l_orderkey, bx.l_linenumber) AS BIGINT) AS rn
+         |           FROM bx JOIN inb i USING (bucket)),
+         |ex AS (SELECT q, x AS exact_val FROM ranked WHERE rn = r)
          |SELECT e.q,
          |  ${PortableHash.proundSql(
              s"lo + e.bucket * ((hi - lo) / ${Relational.QuantileBuckets}.0)", 4)} AS est_p,

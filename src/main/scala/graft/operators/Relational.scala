@@ -386,10 +386,12 @@ object Relational {
     *
     * Scale shape: one tiny extent aggregate (broadcast back), one
     * bucketing pass with a map-side-partial 1024-key hash aggregate, and
-    * windows over the 1024-row histogram only. The exact-rank side (a
-    * global row_number) exists purely to AUDIT the histogram at test
-    * scale — at 100 TB only the histogram path runs, the same
-    * read-mostly shape feature-binning / quantile-bucketing jobs use.
+    * windows over the 1024-row histogram only. The exact rank value is
+    * recovered by BUCKET REFINEMENT, never a global sort: bucket indices
+    * are monotone in the value, so the global rank-k row is the
+    * (k − cum(b−1))-th row of its estimated bucket b under the same
+    * ordering — a window over the ~n/1024 rows of three buckets. Every
+    * stage is bounded or broadcast; nothing global touches row-level data.
     * Assumes a non-degenerate extent (min < max), which holds for any
     * real-valued measure column.
     */
@@ -413,10 +415,20 @@ object Relational {
       .select(col("q"), ceil(col("q") * col("n")).as("k"))
     val est = ks.join(cum, col("cum") >= col("k"))
       .groupBy(col("q"), col("k")).agg(min(col("bucket")).as("bucket"))
-    val exact = li.withColumn("rn",
-        row_number().over(Window.orderBy(col("x"), col("l_orderkey"), col("l_linenumber")))
-          .cast("long"))
-      .join(broadcast(ks), col("rn") === col("k"))
+    // refinement: global rank k = rows below bucket b (cum(b) − bn(b)) plus
+    // the within-bucket rank, because bucket index is monotone in x — so
+    // only the three estimated buckets' rows are ever ranked
+    val inBucket = est.join(cum, Seq("bucket"))
+      .select(col("q"), col("bucket"), (col("k") - (col("cum") - col("bn"))).as("r"))
+    val exact = li.crossJoin(broadcast(ext))
+      .select(col("x"), col("l_orderkey"), col("l_linenumber"),
+        bucketOf(col("x")).as("bucket"))
+      .join(broadcast(inBucket), Seq("bucket"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q"))
+            .orderBy(col("x"), col("l_orderkey"), col("l_linenumber")))
+        .cast("long"))
+      .filter(col("rn") === col("r"))
       .select(col("q"), col("x").as("exact_val"))
     est.join(exact, Seq("q")).crossJoin(broadcast(ext))
       .select(col("q"),
