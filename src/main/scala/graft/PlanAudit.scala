@@ -137,10 +137,12 @@ object PlanAudit {
     q120.collect()
     val q120plan = q120.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    // NOTE: the exchange prints on its own line ("Exchange SinglePartition"),
+    // never on the Window operator's line — check the whole plan string
+    // (q83's working pattern), not a same-line conjunction
     val q120ok = q120plan.contains("HashAggregate") &&
       q120plan.contains("hashpartitioning(event_type") &&
-      !q120plan.linesIterator.exists(l =>
-        l.contains("Window") && l.contains("SinglePartition"))
+      !q120plan.contains("SinglePartition")
     println(s"[audit] q120 windowed anomalies " +
       (if (q120ok) "OK (agg before window, event_type-partitioned)"
        else "CHECK: expected hash agg + partitioned window"))

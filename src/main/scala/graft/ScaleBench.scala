@@ -186,9 +186,14 @@ object ScaleBench {
         System.err.println(f"[scale] q117_shared_labels    $sec%8.2f s  ($n rows)")
         Seq("q117_shared_labels" -> sec)
       } else Seq.empty
-    val qs = (results ++ shared).map { case (k, v) => s"\"" + k + "\":" + v }
+    // extras are measurements of non-query forms (label reuse): kept OUT of
+    // the queries map so sum(queries) == value and every queries key is a
+    // declared SparkEntry name
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$src x$tiles","tiles":$tiles}""")
+    val ex = shared.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"extras":$ex,"sf":"$src x$tiles","tiles":$tiles}""")
     spark.stop()
   }
 }

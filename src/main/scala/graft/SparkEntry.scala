@@ -393,15 +393,16 @@ object SparkEntry {
         |ORDER BY click_id, buy_id""".stripMargin,
     "q120_rate_anomalies" ->
       s"""WITH h AS (SELECT date_trunc('hour', ts) AS hour_start, event_type,
-         |            count(*) AS n
-         |          FROM events GROUP BY 1, 2),
+         |            count(*) AS n,
+         |            epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr
+         |          FROM events GROUP BY 1, 2, 4),
          |w AS (SELECT event_type, hour_start, n,
          |        count(n) OVER win AS m,
          |        CAST(sum(n) OVER win AS BIGINT) AS s1,
          |        CAST(sum(n * n) OVER win AS BIGINT) AS s2
          |      FROM h
-         |      WINDOW win AS (PARTITION BY event_type ORDER BY hour_start
-         |        ROWS BETWEEN ${Analytics.AnomalyHistory} PRECEDING AND 1 PRECEDING)),
+         |      WINDOW win AS (PARTITION BY event_type ORDER BY hr
+         |        RANGE BETWEEN ${Analytics.AnomalyHistory} PRECEDING AND 1 PRECEDING)),
          |v AS (SELECT event_type, hour_start, n,
          |        CAST(s1 AS DOUBLE) / m AS mean,
          |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / m)

@@ -233,13 +233,14 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
-  /** Trailing-history window for [[rateAnomalies]]: 24 one-hour buckets,
-    * current hour excluded; flag only with ≥12 hours of history. */
+  /** Trailing-history window for [[rateAnomalies]]: a 24-hour WALL-CLOCK
+    * range (current hour excluded); flag only with ≥12 observed hourly
+    * buckets inside it. */
   val AnomalyHistory = 24
   val AnomalyMinHistory = 12
 
   /** q120: event-rate anomaly detection — each (event_type, hour)'s count is
-    * z-scored against its own trailing 24-hour history (current hour
+    * z-scored against its own trailing 24 wall-clock hours (current hour
     * excluded so a spike can't mask itself), the alerting primitive every
     * ingestion/monitoring pipeline runs over its rate telemetry.
     *
@@ -260,8 +261,13 @@ object Analytics {
     val hourly = Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
-      .rowsBetween(-AnomalyHistory, -1)
+      // wall-clock frame key: a ROWS frame would silently stretch the
+      // "trailing 24 hours" over days for sparse event types (absent hours
+      // produce no row at all) — RANGE over epoch-hours bounds the history
+      // by the clock, not by observed-bucket count
+      .withColumn("hr", expr("unix_micros(hour_start) div 3600000000"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-AnomalyHistory, -1)
     val mean = col("s1").cast("double") / col("m").cast("double")
     val variance = (col("s2").cast("double")
       - col("s1").cast("double") * col("s1").cast("double") / col("m").cast("double")) /

@@ -467,12 +467,18 @@ object SimilarityOps {
             + dot(col("cv"), col("cv"))).as("dist2"))
         .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("cluster"))
-      val means = assigned.select(col("cluster"), posexplode(col("v")))
+      // materialize the (cluster, dim) aggregate ONCE per iteration (K·Dim
+      // rows): the corpus pass behind it runs exactly once, and both the
+      // new centroids AND the member counts derive from this checkpoint —
+      // deriving sizes from the lazy `assigned` would re-run the whole
+      // corpus join a second time per final iteration
+      val aggregated = assigned.select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(floor(col("col") * lit(1e9) + lit(0.5)).cast("long")).as("ci"),
              count(lit(1)).as("nn"))
-        .select(col("cluster"), col("pos"),
-          pround(col("ci").cast("double") / lit(1e9) / col("nn").cast("double"), 4).as("nc"))
+        .localCheckpoint()
+      val means = aggregated.select(col("cluster"), col("pos"),
+        pround(col("ci").cast("double") / lit(1e9) / col("nn").cast("double"), 4).as("nc"))
       // empty clusters keep their previous centroid (4-dp view of it)
       val prevRows = cents.select(col("cluster"), posexplode(col("cv")))
         .select(col("cluster"), col("pos"), pround(col("col"), 4).as("pc"))
@@ -482,13 +488,17 @@ object SimilarityOps {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("nc")))),
           x => x.getField("nc")).as("cv"))
         .localCheckpoint()
-      // checkpoint the K-row sizes BEFORE freeing the centroids they were
-      // assigned against — a lazy reference into freed checkpoint blocks
-      // cannot recompute (truncated lineage)
+      // checkpoint-derived sizes BEFORE freeing inputs — a lazy reference
+      // into freed checkpoint blocks cannot recompute (truncated lineage).
+      // nn is constant across pos within a cluster; pos 0 exists for any
+      // cluster with members, and memberless clusters are absent (the
+      // final left join coalesces them to 0)
       if (k == KmeansIters)
-        sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+        sizes = aggregated.filter(col("pos") === 0)
+          .select(col("cluster"), col("nn").as("n_vecs"))
           .localCheckpoint()
       TextOps.freeMaterialized(cents)
+      TextOps.freeMaterialized(aggregated)
       cents = next
     }
     cents.select(col("cluster"), posexplode(col("cv")))
