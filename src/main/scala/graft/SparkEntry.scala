@@ -98,6 +98,7 @@ object SparkEntry {
     "q121_countmin_audit"    -> (Analytics.countMinAudit _),
     "q122_hist_quantiles"    -> (Relational.histogramQuantiles _),
     "q123_stream_session_window" -> (EventsStream.streamingSessionWindow _),
+    "q124_cdc_dedup"         -> (TextOps.cdcChunkDedup _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -440,6 +441,41 @@ object SparkEntry {
          |FROM probes JOIN cells USING (d, bucket)
          |GROUP BY hh_rank, user_id, exact_n
          |ORDER BY hh_rank""".stripMargin,
+    "q124_cdc_dedup" -> {
+      val pw = graft.functions.CdcChunkHashes.PowMod.mkString("[", ", ", "]")
+      val w = graft.functions.CdcChunkHashes.Window
+      val dv = graft.functions.CdcChunkHashes.Divisor
+      s"""WITH d AS (SELECT doc_id,
+         |             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS s
+         |           FROM documents),
+         |c1 AS (SELECT doc_id, s, length(s) AS n,
+         |         CASE WHEN length(s) = 0 THEN CAST([] AS BIGINT[])
+         |              ELSE list_prepend(CAST(0 AS BIGINT), list_append(
+         |                [CAST(i AS BIGINT) FOR i IN generate_series($w, length(s) - 1)
+         |                   IF list_sum([CAST(ascii(s[i - j]) AS BIGINT) * ($pw)[j + 1]
+         |                                FOR j IN generate_series(0, ${w - 1})])
+         |                      % ${PortableHash.MFp} % $dv = 0],
+         |                CAST(length(s) AS BIGINT))) END AS cp
+         |       FROM d),
+         |ch AS (SELECT doc_id, unnest(CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE [${PortableHash.polyFingerprintSql(
+                      "substr(s, CAST(cp[k] AS INTEGER) + 1, " +
+                      "CAST(cp[k + 1] - cp[k] AS INTEGER))")}
+         |               FOR k IN generate_series(1, len(cp) - 1)] END) AS h
+         |       FROM c1),
+         |cnt AS (SELECT h, count(*) AS c FROM ch GROUP BY h),
+         |per AS (SELECT doc_id, count(*) AS n_chunks,
+         |          CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |        FROM ch JOIN cnt USING (h) GROUP BY doc_id)
+         |SELECT dd.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+         |  coalesce(n_shared, 0) AS n_shared,
+         |  CASE WHEN coalesce(n_chunks, 0) > 0
+         |       THEN ${PortableHash.proundSql(
+                    "CAST(n_shared AS DOUBLE) / CAST(n_chunks AS DOUBLE)", 4)}
+         |       END AS shared_ratio
+         |FROM (SELECT doc_id FROM documents) dd LEFT JOIN per USING (doc_id)
+         |ORDER BY dd.doc_id""".stripMargin
+    },
     "q122_hist_quantiles" ->
       s"""WITH li AS (SELECT l_extendedprice AS x, l_orderkey, l_linenumber FROM lineitem),
          |ext AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM li),

@@ -91,6 +91,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q124: content-defined chunk dedup — the insertion-robust complement to
+    * fixed-size chunking (q90): chunk boundaries come from a local rolling
+    * hash ([[graft.functions.CdcChunkHashes]]), so an edit shifts
+    * boundaries only near itself and the rest of a near-duplicate document
+    * still chunk-hash-matches. Per document: chunk count, chunks shared
+    * with the rest of the corpus (occurrence count > 1), and the shared
+    * ratio — the CDC dedup report a storage/training-data pipeline uses to
+    * find partially-duplicated content that document-level hashing misses.
+    *
+    * Scale shape: one native codegen'd pass emits chunk hashes off the
+    * scan; only (doc_id, hash) longs exchange — a hash-agg on the uniform
+    * chunk-hash key and an equi-join back. Chunk text never shuffles.
+    */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(spark, dir).transform(Tables.fanout)
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunkHashes(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("h"))
+    val counts = ch.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val per = ch.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_shared"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_chunks"), lit(0L)) > 0,
+          pround(col("n_shared").cast("double") / col("n_chunks").cast("double"), 4))
+          .as("shared_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q33: document fingerprinting — rolling polynomial hash over the
     * lowercased, ASCII-normalized text (Rabin–Karp content key).
     */

@@ -130,4 +130,36 @@ class DedupSpec extends SparkSpec {
     val uncapped = Relational.fuzzyCandidatesOf(c, maxBlock = 2000).count()
     assert(uncapped >= 1000L * 999 / 2, s"uncapped=$uncapped")
   }
+
+  test("CDC chunking re-aligns after insertions; fixed-size chunking cannot") {
+    import graft.functions.CdcChunkHashes
+    def chunks(s: String): Seq[Long] =
+      CdcChunkHashes.compute(s.getBytes("UTF-8")).toLongArray().toSeq
+    // varied (non-periodic) text: a repeated sentence can share its handful
+    // of distinct window hashes and legitimately never hit the 1-in-64
+    // boundary condition — real documents (and this mix) do not
+    val base = (0 until 240).map(i => s"word${i * 7919 % 1000}").mkString(" ") + " "
+    // insertion at the FRONT: every byte of the shared suffix shifts
+    val front = "an inserted header sentence goes here first " + base
+    // insertion in the MIDDLE
+    val mid = base.substring(0, base.length / 2) +
+      "some new words appear here " + base.substring(base.length / 2)
+    val b = chunks(base)
+    assert(b.length >= 8, s"expected a non-trivial chunking, got ${b.length}")
+    for ((edited, where) <- Seq(front -> "front", mid -> "middle")) {
+      val e = chunks(edited).toSet
+      val shared = b.count(e.contains)
+      // boundaries depend only on local content, so all chunks outside the
+      // edit's neighborhood must re-align and hash-match
+      assert(shared.toDouble / b.length >= 0.7,
+        s"$where insertion: only $shared/${b.length} chunks re-aligned")
+    }
+    // the fixed-size chunker CANNOT re-align after a front insertion that
+    // is not a multiple of its chunk size — this is the property gap CDC
+    // closes, shown on the same input (q90's ChunkSize boundary grid)
+    def fixed(s: String): Seq[String] =
+      s.grouped(graft.multimodal.Multimodal.ChunkSize).toSeq
+    val fShared = fixed(base).toSet.intersect(fixed(front).toSet).size
+    assert(fShared <= 1, s"fixed chunking unexpectedly re-aligned: $fShared")
+  }
 }
