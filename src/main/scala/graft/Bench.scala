@@ -45,9 +45,12 @@ object Bench {
     val pass1 = timedPass().map { case (n, t, ok) => n -> (t, ok) }.toMap
     // guard: at larger scale factors one pass may already be long — skip the
     // second pass rather than risk the harness's wall-clock budget
+    // single-pass path: a failed query's elapsed-to-exception time is not a
+    // measurement — drop the row entirely (the errors array names it) so the
+    // numeric total only ever sums real runs
     val results =
       if (pass1.values.map(_._1).sum > 300.0)
-        pass1.toSeq.map { case (n, (t, _)) => n -> t }.sortBy(_._1)
+        pass1.toSeq.collect { case (n, (t, true)) => n -> t }.sortBy(_._1)
       else timedPass().map { case (name, t2, ok2) =>
         val (t1, ok1) = pass1(name)
         // min over SUCCESSFUL attempts only; if both failed, report the

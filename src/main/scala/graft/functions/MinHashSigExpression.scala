@@ -52,6 +52,43 @@ case class MinHashSig(child: Expression, n: Int, mod: Long, perms: Int)
     copy(child = newChild)
 }
 
+/** [[MinHashSig]] with a hot-shingle exclusion set: shingles whose hash is
+  * in `exclude` (sorted ascending; binary-searched per shingle, once — not
+  * per permutation) are skipped before the min loops, so the signature is
+  * that of the CAPPED shingle set. This keeps the boilerplate-capped
+  * pipeline (q102) on the same zero-shuffle narrow-projection shape as the
+  * uncapped one: the hot list is collected once driver-side (tiny by
+  * construction — at most |distinct shingles|/cap entries, the exact
+  * population the capped pipeline already broadcast for its anti-join) and
+  * rides into codegen as one shared reference object.
+  *
+  * A document whose every shingle is hot yields an empty array — the same
+  * outcome as its rows all dropping out of the anti-joined aggregate form.
+  */
+case class MinHashSigCapped(child: Expression, n: Int, mod: Long, perms: Int,
+    exclude: Array[Long]) extends UnaryExpression {
+  require(n >= 1 && mod > 1 && perms >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_capped requires STRING input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_capped"
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSig.computeCapped(input.asInstanceOf[UTF8String], n, mod, perms, exclude)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExclude", exclude, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSig.computeCapped($c, $n, ${mod}L, $perms, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigCapped =
+    copy(child = newChild)
+}
+
 object MinHashSig {
 
   /** One-pass signature: shingle scan reused from [[ShingleHashes.compute]],
@@ -63,6 +100,31 @@ object MinHashSig {
     val sh = ShingleHashes.compute(s, n, mod)
     val m = sh.numElements()
     if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    minsOf(sh, m, mod, perms)
+  }
+
+  /** Capped variant: drop excluded shingles once up front, then the same
+    * min loops. Min over the surviving multiset equals min over the
+    * surviving distinct set — the aggregate-form equivalence is unchanged
+    * by the cap.
+    */
+  def computeCapped(s: UTF8String, n: Int, mod: Long, perms: Int,
+      exclude: Array[Long]): GenericArrayData = {
+    val sh = ShingleHashes.compute(s, n, mod)
+    val m = sh.numElements()
+    val kept = new Array[Long](m)
+    var k = 0
+    var i = 0
+    while (i < m) {
+      val h = sh.getLong(i)
+      if (java.util.Arrays.binarySearch(exclude, h) < 0) { kept(k) = h; k += 1 }
+      i += 1
+    }
+    if (k == 0) return new GenericArrayData(Array.emptyLongArray)
+    minsOf(new GenericArrayData(java.util.Arrays.copyOf(kept, k)), k, mod, perms)
+  }
+
+  private def minsOf(sh: GenericArrayData, m: Int, mod: Long, perms: Int): GenericArrayData = {
     val out = new Array[Long](perms)
     var j = 0
     while (j < perms) {
@@ -83,4 +145,10 @@ object MinHashSig {
 
   def apply(text: Column, n: Int, mod: Long, perms: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(text), n, mod, perms))
+}
+
+object MinHashSigCapped {
+  def apply(text: Column, n: Int, mod: Long, perms: Int,
+      exclude: Array[Long]): Column =
+    GraftBridge.column(MinHashSigCapped(GraftBridge.expression(text), n, mod, perms, exclude))
 }

@@ -283,16 +283,28 @@ object TextOps {
     */
   def minhashCapped(spark: SparkSession, dir: String): DataFrame = {
     val shAll = shingleRows(spark, dir)
-    val hot = shAll.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+    // The hot list is tiny by construction (≤ |distinct shingles|/cap) —
+    // collect it once: it feeds BOTH the verification anti-join filter and
+    // the capped signature expression. The same small-by-construction
+    // assumption already backed the broadcast anti-join; at a corpus size
+    // where it stopped holding, the cap itself would have removed most of
+    // the index, so the collect is not the scale cliff.
+    val hotArr = shAll.groupBy(col("shash")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
       .select(col("shash"))
-    val sh = shAll.join(broadcast(hot), Seq("shash"), "left_anti").cache()
+      .collect().map(_.getLong(0)).sorted
+    val sh = shAll.filter(
+        !graft.functions.InSortedLongs(col("shash"), hotArr))
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val minAggs = (0 until MinHashPerms).map(j =>
-      min(permuted(lit(j), col("shash"))).as(s"m$j"))
-    val sig = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = array(bandSigCols(
-      array((0 until MinHashPerms).map(j => col(s"m$j")): _*)): _*)
+    // capped signatures as the SAME zero-shuffle narrow projection as q36 —
+    // the 64-min-aggregate groupBy over exploded shingle rows (the old
+    // shape) cost 3.5× q36's signature stage for identical values
+    val sig = Tables.documents(spark, dir).transform(Tables.fanout)
+      .select(col("doc_id"),
+        graft.functions.MinHashSigCapped(col("text"), 3, M31, MinHashPerms, hotArr).as("sg"))
+      .filter(size(col("sg")) > 0)
+    val bandCols = array(bandSigCols(col("sg")): _*)
     val bands = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
       .cache()
@@ -762,6 +774,67 @@ object TextOps {
     */
   private val FuseEdgeThreshold = 2000000L
 
+  /** Edge count at or below which [[ccAdaptive]] solves the decomposition
+    * driver-side: 4M (doc_a, doc_b) longs ≈ 64 MB collected — comfortably
+    * inside any driver, and far below where the distributed loop's
+    * per-round fixed costs stop dominating.
+    */
+  private[graft] val LocalCcMaxEdges = 4000000L
+
+  /** Size-adaptive connected components — the same physical-strategy choice
+    * Spark itself makes for joins (broadcast vs exchange), keyed off the
+    * MEASURED edge count, not a guess. At or below [[LocalCcMaxEdges]]
+    * edges the edge list is collected and solved with path-compressed
+    * min-root union-find in one pass: the distributed alternation pays
+    * ~0.4 s per round in fixed driver tax (planning, checkpoint barrier,
+    * probe job) regardless of edge volume, so a graph that fits in one
+    * collect costs more to iterate on than to solve outright. Above the
+    * threshold, [[ccLargeSmallStar]] runs with no driver materialization
+    * anywhere — the 100 TB path is unchanged. Both produce the identical
+    * (doc_id, label = min reachable id) contract; PropertySpec pins
+    * local-vs-loop equality on random graphs.
+    */
+  def ccAdaptive(vertices: DataFrame, pairs: DataFrame, nEdges: Long,
+      fuseRounds: Boolean = false): DataFrame = {
+    if (nEdges > LocalCcMaxEdges)
+      ccLargeSmallStar(vertices, pairs, fuseRounds = fuseRounds)
+    else {
+      val sess = vertices.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = p; p = gp
+        }
+        x
+      }
+      val cols = pairs.columns
+      val ids = new java.util.HashSet[Long]()
+      pairs.select(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
+        .collect().foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          ids.add(a); ids.add(b)
+          val ra = find(a); val rb = find(b)
+          // min-root union: the surviving root of every merge is the smaller
+          // id, so each tree's root IS its component minimum — no second pass
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      import scala.jdk.CollectionConverters._
+      val labelRows = ids.asScala.toSeq.map(v => org.apache.spark.sql.Row(v, find(v)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cc_label", org.apache.spark.sql.types.LongType, nullable = false)))
+      val nParts = math.max(1, labelRows.size / 1000000)
+      val labelsDf = sess.createDataFrame(
+        sess.sparkContext.parallelize(labelRows, nParts), schema)
+      vertices.join(labelsDf, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cc_label"), col("doc_id")).as("label"))
+    }
+  }
+
   /** Drop the storage blocks behind a materialized [[ccLargeSmallStar]]
     * `persist` seam output (localCheckpoint/checkpoint both plan as a leaf
     * RDD scan). No-op when the seam didn't materialize (identity persist in
@@ -895,20 +968,36 @@ object TextOps {
     * singletons keep their own id. Decomposition runs on the
     * [[ccLargeSmallStar]] large-star/small-star alternation — no broadcast
     * assumption anywhere, so the same plan runs on billion-edge graphs.
+    *
+    * The CC loop runs on the QUOTIENT graph: one vertex per distinct
+    * fingerprint (its representative = min doc_id carrying it), one edge per
+    * near-dup fingerprint PAIR ([[simhashNearPairsDistinct]]). This has the
+    * same components as the document-level graph — identical-fingerprint
+    * docs form Hamming-0 cliques there, so contracting each group to its
+    * representative preserves connectivity, and the component minimum is
+    * unchanged because each representative IS its group's minimum. Labels
+    * expand back through the (doc → fingerprint → rep) membership map as one
+    * linear equi-join. On a duplicate-rich corpus the loop therefore never
+    * sees the clique edges at all (sf0.1: 410k doc pairs → ~40k value
+    * edges; a million identical docs contribute ONE quotient vertex).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // Materialize the pair pipeline ONCE: the canonicalization references
-    // `pairs` in two column expressions, which would otherwise re-run the
-    // whole SimHash pipeline per reference.
-    val pairs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // materialized once: feeds the quotient banding, the membership
+    // expansion, and the rep aggregation
+    val s = simhashDocs(spark, dir).localCheckpoint()
+    val groups = s.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+    // quotient edges: near-dup fingerprint pairs, as rep-id pairs
+    val repPairs = simhashNearPairsDistinct(s)
+      .join(groups.select(col("simhash").as("sim_a"), col("rep").as("rep_a")), "sim_a")
+      .join(groups.select(col("simhash").as("sim_b"), col("rep").as("rep_b")), "sim_b")
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
       .localCheckpoint()
     // Size the loop's shuffle width from the REAL edge count (the
     // checkpoint is already materialized, so this count is free): the
     // test-SF edge state is tiny and wants few partitions (many small
-    // per-round stages), but a dense near-dup graph — 8M edges at the 10×
-    // scale probe — needs the full width or every round bottlenecks on
-    // 8 oversized partitions.
-    val nEdges = pairs.count()
+    // per-round stages), but a dense near-dup graph needs the full width or
+    // every round bottlenecks on 8 oversized partitions.
+    val nEdges = repPairs.count()
     val loopParts = math.min(spark.sparkContext.defaultParallelism.toLong,
       math.max(8L, nEdges / 250000L)).toInt
     // The width override lives on a CLONED session (same SparkContext, own
@@ -919,15 +1008,25 @@ object TextOps {
     // recomputes.
     val loopSession = spark.newSession()
     loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val pairsLoop = loopSession.createDataFrame(pairs.rdd, pairs.schema)
-    val verticesLoop = Tables.documents(loopSession, dir).select(col("doc_id"))
+    val pairsLoop = loopSession.createDataFrame(repPairs.rdd, repPairs.schema)
+    val sLoop = loopSession.createDataFrame(s.rdd, s.schema)
+    val groupsLoop = sLoop.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+    val verticesLoop = groupsLoop.select(col("rep").as("doc_id"))
     // Dense graphs amortize per-round driver tax by fusing two alternation
     // rounds per job (executor work dominates there); sparse graphs converge
     // in few rounds and want the per-round probe instead — the fused form
     // pays up to one extra idempotent double-round, which at sf0.1 cost
     // 2–3× total query time.
-    val labels = ccLargeSmallStar(verticesLoop, pairsLoop,
+    val repLabels = ccAdaptive(verticesLoop, pairsLoop, nEdges,
       fuseRounds = nEdges >= FuseEdgeThreshold)
+    // expand rep labels to members; token-less docs never got a fingerprint
+    // and stay singletons
+    val memberLabels = sLoop.join(groupsLoop, "simhash")
+      .join(repLabels.select(col("doc_id").as("rep"), col("label")), "rep")
+      .select(col("doc_id"), col("label"))
+    val labels = Tables.documents(loopSession, dir).select(col("doc_id"))
+      .join(memberLabels.withColumnRenamed("label", "member_label"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("member_label"), col("doc_id")).as("label"))
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
@@ -1094,7 +1193,7 @@ object TextOps {
     * codegen end-to-end, and the shuffle carries one row per distinct
     * (doc, token) instead of token arrays.
     */
-  private def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .transform(Tables.fanout)   // CPU-bound fan-out
     val th = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -1108,14 +1207,24 @@ object TextOps {
     bal.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** q37: SimHash near-dup pairs — band the 48-bit fingerprint into 4×12-bit
-    * keys; Hamming ≤ 3 guarantees at least one equal band (pigeonhole), so
-    * the band join is a *complete* candidate generator, then filter on exact
-    * Hamming distance via bit_count(xor).
+  /** Near-dup pairs over DISTINCT simhash VALUES: band each distinct 48-bit
+    * fingerprint into 4×12-bit keys (Hamming ≤ 3 shares ≥1 band by
+    * pigeonhole — a property of the values, so distinct-level banding is
+    * still a complete candidate generator), self-join on (band_idx,
+    * band_val), verify exact Hamming. Emits each unordered value pair once
+    * as (sim_a < sim_b, hamming ∈ 1..MaxHamming).
+    *
+    * This is the collapse seam for the whole SimHash family: duplicate-rich
+    * corpora put MANY documents on one fingerprint (sf0.1: 5 000 docs →
+    * 3 683 distinct values, hottest value carried by 276 docs), and banding
+    * documents instead of values made every band bucket quadratic in group
+    * size — the hot value alone contributed 276² rows per matching band.
+    * Value-level banding is quadratic only in DISTINCT collisions; group
+    * membership re-enters later as linear joins.
     */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val s = simhashDocs(spark, dir).cache()
-    val banded = s.select(col("doc_id"), col("simhash"),
+  private[graft] def simhashNearPairsDistinct(s: DataFrame): DataFrame = {
+    val d = s.select(col("simhash")).distinct()
+    val banded = d.select(col("simhash"),
         posexplode(array((0 until SimBands).map(b =>
           shiftright(col("simhash"), b * SimBandBits).bitwiseAND((1 << SimBandBits) - 1)): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
@@ -1123,13 +1232,39 @@ object TextOps {
     // dedup shuffle) so dropDuplicates only shuffles surviving pairs.
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.band_val") === col("y.band_val")
-          && col("x.doc_id") < col("y.doc_id")
+          && col("x.simhash") < col("y.simhash")
           && bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= MaxHamming)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+      .select(col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .dropDuplicates("sim_a", "sim_b")
+  }
+
+  /** q37: SimHash near-dup pairs — candidate generation runs at the
+    * distinct-fingerprint level ([[simhashNearPairsDistinct]]), then the
+    * value pairs expand back to document pairs through two membership
+    * equi-joins; identical-fingerprint documents (Hamming 0) pair through a
+    * direct self-join on the fingerprint. Output is identical to banding
+    * documents directly (each unordered doc pair with Hamming ≤ 3 exactly
+    * once) — the expansion joins multiply candidates only by true group
+    * membership, never re-examine non-candidates.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: referenced by the distinct-value banding and both
+    // expansion sides — without the seam each reference re-runs the
+    // tokenize+hash scan
+    val s = simhashDocs(spark, dir).localCheckpoint()
+    val np = simhashNearPairsDistinct(s)
+    val cross = np
+      .join(s.as("a"), col("sim_a") === col("a.simhash"))
+      .join(s.as("b"), col("sim_b") === col("b.simhash"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+              col("hamming"))
+    val intra = s.as("a").join(s.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              lit(0L).as("hamming"))
+    cross.union(intra).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** q104: benchmark decontamination — flag corpus documents that share any

@@ -141,6 +141,42 @@ class PortableHashSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(90001L, 90002L))
   }
 
+  test("capped MinHashSig equals the anti-joined aggregate signature") {
+    // exclusion-set variant: dropping hot shingles inside the expression
+    // must equal anti-joining them out of the exploded rows before the
+    // aggregate — including docs whose EVERY shingle is excluded (empty
+    // array vs no aggregate row) and InSortedLongs membership itself
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+      .union(Seq((90001L, "aa bb cc aa bb cc"), (90002L, "xx yy zz"))
+        .toDF("doc_id", "text"))
+    val perms = 64
+    val shAll = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
+      .distinct()
+    // exclude the top-df shingles plus ALL of doc 90001's (forcing it empty)
+    val hot = shAll.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shash")).limit(50)
+      .select("shash").collect().map(_.getLong(0)) ++
+      shAll.filter(col("doc_id") === 90001L).select("shash").collect().map(_.getLong(0))
+    val excl = hot.distinct.sorted
+    val fast = docs.select(col("doc_id"),
+      graft.functions.MinHashSigCapped(col("text"), 3, M31, perms, excl).as("sig"))
+    val sh = shAll.filter(!graft.functions.InSortedLongs(col("shash"), excl))
+    val minAggs = (0 until perms).map(j =>
+      min(permuted(lit(j), col("shash"))).as(s"m$j"))
+    val slow = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(j => col(s"m$j")): _*).as("sig"))
+    val fastNonEmpty = fast.filter(size(col("sig")) > 0)
+    assert(fastNonEmpty.count() == slow.count())
+    assert(fastNonEmpty.join(slow, "doc_id")
+      .filter(fastNonEmpty("sig") =!= slow("sig")).count() == 0)
+    assert(fast.filter(size(col("sig")) === 0)
+      .filter(col("doc_id") === 90001L).count() == 1)
+    // InSortedLongs agrees with isInCollection on the same list
+    assert(shAll.filter(graft.functions.InSortedLongs(col("shash"), excl) =!=
+      col("shash").isInCollection(excl)).count() == 0)
+  }
+
   test("native SymDeleteHashes equals the composed deletion-variant pipeline") {
     val names = Tables.customer(spark, sf001).select(col("c_name").as("s")).limit(200)
       .union(Seq("", "a", "ab", "abc", "aa bb", "éxü", "name with  spaces").toDF("s"))

@@ -172,6 +172,12 @@ class PropertySpec extends SparkSpec {
       }
       val want = ids.map(d => d -> find(d)).toMap
       assert(got == want, s"trial $trial: n=${ids.length} edges=${edges.length}")
+
+      // ccAdaptive's driver-side union-find path (edge count under the
+      // local threshold) must agree with the distributed loop bit-for-bit
+      val gotLocal = operators.TextOps.ccAdaptive(vertices, pairs, edges.length.toLong)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLocal == want, s"trial $trial local path: n=${ids.length}")
     }
   }
 }
