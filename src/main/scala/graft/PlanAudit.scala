@@ -149,6 +149,48 @@ object PlanAudit {
     // count-min: the sketch must partial-aggregate map-side (constant state
     // per partition) and the 1024-cell sketch must broadcast to the probes
     audit("q121_countmin_audit", Seq("partial_count", "BroadcastHashJoin"))
+    // q40 brute-force top-k: corpus rows must reach the broadcast join with
+    // no hash exchange (the round-robin fanout seam is a cluster no-op),
+    // and the ONLY hash exchange anywhere carries the Partial-limited
+    // per-query top-k rows — a regression to a shuffled cartesian would
+    // surface as a corpus-side hashpartitioning exchange
+    val q40c = SparkEntry.queries("q40_cosine_topk")(spark, dir)
+    q40c.collect()
+    val q40cplan = q40c.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q40hashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(q40cplan).map(_.group(1)).toSet
+    val q40noShuffledCorpus = q40cplan.contains("BroadcastNestedLoopJoin") &&
+      !q40cplan.contains("CartesianProduct") && q40hashEx.subsetOf(Set("query_id"))
+    println(s"[audit] q40 corpus never exchanges " +
+      (if (q40noShuffledCorpus) "OK (only top-k rows hash-exchange, on query_id)"
+       else s"CHECK: hash exchanges on ${q40hashEx.mkString(",")}"))
+    // histogram quantiles: the refinement must never rank row-level data in
+    // a window. q122 runs its refinement EAGERLY (adaptive driver loop), so
+    // observe every job it triggers through a QueryExecutionListener: no
+    // plan may contain a Window at all, and the final rank recovery must
+    // appear as a distributed top-r (TakeOrderedAndProject)
+    val q122Plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q122L = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = q122Plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(q122L)
+    SparkEntry.queries("q122_hist_quantiles")(spark, dir).collect()
+    // the listener bus is async — poll for the top-r plan
+    var q122Wait = 0
+    def q122Snap() = { import scala.jdk.CollectionConverters._; q122Plans.asScala.toSeq }
+    while (q122Wait < 50 && !q122Snap().exists(_.contains("TakeOrderedAndProject"))) {
+      Thread.sleep(100); q122Wait += 1
+    }
+    spark.listenerManager.unregister(q122L)
+    val q122W = q122Snap().exists(_.contains("Window"))
+    val q122T = q122Snap().exists(_.contains("TakeOrderedAndProject"))
+    println(s"[audit] q122 refinement " +
+      (if (!q122W && q122T) "OK (no Window in any triggered job; rank via TakeOrderedAndProject)"
+       else s"CHECK: window=$q122W topr=$q122T over ${q122Snap().size} jobs"))
     // incremental dedup: candidates must come from equi-joins (band buckets
     // and md5 keys) — an all-pairs product over the corpus must NOT appear
     val q111 = SparkEntry.queries("q111_incremental_dedup")(spark, dir)

@@ -486,7 +486,8 @@ object SparkEntry {
          |cum AS (SELECT bucket, CAST(sum(bn) OVER (ORDER BY bucket
          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
          |ks AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS k
-         |       FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q), ext),
+         |       FROM (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         |                            CAST(0.99 AS DOUBLE)]) AS q), ext),
          |est AS (SELECT k.q, k.k, min(c.bucket) AS bucket
          |        FROM ks k JOIN cum c ON c.cum >= k.k GROUP BY k.q, k.k),
          |inb AS (SELECT e.q, e.bucket, e.k - (c.cum - h.bn) AS r

@@ -384,58 +384,94 @@ object Relational {
     * the estimate are all exact-integer or identical-IEEE arithmetic — so
     * the ESTIMATE itself is oracle-checked, not just an error bound.
     *
-    * Scale shape: one tiny extent aggregate (broadcast back), one
-    * bucketing pass with a map-side-partial 1024-key hash aggregate, and
-    * windows over the 1024-row histogram only. The exact rank value is
-    * recovered by BUCKET REFINEMENT, never a global sort: bucket indices
-    * are monotone in the value, so the global rank-k row is the
-    * (k − cum(b−1))-th row of its estimated bucket b under the same
-    * ordering — a window over the ~n/1024 rows of three buckets. Every
-    * stage is bounded or broadcast; nothing global touches row-level data.
+    * Scale shape: one tiny extent aggregate, one bucketing pass with a
+    * map-side-partial 1024-key hash aggregate (the 1024-row histogram is
+    * collected driver-side — aggregate-level data, never rows). The exact
+    * rank value is recovered by RECURSIVE BUCKET REFINEMENT, never a
+    * global sort or row-level window: bucket indices are monotone in the
+    * value, so the global rank-k row is the (k − cum(b−1))-th row of its
+    * estimated bucket b under the same ordering. While the measured bucket
+    * population exceeds [[RefineTaskRows]], the bucket is re-histogrammed
+    * into 1024 sub-buckets (one filtered aggregate pass per level — each
+    * level divides the candidate set by ~1024, so 100 TB needs ~2 levels),
+    * and the final rank is a distributed top-r (`TakeOrderedAndProject`,
+    * per-partition heaps) over a task-sized row set, reduced with one
+    * struct-max. No Window ever touches row-level data, at any n.
     * Assumes a non-degenerate extent (min < max), which holds for any
     * real-valued measure column.
     */
-  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame =
+    histogramQuantilesImpl(spark, dir, RefineTaskRows)
+
+  /** Bucket population at or below which the rank is recovered directly
+    * with a distributed top-r instead of another refinement level: the
+    * top-r heap union must fit one driver/task comfortably. */
+  val RefineTaskRows = 262144L
+
+  private[graft] def histogramQuantilesImpl(spark: SparkSession, dir: String,
+      taskRows: Long): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_extendedprice").as("x"), col("l_orderkey"), col("l_linenumber"))
-    val ext = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
-      count(lit(1)).as("n"))
-    val width = (col("hi") - col("lo")) / lit(QuantileBuckets.toDouble)
-    def bucketOf(x: Column) =
-      least(lit(QuantileBuckets - 1L), floor((x - col("lo")) / width))
-    val hist = li.crossJoin(broadcast(ext))
-      .select(bucketOf(col("x")).as("bucket"))
+    val extR = li.agg(min(col("x")), max(col("x")), count(lit(1))).head
+    val (lo, hi, n) = (extR.getDouble(0), extR.getDouble(1), extR.getLong(2))
+    // IEEE-identical to the oracle's Column arithmetic: (hi−lo)/1024.0 then
+    // floor((x−lo)/width) — the driver doubles go through the same ops
+    val width = (hi - lo) / QuantileBuckets.toDouble
+    def bucketCol(x: Column): Column =
+      least(lit(QuantileBuckets - 1L), floor((x - lit(lo)) / lit(width)))
+    def bucketOfVal(v: Double): Long =
+      math.min(QuantileBuckets - 1L, math.floor((v - lo) / width).toLong)
+    val hist = li.select(bucketCol(col("x")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
-    val cum = hist.withColumn("cum", sum(col("bn")).over(
-      Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val ks = spark.range(1)
-      .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
-      .crossJoin(broadcast(ext))
-      .select(col("q"), ceil(col("q") * col("n")).as("k"))
-    val est = ks.join(cum, col("cum") >= col("k"))
-      .groupBy(col("q"), col("k")).agg(min(col("bucket")).as("bucket"))
-    // refinement: global rank k = rows below bucket b (cum(b) − bn(b)) plus
-    // the within-bucket rank, because bucket index is monotone in x — so
-    // only the three estimated buckets' rows are ever ranked
-    val inBucket = est.join(cum, Seq("bucket"))
-      .select(col("q"), col("bucket"), (col("k") - (col("cum") - col("bn"))).as("r"))
-    val exact = li.crossJoin(broadcast(ext))
-      .select(col("x"), col("l_orderkey"), col("l_linenumber"),
-        bucketOf(col("x")).as("bucket"))
-      .join(broadcast(inBucket), Seq("bucket"))
-      .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q"))
-            .orderBy(col("x"), col("l_orderkey"), col("l_linenumber")))
-        .cast("long"))
-      .filter(col("rn") === col("r"))
-      .select(col("q"), col("x").as("exact_val"))
-    est.join(exact, Seq("q")).crossJoin(broadcast(ext))
-      .select(col("q"),
-        pround(col("lo") + col("bucket") * width, 4).as("est_p"),
-        pround(col("exact_val"), 4).as("exact_p"),
-        (bucketOf(col("exact_val")) === col("bucket")).as("within_bucket"),
-        col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val cumOf = hist.scanLeft((-1L, 0L)) { case ((_, c), (b, bn)) => (b, c + bn) }.drop(1)
+    val rows = Seq(0.5, 0.9, 0.99).map { q =>
+      val k = math.ceil(q * n).toLong
+      // estimated bucket: smallest with cum ≥ k (same min-over-join as before)
+      val bi = cumOf.indexWhere(_._2 >= k)
+      val (b1, cum1) = cumOf(bi)
+      val bn1 = hist(bi)._2
+      // refinement state: predicate pinning the current bucket chain, rank
+      // within it, and the chain's value range
+      var pred = bucketCol(col("x")) === b1
+      var r = k - (cum1 - bn1)
+      var bn = bn1
+      var bLo = lo + b1 * width
+      var w = width
+      while (bn > taskRows) {
+        val subW = w / QuantileBuckets.toDouble
+        // clamped sub-bucket: FP wobble at range edges only shifts boundary
+        // rows into edge buckets MONOTONICALLY, so rank arithmetic stays
+        // exact (the row set is pinned by the parent predicate, not by the
+        // value range)
+        def subCol(x: Column): Column =
+          greatest(lit(0L), least(lit(QuantileBuckets - 1L),
+            floor((x - lit(bLo)) / lit(subW))))
+        val subHist = li.filter(pred).select(subCol(col("x")).as("sb"))
+          .groupBy(col("sb")).agg(count(lit(1)).as("bn"))
+          .collect().map(rr => rr.getLong(0) -> rr.getLong(1)).sortBy(_._1)
+        val subCum = subHist.scanLeft((-1L, 0L)) { case ((_, c), (b, x2)) => (b, c + x2) }.drop(1)
+        val si = subCum.indexWhere(_._2 >= r)
+        val (sb, scum) = subCum(si)
+        val sbn = subHist(si)._2
+        pred = pred && (subCol(col("x")) === sb)
+        r = r - (scum - sbn)
+        bn = sbn
+        bLo = bLo + sb * subW
+        w = subW
+      }
+      // rank-r row under (x, orderkey, linenumber) = max of the top-r —
+      // TakeOrderedAndProject (distributed per-partition heaps), r ≤ taskRows
+      val exactVal = li.filter(pred)
+        .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+        .limit(r.toInt)
+        .agg(max(struct(col("x"), col("l_orderkey"), col("l_linenumber"))).as("s"))
+        .head.getStruct(0).getDouble(0)
+      def pr4(v: Double): Double = math.floor(v * 10000.0 + 0.5) / 10000.0
+      (q, pr4(lo + b1 * width), pr4(exactVal), bucketOfVal(exactVal) == b1, n)
+    }
+    import spark.implicits._
+    rows.toDF("q", "est_p", "exact_p", "within_bucket", "n")
       .orderBy(col("q"))
   }
 

@@ -64,4 +64,17 @@ class ApproxSpec extends SparkSpec {
     val audited = Relational.approxDistinct(spark, sf01).collect()
     assert(audited.forall(_.getAs[Boolean]("within_5pct")))
   }
+
+  test("q122 recursive refinement (tiny task budget) equals the single-level path") {
+    // a 10-row task budget forces MULTIPLE sub-histogram levels at sf0.01
+    // (~60k rows → level-1 buckets ≫ 10), exercising the deep path the
+    // production threshold only reaches at 100 TB; results must be
+    // bit-identical to the effectively-single-level default
+    val deep = Relational.histogramQuantilesImpl(spark, sf01, 10L).collect()
+    val wide = Relational.histogramQuantilesImpl(spark, sf01, Relational.RefineTaskRows).collect()
+    assert(deep.toSeq == wide.toSeq)
+    // sanity: the audit bit itself — exact value lands in the estimated
+    // bucket for this distribution
+    assert(deep.forall(_.getAs[Boolean]("within_bucket")))
+  }
 }
