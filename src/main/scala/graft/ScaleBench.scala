@@ -186,6 +186,19 @@ object ScaleBench {
         System.err.println(f"[scale] q117_shared_labels    $sec%8.2f s  ($n rows)")
         Seq("q117_shared_labels" -> sec)
       } else Seq.empty
+    // Isolated re-timing of the five costliest (one solo run each at this
+    // SF — the sweep position is the cold number, this is the warm one):
+    // the recorded pair lets in-sequence weather be adjudicated against
+    // evidence (the r4–r6 profiles showed heavies at ~half cost isolated).
+    val heavies = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map { case (name, seq) =>
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, out).count(); () }
+      catch { case _: Throwable => () }
+      val iso = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale] iso $name%-18s $iso%8.2f s")
+      name -> (seq, iso)
+    }
     // extras are measurements of non-query forms (label reuse): kept OUT of
     // the queries map so sum(queries) == value and every queries key is a
     // declared SparkEntry name
@@ -193,7 +206,9 @@ object ScaleBench {
       .mkString("{", ",", "}")
     val ex = shared.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"extras":$ex,"sf":"$src x$tiles","tiles":$tiles}""")
+    val hv = heavies.map { case (k, (a, b)) =>
+      s"\"$k\":{\"in_sequence\":$a,\"isolated\":$b}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"extras":$ex,"heavies":$hv,"sf":"$src x$tiles","tiles":$tiles}""")
     spark.stop()
   }
 }
