@@ -15,6 +15,17 @@ import graft.Tables
   * lives in the state store, bounded by the watermark; sinks become
   * `foreachBatch` upserts (the reference's overwrite-by-name semantics,
   * report_generator.py:64-68).
+  *
+  * Production state store: the default HDFS-backed provider keeps every
+  * partition's state map ON-HEAP — at 100 TB, session/join state for the
+  * interval joins and session windows exceeds executor heap long before the
+  * watermark closes it. Deployments set
+  * `spark.sql.streaming.stateStore.providerClass =
+  * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+  * (local-disk store + changelog checkpointing; bounded heap regardless of
+  * state volume). Results are provider-independent —
+  * IncrementalReplaySpec replays the multi-batch session_window query under
+  * BOTH providers and pins bit-identical output.
   */
 object EventsStream {
 

@@ -221,7 +221,9 @@ class IncrementalReplaySpec extends SparkSpec {
     assert(unmatched.nonEmpty, "fixture should close at least one unmatched click")
   }
 
-  test("session_window merges gap-sessions across batches and emits only closed ones") {
+  /** Run the multi-batch session_window replay and return the streamed
+    * rows (asserting ≥4 non-empty micro-batches and no double emission). */
+  private def runSessionWindowReplay(): Set[(Long, Long, Long, Long)] = {
     val name = s"inc_sess_win_${counter.incrementAndGet()}"
     val q = streamEvents
       .withWatermark("ts", graft.streaming.EventsStream.AppendDelay)
@@ -238,17 +240,45 @@ class IncrementalReplaySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
                  r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
     assert(streamed.length == streamed.toSet.size, "a session emitted twice")
-    // batch twin: q71's gap sessionization filtered to watermark-closed ones
+    streamed.toSet
+  }
+
+  /** Batch twin of the session_window replay: q71's gap sessionization
+    * filtered to watermark-closed sessions. */
+  private lazy val sessionWindowClosedBatch: Set[(Long, Long, Long, Long)] = {
     val e = Tables.events(spark, sf001)
     val maxUs = Tables.tsMicros(max(col("ts")))
     val maxTs = e.agg(maxUs.as("m")).head.getLong(0)
     val wmUs = (maxTs / 1000) * 1000 - 30L * 60 * 1000000   // ms-floored − delay
-    val closed = EventOps.sessionWindowAgg(spark, sf001).collect()
+    EventOps.sessionWindowAgg(spark, sf001).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
                  r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
       .filter(_._3 <= wmUs).toSet
-    assert(streamed.toSet == closed)
-    assert(closed.nonEmpty)
+  }
+
+  test("session_window merges gap-sessions across batches and emits only closed ones") {
+    val streamed = runSessionWindowReplay()
+    assert(streamed == sessionWindowClosedBatch)
+    assert(sessionWindowClosedBatch.nonEmpty)
+  }
+
+  test("session_window state is bit-identical under RocksDBStateStoreProvider") {
+    // The documented production state store (EventsStream scaladoc): at
+    // 100 TB, session/join state exceeds the default in-heap HDFS-backed
+    // store's executor-heap bound; RocksDB spills to local disk with the
+    // same changelog semantics. Same slices, same watermark, same rows.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runSessionWindowReplay()
+      assert(streamed == sessionWindowClosedBatch)
+      assert(sessionWindowClosedBatch.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("flatMapGroupsWithState session state carries open sessions across batches") {
