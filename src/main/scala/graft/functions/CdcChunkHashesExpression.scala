@@ -66,6 +66,21 @@ object CdcChunkHashes {
   def compute(bytes: Array[Byte]): GenericArrayData = {
     val n = bytes.length
     if (n == 0) return new GenericArrayData(Array.empty[Long])
+    // PRECONDITION (enforced, not assumed): the hash is defined over BYTES
+    // while every oracle indexes CHARACTERS (`ascii(s[i])`) — the two only
+    // agree when each character is one byte. A caller bypassing the
+    // `regexp_replace` normalization seam with multi-byte UTF-8 would
+    // otherwise diverge from its oracle SILENTLY; fail loudly instead.
+    // (One branch-predictable sign check per byte — noise next to the
+    // 16-multiply window sum below.)
+    var pc = 0
+    while (pc < n) {
+      if (bytes(pc) < 0) throw new IllegalArgumentException(
+        "cdc_chunk_hashes requires single-byte (ASCII) input; normalize the " +
+        "text first (e.g. lower + regexp_replace to [a-z0-9 ]) — found a " +
+        s"multi-byte UTF-8 sequence at byte offset $pc")
+      pc += 1
+    }
     val m = PortableHash.MFp
     // cut points as counts-of-bytes-before-the-cut (matches the oracle's
     // 1-based boundary positions)

@@ -161,5 +161,10 @@ class DedupSpec extends SparkSpec {
       s.grouped(graft.multimodal.Multimodal.ChunkSize).toSeq
     val fShared = fixed(base).toSet.intersect(fixed(front).toSet).size
     assert(fShared <= 1, s"fixed chunking unexpectedly re-aligned: $fShared")
+    // the byte=character precondition is ENFORCED, not assumed: multi-byte
+    // UTF-8 input (which would silently diverge from any ascii()-indexed
+    // oracle) must fail loudly rather than hash differently
+    val ex = intercept[IllegalArgumentException] { chunks("café " + base) }
+    assert(ex.getMessage.contains("ASCII"))
   }
 }
