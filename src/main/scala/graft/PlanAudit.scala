@@ -88,6 +88,9 @@ object PlanAudit {
     audit("q90_chunk_dedup", Seq("HashAggregate"))
     // quantized recall: corpus side never shuffles — queries broadcast
     audit("q91_quantized_recall", Seq("BroadcastNestedLoopJoin"))
+    // PQ recall: same guarantee, plus the codebook rides in codegen (a
+    // pq_encode projection, never a join against a codebook relation)
+    audit("q125_pq_recall", Seq("BroadcastNestedLoopJoin", "pq_encode"))
     // decile bucketing: every window is segment-partitioned — a global
     // single-partition window over the fact table must NOT appear
     val q83 = SparkEntry.queries("q83_ntile_deciles")(spark, dir)

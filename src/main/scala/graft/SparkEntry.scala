@@ -99,6 +99,7 @@ object SparkEntry {
     "q122_hist_quantiles"    -> (Relational.histogramQuantiles _),
     "q123_stream_session_window" -> (EventsStream.streamingSessionWindow _),
     "q124_cdc_dedup"         -> (TextOps.cdcChunkDedup _),
+    "q125_pq_recall"         -> (SimilarityOps.pqRecall _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1366,6 +1367,46 @@ object SparkEntry {
          |       FROM (SELECT query_id, neighbor_id FROM r WHERE frank <= ${SimilarityOps.RecallK}) a
          |       JOIN (SELECT query_id, neighbor_id FROM r WHERE qrank <= ${SimilarityOps.RecallK}) b
          |         USING (query_id, neighbor_id)
+         |       GROUP BY 1)
+         |SELECT q.query_id, coalesce(cnt, CAST(0 AS BIGINT)) AS n_overlap,
+         |  floor((coalesce(cnt, CAST(0 AS BIGINT)) * 1.0 / ${SimilarityOps.RecallK}) * 1e2 + 0.5) / 1e2 AS recall
+         |FROM q LEFT JOIN ov ON q.query_id = ov.query_id ORDER BY q.query_id""".stripMargin,
+    "q125_pq_recall" ->
+      s"""${SimilarityOps.vectorsCteSql},
+         |qz AS (SELECT vec_id, v, norm,
+         |         [CAST(floor(v[i] / norm * ${SimilarityOps.QuantScale} + 0.5) AS BIGINT)
+         |          for i in generate_series(1, ${SimilarityOps.Dim})] AS qv
+         |       FROM vecs),
+         |tr AS (SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+         |       FROM (SELECT vec_id, qv FROM qz WHERE vec_id % ${SimilarityOps.PqTrainMod} = 0
+         |             ORDER BY vec_id LIMIT ${SimilarityOps.PqCodes})),
+         |ms AS (SELECT unnest(generate_series(0, ${SimilarityOps.PqM - 1})) AS m),
+         |cb AS (SELECT m, cid, qv[m*${SimilarityOps.PqL}+1 : m*${SimilarityOps.PqL}+${SimilarityOps.PqL}] AS c
+         |       FROM tr CROSS JOIN ms),
+         |enc AS (SELECT vec_id, m, cid FROM (
+         |    SELECT z.vec_id, cb.m, cb.cid,
+         |      row_number() OVER (PARTITION BY z.vec_id, cb.m ORDER BY
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          [(z.qv[cb.m*${SimilarityOps.PqL}+i] - cb.c[i]) * (z.qv[cb.m*${SimilarityOps.PqL}+i] - cb.c[i])
+         |           for i in generate_series(1, ${SimilarityOps.PqL})]), (a, b) -> a + b),
+         |        cb.cid) AS rn
+         |    FROM qz z CROSS JOIN cb) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS fqv, norm AS qn, qv AS qqv FROM qz WHERE vec_id < 10),
+         |ad AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           [q.qqv[e.m*${SimilarityOps.PqL}+i] * cb.c[i] for i in generate_series(1, ${SimilarityOps.PqL})]),
+         |           (a, b) -> a + b)) AS BIGINT) AS pqdot
+         |       FROM enc e JOIN cb ON e.m = cb.m AND e.cid = cb.cid CROSS JOIN q
+         |       WHERE e.vec_id <> q.query_id GROUP BY 1, 2),
+         |co AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |         floor((${SimilarityOps.dotSql("e.v", "fqv")} / (e.norm * qn)) * 1e6 + 0.5) / 1e6 AS cosine
+         |       FROM qz e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |r AS (SELECT co.query_id, co.neighbor_id,
+         |        row_number() OVER (PARTITION BY co.query_id ORDER BY co.cosine DESC, co.neighbor_id) AS frank,
+         |        row_number() OVER (PARTITION BY co.query_id ORDER BY ad.pqdot DESC, co.neighbor_id) AS qrank
+         |      FROM co JOIN ad ON co.query_id = ad.query_id AND co.neighbor_id = ad.neighbor_id),
+         |ov AS (SELECT query_id, count(*) AS cnt FROM r
+         |       WHERE frank <= ${SimilarityOps.RecallK} AND qrank <= ${SimilarityOps.RecallK}
          |       GROUP BY 1)
          |SELECT q.query_id, coalesce(cnt, CAST(0 AS BIGINT)) AS n_overlap,
          |  floor((coalesce(cnt, CAST(0 AS BIGINT)) * 1.0 / ${SimilarityOps.RecallK}) * 1e2 + 0.5) / 1e2 AS recall

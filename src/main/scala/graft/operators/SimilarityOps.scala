@@ -267,6 +267,70 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
+  /** PQ geometry for [[pqRecall]]: [[Dim]] = 64 dims → [[PqM]] subspaces ×
+    * [[PqL]] dims each, [[PqCodes]] centroids per subspace (so a corpus
+    * vector stores [[PqM]] 6-bit codes — 6 bytes instead of 256), trained
+    * on every [[PqTrainMod]]-th vector. */
+  val PqM = 8
+  val PqL = 8
+  val PqCodes = 64
+  val PqTrainMod = 7
+
+  /** q125: product-quantization recall audit — q91's big sibling, and the
+    * memory format 100 TB ANN actually ships: instead of one int8 PER
+    * COMPONENT (q91, 64 B/vector), each vector stores one centroid id per
+    * SUBSPACE ([[PqM]] codes → 4 B/vector), and query–corpus similarity is
+    * the ADC dot against the codebook-reconstructed vector. The audit
+    * ranks neighbors by exact float cosine and by integer ADC dot and
+    * reports top-[[RecallK]] overlap per query — the accept/reject gate
+    * before swapping the float index for the PQ index.
+    *
+    * Determinism: codebook entries are int8-quantized subvectors of a
+    * deterministic training slice (every [[PqTrainMod]]-th vector — the
+    * audit's subject is distance-table ranking fidelity, which is
+    * codebook-construction-agnostic; per-subspace k-means would swap only
+    * the driver-side constant). Assignment distances and ADC dots are
+    * exact int64, ties break on centroid id, so both engines rank
+    * identically. Scale shape: the codebook is a few KB riding into
+    * codegen as a reference object ([[graft.functions.PqEncode]]), the
+    * corpus is encoded in one narrow projection (no shuffle), and both
+    * rankings are broadcast(queries) ⋈ corpus with per-partition partial
+    * top-k — the corpus never exchanges.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(spark, dir)
+      .withColumn("qv", transform(col("v"),
+        x => floor(x / col("norm") * QuantScale + 0.5).cast("long")))
+      .cache()
+    val trainRows = e.filter(col("vec_id") % PqTrainMod === 0)
+      .orderBy(col("vec_id")).limit(PqCodes)
+      .select(col("qv")).collect()
+    val codebook: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
+      trainRows.map(_.getSeq[Long](0).slice(m * PqL, (m + 1) * PqL).toArray)
+    }
+    val enc = e.withColumn("codes", graft.functions.PqEncode(col("qv"), codebook))
+    val q = enc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("fqv"),
+        col("norm").as("qn"), col("qv").as("qqv"))
+    val joined = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pround(dot(col("v"), col("fqv")) / (col("norm") * col("qn")), 6).as("cosine"),
+        graft.functions.PqAdcDot(col("qqv"), col("codes"), codebook).as("pqdot"))
+    val wf = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("pqdot").desc, col("neighbor_id"))
+    val overlap = joined
+      .withColumn("frank", row_number().over(wf))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("frank") <= RecallK && col("qrank") <= RecallK)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("cnt"))
+    q.select(col("query_id")).join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("cnt"), lit(0L)).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        pround(col("n_overlap") * lit(1.0) / RecallK, 2).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Fixed-point scale for q96's centroid arithmetic: components are
     * quantized to 2^-24 (≈6e-8, far below the 6dp/4dp output rounding) so
     * every aggregate — component sums, dot products, squared norms — is

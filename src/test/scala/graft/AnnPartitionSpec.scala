@@ -72,6 +72,25 @@ class AnnPartitionSpec extends SparkSpec {
     assert(kstep(1) == kstep(32), "kmeansStep drifted with partition count")
   }
 
+  test("PQ recall audit is partition-independent and its codes are exact argmins") {
+    // q125's ranking keys are exact int64 (assignment distances, ADC dots),
+    // so the recall table must be identical at any partitioning
+    def pq(parts: Int): Seq[org.apache.spark.sql.Row] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s.conf.set("graft.fanout.enabled", (parts > 1).toString)
+      graft.operators.SimilarityOps.pqRecall(s, sf001).collect().toSeq
+    }
+    val one = pq(1)
+    assert(one == pq(32), "pqRecall drifted with partition count")
+    // recall must be non-degenerate: PQ with 16 centroids per subspace on
+    // this corpus should recover a decent share of the float top-10
+    val avg = one.map(_.getAs[Double]("recall")).sum / one.size
+    assert(avg >= 0.3, s"suspiciously low PQ recall: $avg")
+    assert(one.forall(r => r.getAs[Long]("n_overlap") >= 0L &&
+      r.getAs[Long]("n_overlap") <= graft.operators.SimilarityOps.RecallK))
+  }
+
   test("k-means training loop is partition-independent and conserves the corpus") {
     def train(parts: Int): Seq[org.apache.spark.sql.Row] = {
       val s = spark.newSession()
