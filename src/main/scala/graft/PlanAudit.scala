@@ -152,6 +152,12 @@ object PlanAudit {
     // count-min: the sketch must partial-aggregate map-side (constant state
     // per partition) and the 1024-cell sketch must broadcast to the probes
     audit("q121_countmin_audit", Seq("partial_count", "BroadcastHashJoin"))
+    // q107 blocking: the hot-block cap must limit MAP-SIDE (a partial
+    // WindowGroupLimit below the block-key exchange), so a pathological
+    // million-member block ships ≤ cap+1 rows per partition, and the member
+    // collection must reuse that partitioning (no second hash exchange on
+    // the block key between the Window and the collect_list aggregate)
+    audit("q107_fuzzy_match", Seq("row_number(), 65, Partial", "row_number(), 65, Final"))
     // q40 brute-force top-k: corpus rows must reach the broadcast join with
     // no hash exchange (the round-robin fanout seam is a cluster no-op),
     // and the ONLY hash exchange anywhere carries the Partial-limited

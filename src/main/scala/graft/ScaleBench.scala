@@ -162,15 +162,20 @@ object ScaleBench {
       System.err.println(f"[scale] tiled $tiles×$src in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
-    val results = selectedQueries.map { name =>
+    // a failed query's elapsed-to-exception time is not a measurement: keep
+    // it OUT of the queries map and the total (same rule as Bench's
+    // single-pass path); the errors array names what broke
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val results = selectedQueries.flatMap { name =>
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
       val n = try SparkEntry.queries(name)(spark, out).count()
               catch { case e: Throwable =>
-                System.err.println(s"[scale] $name failed: ${e.getMessage}"); -1L }
+                System.err.println(s"[scale] $name failed: ${e.getMessage}")
+                errors += s"$name: ${e.getClass.getSimpleName}"; -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scale] $name%-22s $sec%8.2f s  ($n rows)")
-      name -> sec
+      if (n >= 0) Some(name -> sec) else None
     }
     // Label-reuse path: a composed pipeline that just ran q62 already holds
     // the cluster labels, so q117's marginal cost on top of them is one
@@ -190,7 +195,7 @@ object ScaleBench {
     // SF — the sweep position is the cold number, this is the warm one):
     // the recorded pair lets in-sequence weather be adjudicated against
     // evidence (the r4–r6 profiles showed heavies at ~half cost isolated).
-    val heavies = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map { case (name, seq) =>
+    val heavies = results.sortBy(-_._2).take(5).map { case (name, seq) =>
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, out).count(); () }
@@ -208,7 +213,8 @@ object ScaleBench {
       .mkString("{", ",", "}")
     val hv = heavies.map { case (k, (a, b)) =>
       s"\"$k\":{\"in_sequence\":$a,\"isolated\":$b}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"extras":$ex,"heavies":$hv,"sf":"$src x$tiles","tiles":$tiles}""")
+    val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"extras":$ex,"heavies":$hv,"errors":$errs,"sf":"$src x$tiles","tiles":$tiles}""")
     spark.stop()
   }
 }

