@@ -158,6 +158,15 @@ object PlanAudit {
     // collection must reuse that partitioning (no second hash exchange on
     // the block key between the Window and the collect_list aggregate)
     audit("q107_fuzzy_match", Seq("row_number(), 65, Partial", "row_number(), 65, Final"))
+    val q107p = SparkEntry.queries("q107_fuzzy_match")(spark, dir)
+    q107p.collect()
+    val q107blockEx = "Exchange hashpartitioning\\(vhash".r
+      .findAllMatchIn(q107p.queryExecution.executedPlan.toString
+        .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n"))
+      .size
+    println(s"[audit] q107 single block-key exchange " +
+      (if (q107blockEx == 1) "OK (window rank and member collect share one shuffle)"
+       else s"CHECK: $q107blockEx vhash exchanges"))
     // q40 brute-force top-k: corpus rows must reach the broadcast join with
     // no hash exchange (the round-robin fanout seam is a cluster no-op),
     // and the ONLY hash exchange anywhere carries the Partial-limited
