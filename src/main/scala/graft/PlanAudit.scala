@@ -167,6 +167,9 @@ object PlanAudit {
     println(s"[audit] q107 single block-key exchange " +
       (if (q107blockEx == 1) "OK (window rank and member collect share one shuffle)"
        else s"CHECK: $q107blockEx vhash exchanges"))
+    // q41 banded LSH: the bucket cap must limit map-side, same contract as
+    // q107 (cap 32 → rank limit 33)
+    audit("q41_lsh_neardup", Seq("row_number(), 33, Partial", "row_number(), 33, Final"))
     // q40 brute-force top-k: corpus rows must reach the broadcast join with
     // no hash exchange (the round-robin fanout seam is a cluster no-op),
     // and the ONLY hash exchange anywhere carries the Partial-limited

@@ -45,6 +45,24 @@ object SimilarityOps {
   val BandBits = 12
   val BandPlanes = Bands * BandBits
 
+  /** Hot-bucket cap for the banded candidate join (the q102/q107 df lever
+    * applied to sign-LSH). Band-bucket occupancy grows LINEARLY with corpus
+    * size at fixed band width (n/2^bits random collisions per bucket), so an
+    * uncapped bucket join is quadratic in n — the ×10/×20 tile probe
+    * measured slope 4.27 at 2× data, exactly the C(n,2)·2^-12 physics. The
+    * cap bounds worst-case candidates at n·cap per band (linear), dropping
+    * any bucket larger than the cap whole; a true near-dup pair collides in
+    * MANY of the 8 OR-construction bands, so it survives losing its densest
+    * bucket. The cap is part of the ORACLE-CHECKED semantics (the bands CTE
+    * carries the same df filter); at the oracle SFs the largest bucket is 8,
+    * so the default cap is provably inactive there. At real scale the cap is
+    * the skew guard, not the growth guard — keep occupancy constant by
+    * scaling band width as log2(n): `graft.lsh.bandBits` (default
+    * [[BandBits]], pinned by the oracle) is that lever, and
+    * `graft.lsh.maxBucket` overrides the cap.
+    */
+  val MaxBucket = 32
+
   /** ±1 hyperplane weights from md5("plane:p:i") first-byte parity —
     * reproducible anywhere md5 exists. */
   lazy val planeWeights: Array[Array[Int]] = {
@@ -110,20 +128,41 @@ object SimilarityOps {
     * verification join, so candidate generation never moves payloads.
     */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
+    val bandBits = spark.conf.getOption("graft.lsh.bandBits").map(_.toInt).getOrElse(BandBits)
+    val maxBucket = spark.conf.getOption("graft.lsh.maxBucket").map(_.toInt).getOrElse(MaxBucket)
+    lshCandidatesOf(vectors(spark, dir), bandBits, maxBucket)
+  }
+
+  /** Core of the banded candidate generation over an arbitrary (vec_id, v)
+    * relation — exposed so specs can bound the candidate volume under a
+    * synthetic hot bucket independently of the test tables. Same
+    * one-bounded-exchange shape as q107's blocking: a cap+1 `row_number`
+    * per (band, value) bucket plans a PARTIAL WindowGroupLimit below the
+    * shuffle (a degenerate all-zeros-embedding corpus ships ≤ cap+1 rows
+    * per bucket per map partition), members collect on the
+    * already-partitioned key, pairs expand in-block, and a truncated hot
+    * bucket surfaces as df = cap+1 and is dropped whole.
+    */
+  def lshCandidatesOf(e: DataFrame, bandBits: Int, maxBucket: Int): DataFrame = {
     // 96 hyperplanes in ONE codegen'd expression (flattened weight table as
     // a reference object). The previous composed-Column form — 96 DotProduct
     // nodes over 96 × 64 literal doubles — generated a constant-stuffed
     // projection whose C2 compilation starved the JIT for the rest of the
     // session (unrelated queries ran 15× slow afterwards at sf1).
     val bandVals: Column =
-      graft.functions.SignSketch(col("v"), "bplane", Bands, BandBits, Dim)
-    val banded = e.select(col("vec_id"), posexplode(bandVals).as(Seq("band_idx", "band_val")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_val") === col("b.band_val")
-          && col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      graft.functions.SignSketch(col("v"), "bplane", Bands, bandBits, Dim)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_val")).orderBy(col("vec_id"))
+    e.select(col("vec_id"), posexplode(bandVals).as(Seq("band_idx", "band_val")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucket + 1)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_list(col("vec_id")).as("ids"), count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxBucket))
+      .withColumn("vec_a", explode(col("ids")))
+      .withColumn("vec_b", explode(col("ids")))
+      .filter(col("vec_a") < col("vec_b"))
+      .groupBy(col("vec_a"), col("vec_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
 
@@ -406,9 +445,14 @@ object SimilarityOps {
       s"SELECT vec_id, $b AS band_idx, $v AS band_val FROM vecs"
     }.mkString(" UNION ALL ")
     s"""bands AS ($perBand),
+       |bandsz AS (SELECT band_idx, band_val, count(*) AS bdf
+       |  FROM bands GROUP BY 1, 2),
        |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(count(*) AS BIGINT) AS n_bands
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+       |  JOIN bandsz s
+       |    ON s.band_idx = a.band_idx AND s.band_val = a.band_val
+       |  WHERE s.bdf <= $MaxBucket
        |  GROUP BY 1, 2)""".stripMargin
   }
 

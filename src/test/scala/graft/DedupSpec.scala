@@ -77,6 +77,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Long]("n_bands") >= 1 && r.getAs[Long]("n_bands") <= SimilarityOps.Bands))
   }
 
+  test("a degenerate embedding cluster cannot quadratic an LSH bucket (bucket cap)") {
+    import graft.operators.SimilarityOps
+    import spark.implicits._
+    // 500 byte-identical vectors land in ONE bucket per band: uncapped, the
+    // bucket join would emit C(500,2) ≈ 125k pairs per band. With the cap,
+    // all 8 of the cluster's buckets exceed maxBucket and drop wholesale,
+    // while a sparse near-identical pair (signs untouched by the tiny
+    // perturbation → same band values) still collides.
+    val hotVec = Array.fill(64)(1.0)
+    val pairBase = Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val pairTwin = pairBase.clone(); pairTwin(0) = 0.9
+    val rows = (1L to 500L).map(i => (i, hotVec.toSeq)) ++
+      Seq((2001L, pairBase.toSeq), (2002L, pairTwin.toSeq))
+    val e = rows.toDF("vec_id", "v")
+    val capped = SimilarityOps.lshCandidatesOf(e, SimilarityOps.BandBits, maxBucket = 32)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((2001L, 2002L)), s"got ${capped.size} candidates: ${capped.take(5)}")
+    // with the cap above the cluster size, the quadratic volume comes back
+    val uncapped = SimilarityOps.lshCandidatesOf(e, SimilarityOps.BandBits, maxBucket = 2000)
+    assert(uncapped.count() >= 500L * 499 / 2, "uncapped must include the hot cluster")
+    // and the capped shape with an inactive cap reproduces the naive banded
+    // self-join exactly (pair set AND per-pair shared-band counts)
+    import org.apache.spark.sql.functions.{col, count, lit, posexplode}
+    val bandVals = graft.functions.SignSketch(col("v"), "bplane",
+      SimilarityOps.Bands, SimilarityOps.BandBits, SimilarityOps.Dim)
+    val banded = e.select(col("vec_id"), posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    val naive = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reshaped = uncapped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reshaped == naive, s"reshaped=${reshaped.size} naive=${naive.size}")
+  }
+
   test("fuzzy match via deletion-neighborhood blocking equals the naive all-pairs join") {
     import graft.operators.Relational
     val c = Tables.customer(spark, sf001)
