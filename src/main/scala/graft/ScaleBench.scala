@@ -84,13 +84,21 @@ object ScaleBench {
     }
   }
 
-  /** Per-tile customer-name prefix: 4 repeated letters so any cross-tile
+  /** Per-tile customer-name marker: 4 repeated letters so any cross-tile
     * name pair is ≥4 edits apart (the fuzzy-match verifier caps at 2) —
-    * un-prefixed tiling gave every customer 9 exact-name twins and a
-    * quadratic fuzzy-match output that no real 10× corpus would have.
+    * un-marked tiling gave every customer 9 exact-name twins and a
+    * quadratic fuzzy-match output that no real 10× corpus would have. The
+    * marker goes at the TAIL because q107's blocking keys are
+    * suffix-window deletion variants (Relational.FuzzyWindow): a front
+    * marker is invisible to the window, so all 20 tiled copies of a name's
+    * distinguishing tail landed in ONE variant block — the df cap then
+    * dropped genuine within-tile pairs (measured: ×20 emitted FEWER rows
+    * than ×10). Decorrelation must perturb the part of the record the
+    * blocking key actually reads, same reason the document tiles
+    * substitute consonants (shingles) rather than prepending a banner.
     */
-  private def namePrefix(tile: Int): String =
-    if (tile == 0) "" else ('A' + tile - 1).toChar.toString * 4 + " "
+  private def nameMark(tile: Int): String =
+    if (tile == 0) "" else " " + ('A' + tile - 1).toChar.toString * 4
 
   private def tileTable(spark: SparkSession, src: String, out: String,
                         table: String, tiles: Int): Unit = {
@@ -116,7 +124,7 @@ object ScaleBench {
             .withColumn("o_custkey", col("o_custkey") + off)
         case "customer" =>
           base.withColumn("c_custkey", col("c_custkey") + off)
-            .withColumn("c_name", concat(lit(namePrefix(t)), col("c_name")))
+            .withColumn("c_name", concat(col("c_name"), lit(nameMark(t))))
         case "lineitem" =>
           base.withColumn("l_orderkey", col("l_orderkey") + off)
             .withColumn("l_partkey", col("l_partkey") + off)

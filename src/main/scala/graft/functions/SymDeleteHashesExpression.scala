@@ -34,19 +34,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * the exact Levenshtein verifier. Value identity against the composed
   * pipeline is property-tested in PortableHashSpec.
   */
-case class SymDeleteHashes(child: Expression) extends UnaryExpression {
+case class SymDeleteHashes(child: Expression, window: Int = Int.MaxValue)
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"symdelete_hashes requires STRING input, got ${child.dataType}")
+    else if (window < 3) TypeCheckResult.TypeCheckFailure(
+      s"symdelete_hashes window must be > k=2, got $window")
+    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "symdelete_hashes"
 
   protected override def nullSafeEval(input: Any): Any =
-    SymDeleteHashes.compute(input.asInstanceOf[UTF8String])
+    SymDeleteHashes.compute(input.asInstanceOf[UTF8String], window)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SymDeleteHashes.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SymDeleteHashes.compute($c, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): SymDeleteHashes =
     copy(child = newChild)
@@ -73,11 +76,13 @@ object SymDeleteHashes {
     starts
   }
 
-  /** md5-h48 of `bytes` minus code points `di` and `dj` (-1 = none). */
+  /** md5-h48 of code points `lo..` of `bytes` minus `di` and `dj` (-1 =
+    * none) — the front (code points before `lo`) is NOT hashed, so names
+    * differing only outside the window share window-variant keys. */
   private def variantHash(md: java.security.MessageDigest, bytes: Array[Byte],
-                          starts: Array[Int], di: Int, dj: Int): Long = {
+                          starts: Array[Int], lo: Int, di: Int, dj: Int): Long = {
     md.reset()
-    var k = 0
+    var k = lo
     val n = starts.length - 1
     while (k < n) {
       if (k != di && k != dj) md.update(bytes, starts(k), starts(k + 1) - starts(k))
@@ -88,20 +93,34 @@ object SymDeleteHashes {
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
-  def compute(s: UTF8String): GenericArrayData = {
+  /** Deletion-variant hashes over the last `window` code points only (the
+    * whole string when it is shorter). Completeness for ed ≤ 2 with a
+    * SUFFIX window mirrors SymSpell's prefix-window argument: edits at or
+    * before the window boundary leave the two suffix windows equal up to a
+    * boundary shift of at most the net indel count, and edits inside the
+    * window are covered by the deletion cores — each side's window reaches
+    * the common aligned core with (its in-window edits + its boundary
+    * overhang) ≤ total edits ≤ 2 deletions, so the cores collide. Strings
+    * differing only OUTSIDE the window share the identity window hash
+    * (candidate kept, exact verifier decides). Property-tested against
+    * random ≤2-edit pairs in PortableHashSpec.
+    */
+  def compute(s: UTF8String, window: Int): GenericArrayData = {
     val bytes = s.getBytes
     val starts = codePointStarts(bytes)
-    val n = starts.length - 1
+    val total = starts.length - 1
+    val lo = if (total > window) total - window else 0
+    val n = total - lo
     val md = H48.threadDigest()
     val out = new Array[Long](1 + n + n * (n - 1) / 2)
     var w = 0
-    out(w) = variantHash(md, bytes, starts, -1, -1); w += 1
-    var i = 0
-    while (i < n) {
-      out(w) = variantHash(md, bytes, starts, i, -1); w += 1
+    out(w) = variantHash(md, bytes, starts, lo, -1, -1); w += 1
+    var i = lo
+    while (i < total) {
+      out(w) = variantHash(md, bytes, starts, lo, i, -1); w += 1
       var j = i + 1
-      while (j < n) {
-        out(w) = variantHash(md, bytes, starts, i, j); w += 1
+      while (j < total) {
+        out(w) = variantHash(md, bytes, starts, lo, i, j); w += 1
         j += 1
       }
       i += 1
@@ -119,4 +138,7 @@ object SymDeleteHashes {
 
   def apply(name: Column): Column =
     GraftBridge.column(SymDeleteHashes(GraftBridge.expression(name)))
+
+  def apply(name: Column, window: Int): Column =
+    GraftBridge.column(SymDeleteHashes(GraftBridge.expression(name), window))
 }

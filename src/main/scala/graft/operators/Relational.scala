@@ -828,10 +828,23 @@ object Relational {
     * format ("Customer#0000…") does NOT inflate blocks: two names share a
     * deletion variant only when they genuinely agree on all but ≤ 2k
     * characters, so block sizes track true-neighbor density, not corpus
-    * size. Cost is the C(L,0)+C(L,1)+C(L,2) ≈ 172 variant keys per 18-char
-    * record, emitted map-side and shuffled as 48-bit hashes.
+    * size. Variants are restricted to the last [[FuzzyWindow]] code points
+    * (SymSpell's prefix-window trick mirrored to the suffix, where this
+    * name format keeps its entropy): completeness for ed ≤ k holds because
+    * edits outside the window leave both suffix windows equal up to a
+    * ≤ net-indel boundary shift, which the in-window deletion budget
+    * absorbs (see SymDeleteHashes.compute's scaladoc; property-tested in
+    * PortableHashSpec, and the full-pairwise oracle re-proves it at every
+    * driver run). Cost drops from C(18,≤2) ≈ 172 variant keys per 18-char
+    * record to C(12,≤2) = 79, emitted map-side as 48-bit hashes.
     */
   val FuzzyK = 2
+
+  /** Suffix-window width for q107's deletion variants. Must exceed
+    * [[FuzzyK]]; wider = fewer verifier-rejected candidates (more of the
+    * name's entropy in the key), narrower = fewer variant keys per row.
+    * 12 keeps every digit of the reference's name format in the key. */
+  val FuzzyWindow = 12
 
   /** q107: blocked fuzzy matching (record linkage) — candidate pairs come
     * from an equality join on deletion-neighborhood blocking keys, then
@@ -878,16 +891,18 @@ object Relational {
     */
   def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
     val maxBlock = spark.conf.getOption("graft.fuzzy.maxBlock").map(_.toInt).getOrElse(64)
+    val window = spark.conf.getOption("graft.fuzzy.window").map(_.toInt).getOrElse(FuzzyWindow)
     fuzzyCandidatesOf(Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")),
-      maxBlock)
+      maxBlock, window)
   }
 
   /** Core of q107 over an arbitrary (c_custkey, c_name, c_nationkey,
     * c_mktsegment) relation — exposed so DedupSpec can bound the candidate
     * volume under a synthetic hot name independently of the test tables.
     */
-  def fuzzyCandidatesOf(c: DataFrame, maxBlock: Int): DataFrame = {
+  def fuzzyCandidatesOf(c: DataFrame, maxBlock: Int,
+                        window: Int = FuzzyWindow): DataFrame = {
     // distinct hashes of the 0/1/2-deletion neighborhood in ONE native pass
     // (SymDeleteHashes) — the composed transform/substr/concat construction
     // built ~L²/2 variant strings per row through interpreted CodegenFallback
@@ -895,7 +910,7 @@ object Relational {
     // run-to-run at 10× scale (see SymDeleteHashes scaladoc)
     val keyedAll = c.select(col("c_custkey"), col("c_nationkey"),
         col("c_mktsegment"),
-        explode(graft.functions.SymDeleteHashes(col("c_name"))).as("vhash"))
+        explode(graft.functions.SymDeleteHashes(col("c_name"), window)).as("vhash"))
     // Blocks materialize as bounded member lists in ONE exchange: rank rows
     // per block with a cap+1 limit — the rn filter plans a PARTIAL
     // WindowGroupLimit below the shuffle, so a pathological million-member

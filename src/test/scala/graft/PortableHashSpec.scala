@@ -199,6 +199,46 @@ class PortableHashSpec extends SparkSpec {
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("suffix-window deletion variants stay a COMPLETE ed<=2 candidate filter") {
+    // The q107 blocking key restricts deletions to the last FuzzyWindow code
+    // points. Completeness claim: ANY pair within Levenshtein distance 2
+    // still shares a window-variant hash (edits outside the window leave the
+    // suffix windows equal up to a <= net-indel boundary shift; edits inside
+    // are covered by the deletion cores). Exercise it adversarially: random
+    // strings over a 3-letter alphabet (dense repeats), random edit
+    // positions including the exact window boundary, all 9 edit-type pairs.
+    val window = graft.operators.Relational.FuzzyWindow
+    val rnd = new scala.util.Random(4107)
+    val alpha = "abc"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(s: String): String = rnd.nextInt(3) match {
+      case 0 if s.nonEmpty => // substitute
+        val i = rnd.nextInt(s.length); s.updated(i, alpha(rnd.nextInt(alpha.length)))
+      case 1 if s.nonEmpty => // delete
+        val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1)
+      case _ => // insert
+        val i = rnd.nextInt(s.length + 1)
+        s.take(i) + alpha(rnd.nextInt(alpha.length)) + s.drop(i)
+    }
+    def hashes(s: String): Set[Long] = {
+      val arr = graft.functions.SymDeleteHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), window)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    val cases = for {
+      len <- Seq(1, 3, window - 1, window, window + 1, window + 5, 25)
+      _ <- 1 to 60
+    } yield {
+      val x = randStr(len)
+      val y = edit(if (rnd.nextBoolean()) edit(x) else x)
+      (x, y)
+    }
+    cases.foreach { case (x, y) =>
+      assert(hashes(x).intersect(hashes(y)).nonEmpty,
+        s"ed<=2 pair lost by window blocking: '$x' vs '$y'")
+    }
+  }
+
   test("native SignSketch equals the composed per-plane literal formulation") {
     import graft.operators.SimilarityOps.{BandBits, Bands, Dim, Planes}
     val e = Tables.embeddings(spark, sf001)
