@@ -48,8 +48,9 @@ object Bench {
     // single-pass path: a failed query's elapsed-to-exception time is not a
     // measurement — drop the row entirely (the errors array names it) so the
     // numeric total only ever sums real runs
+    val overBudget = pass1.values.map(_._1).sum > 300.0
     val results =
-      if (pass1.values.map(_._1).sum > 300.0)
+      if (overBudget)
         pass1.toSeq.collect { case (n, (t, true)) => n -> t }.sortBy(_._1)
       else timedPass().map { case (name, t2, ok2) =>
         val (t1, ok1) = pass1(name)
@@ -69,18 +70,28 @@ object Bench {
     // back-to-back min-of-two in the same JVM — the IsoQ steady-state
     // protocol) — letting a bad-weather scoring run be adjudicated against
     // recorded evidence instead of narrative. Not added to `value`.
-    val heavies = results.sortBy(-_._2)
-      .filterNot { case (n, _) => errors.exists(_.startsWith(n + ":")) }
-      .take(5).map { case (name, seq) =>
-        val fn = SparkEntry.queries(name)
-        val iso = (1 to 2).map { _ =>
-          spark.catalog.clearCache(); System.gc()
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> (seq, iso)
-      }
+    // Skip the heavies re-timing entirely in the over-budget regime: the 5
+    // costliest queries dominate such a run, so min-of-two solo reruns
+    // would add MORE wall-clock than the skipped second pass saved — the
+    // exact budget the guard protects. And an isolated attempt that throws
+    // is not a measurement (the same rule as the passes): drop the pair and
+    // name it in errors rather than recording elapsed-to-exception.
+    val heavies =
+      if (overBudget) Seq.empty
+      else results.sortBy(-_._2)
+        .filterNot { case (n, _) => errors.exists(_.startsWith(n + ":")) }
+        .take(5).flatMap { case (name, seq) =>
+          val fn = SparkEntry.queries(name)
+          val attempts = (1 to 2).flatMap { _ =>
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count()
+                  Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              errors += s"$name: isolated ${e.getClass.getSimpleName}"; None }
+          }
+          attempts.minOption.map(iso => name -> (seq, iso))
+        }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val hv = heavies.map { case (k, (a, b)) =>

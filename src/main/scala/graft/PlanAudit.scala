@@ -198,6 +198,11 @@ object PlanAudit {
       override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
     }
+    // the bus is async: still-queued success events from the q40/q107/q41
+    // audits above (whose plans legitimately contain Window /
+    // TakeOrderedAndProject) would be delivered into a listener registered
+    // now — drain the queue first so q122Plans sees ONLY q122's jobs
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
     spark.listenerManager.register(q122L)
     SparkEntry.queries("q122_hist_quantiles")(spark, dir).collect()
     // the listener bus is async — poll for the top-r plan

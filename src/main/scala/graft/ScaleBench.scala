@@ -203,14 +203,17 @@ object ScaleBench {
     // SF — the sweep position is the cold number, this is the warm one):
     // the recorded pair lets in-sequence weather be adjudicated against
     // evidence (the r4–r6 profiles showed heavies at ~half cost isolated).
-    val heavies = results.sortBy(-_._2).take(5).map { case (name, seq) =>
+    // an isolated attempt that throws is not a measurement: drop the pair
+    // and name it in errors (same rule as the sweep rows above)
+    val heavies = results.sortBy(-_._2).take(5).flatMap { case (name, seq) =>
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, out).count(); () }
-      catch { case _: Throwable => () }
+      val ok = try { SparkEntry.queries(name)(spark, out).count(); true }
+               catch { case e: Throwable =>
+                 errors += s"$name: isolated ${e.getClass.getSimpleName}"; false }
       val iso = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scale] iso $name%-18s $iso%8.2f s")
-      name -> (seq, iso)
+      System.err.println(f"[scale] iso $name%-18s $iso%8.2f s" + (if (ok) "" else " FAILED"))
+      if (ok) Some(name -> (seq, iso)) else None
     }
     // extras are measurements of non-query forms (label reuse): kept OUT of
     // the queries map so sum(queries) == value and every queries key is a

@@ -409,9 +409,18 @@ object Relational {
   val RefineTaskRows = 262144L
 
   private[graft] def histogramQuantilesImpl(spark: SparkSession, dir: String,
-      taskRows: Long): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_extendedprice").as("x"), col("l_orderkey"), col("l_linenumber"))
+      taskRows: Long): DataFrame =
+    histogramQuantilesOf(spark, Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("x"), col("l_orderkey"), col("l_linenumber")),
+      taskRows)
+
+  /** Core of q122 over an arbitrary (x, l_orderkey, l_linenumber) relation —
+    * exposed so specs can drive the refinement's degenerate paths (a
+    * heavier-than-taskRows mass on ONE exact value) independently of the
+    * test tables.
+    */
+  private[graft] def histogramQuantilesOf(spark: SparkSession,
+      li: DataFrame, taskRows: Long): DataFrame = {
     val extR = li.agg(min(col("x")), max(col("x")), count(lit(1))).head
     val (lo, hi, n) = (extR.getDouble(0), extR.getDouble(1), extR.getLong(2))
     // IEEE-identical to the oracle's Column arithmetic: (hi−lo)/1024.0 then
@@ -438,7 +447,9 @@ object Relational {
       var bn = bn1
       var bLo = lo + b1 * width
       var w = width
-      while (bn > taskRows) {
+      // set when a degenerate chain resolves the value without the top-r
+      var resolved: Option[Double] = None
+      while (resolved.isEmpty && bn > taskRows) {
         val subW = w / QuantileBuckets.toDouble
         // clamped sub-bucket: FP wobble at range edges only shifts boundary
         // rows into edge buckets MONOTONICALLY, so rank arithmetic stays
@@ -454,19 +465,46 @@ object Relational {
         val si = subCum.indexWhere(_._2 >= r)
         val (sb, scum) = subCum(si)
         val sbn = subHist(si)._2
-        pred = pred && (subCol(col("x")) === sb)
-        r = r - (scum - sbn)
-        bn = sbn
-        bLo = bLo + sb * subW
-        w = subW
+        if (sbn == bn) {
+          // No split: every chain row landed in one sub-bucket. Without a
+          // guard this loops forever — a heavier-than-taskRows mass on ONE
+          // exact value can never be divided by value-range bucketing, and
+          // once subW underflows the bucketing itself degenerates (0/0 →
+          // NaN). Re-anchor the histogram to the chain's EXACT extent: a
+          // single tiny aggregate, after which min falls in bucket 0 and
+          // max in bucket 1023, so the next split strictly progresses —
+          // unless the extent says there is nothing left to split.
+          val ext = li.filter(pred).agg(min(col("x")), max(col("x"))).head
+          val (cLo, cHi) = (ext.getDouble(0), ext.getDouble(1))
+          if (cLo == cHi) {
+            // the whole chain is one exact value: any rank within it IS it
+            resolved = Some(cLo)
+          } else if (cLo + (cHi - cLo) / QuantileBuckets.toDouble == cLo) {
+            // sub-ulp extent: fewer distinct doubles exist in [cLo, cHi]
+            // than sub-buckets — value-level counts are aggregate-sized
+            val vh = li.filter(pred).groupBy(col("x")).agg(count(lit(1)).as("c"))
+              .collect().map(rr => rr.getDouble(0) -> rr.getLong(1)).sortBy(_._1)
+            var acc = 0L
+            resolved = Some(vh.find { case (_, c) => { acc += c; acc >= r } }.get._1)
+          } else {
+            bLo = cLo
+            w = cHi - cLo
+          }
+        } else {
+          pred = pred && (subCol(col("x")) === sb)
+          r = r - (scum - sbn)
+          bn = sbn
+          bLo = bLo + sb * subW
+          w = subW
+        }
       }
       // rank-r row under (x, orderkey, linenumber) = max of the top-r —
       // TakeOrderedAndProject (distributed per-partition heaps), r ≤ taskRows
-      val exactVal = li.filter(pred)
+      val exactVal = resolved.getOrElse(li.filter(pred)
         .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
         .limit(r.toInt)
         .agg(max(struct(col("x"), col("l_orderkey"), col("l_linenumber"))).as("s"))
-        .head.getStruct(0).getDouble(0)
+        .head.getStruct(0).getDouble(0))
       def pr4(v: Double): Double = math.floor(v * 10000.0 + 0.5) / 10000.0
       (q, pr4(lo + b1 * width), pr4(exactVal), bucketOfVal(exactVal) == b1, n)
     }

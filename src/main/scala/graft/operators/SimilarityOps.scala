@@ -12,9 +12,10 @@ import graft.functions.PortableHash.pround
   *    corpus — the exact baseline. Scale shape: `broadcast(queries)` ⋈ corpus
   *    (no shuffle of the big side), per-partition partial top-k via the
   *    ranking window.
-  *  - q41: sign-LSH (random hyperplane) near-dup pairs — 8-bit sketch →
-  *    bucket equality join → exact cosine verification. The candidate join is
-  *    an equality join on a uniform 8-bit key; never all-pairs.
+  *  - q41: sign-LSH (random hyperplane) near-dup pairs — banded 12-bit
+  *    sketches → capped-bucket membership collection → exact cosine
+  *    verification. Candidates come from equality on uniform band keys with
+  *    a hot-bucket cap (see [[MaxBucket]]); never all-pairs.
   *  - q42: sketch-bucket ANN search — probe only the query's bucket (IVF-style
   *    cell restriction) then exact-rank inside it.
   *
@@ -318,7 +319,7 @@ object SimilarityOps {
   /** q125: product-quantization recall audit — q91's big sibling, and the
     * memory format 100 TB ANN actually ships: instead of one int8 PER
     * COMPONENT (q91, 64 B/vector), each vector stores one centroid id per
-    * SUBSPACE ([[PqM]] codes → 4 B/vector), and query–corpus similarity is
+    * SUBSPACE ([[PqM]] 6-bit codes → 6 B packed/vector), and query–corpus similarity is
     * the ADC dot against the codebook-reconstructed vector. The audit
     * ranks neighbors by exact float cosine and by integer ADC dot and
     * reports top-[[RecallK]] overlap per query — the accept/reject gate

@@ -775,11 +775,62 @@ object TextOps {
   private val FuseEdgeThreshold = 2000000L
 
   /** Edge count at or below which [[ccAdaptive]] solves the decomposition
-    * driver-side: 4M (doc_a, doc_b) longs ≈ 64 MB collected — comfortably
-    * inside any driver, and far below where the distributed loop's
-    * per-round fixed costs stop dominating.
+    * driver-side. The collect ships PRIMITIVE longs (an RDD[Long] of
+    * interleaved endpoints — never Row objects, whose ~100 B/edge boxing
+    * would inflate 4M edges to ~400 MB), and the union-find state is an
+    * open-addressing long→long table: at the threshold the driver holds
+    * 64 MB of edges + ≤128 MB of table — inside a default 1g driver and
+    * `spark.driver.maxResultSize`, and far below where the distributed
+    * loop's per-round fixed costs stop dominating.
     */
   private[graft] val LocalCcMaxEdges = 4000000L
+
+  /** Minimal open-addressing long→long map with identity default — the
+    * union-find parent table for [[ccAdaptive]]'s driver-side path. Avoids
+    * java.util.HashMap's ~48 B/entry boxed Long pairs (an order of
+    * magnitude over the 16 B/entry the data needs at the 4M-edge
+    * threshold). Keys must not be Long.MinValue (the empty-slot sentinel);
+    * doc ids are non-negative.
+    */
+  private final class LongIdMap(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(32, expected * 2) - 1) << 1
+    private var mask = cap - 1
+    private var ks = new Array[Long](cap)
+    java.util.Arrays.fill(ks, Long.MinValue)
+    private var vs = new Array[Long](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+      while (ks(i) != Long.MinValue && ks(i) != k) i = (i + 1) & mask
+      i
+    }
+    def getOrIdentity(k: Long): Long = {
+      val i = slot(k); if (ks(i) == k) vs(i) else k
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (ks(i) != k) {
+        ks(i) = k; n += 1
+        if (n * 2 > cap) grow()
+      }
+      vs(slot(k)) = v
+    }
+    private def grow(): Unit = {
+      val (oks, ovs) = (ks, vs)
+      cap <<= 1; mask = cap - 1; n = 0
+      ks = new Array[Long](cap); java.util.Arrays.fill(ks, Long.MinValue)
+      vs = new Array[Long](cap)
+      var i = 0
+      while (i < oks.length) {
+        if (oks(i) != Long.MinValue) put(oks(i), ovs(i))
+        i += 1
+      }
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < ks.length) { if (ks(i) != Long.MinValue) f(ks(i)); i += 1 }
+    }
+  }
 
   /** Size-adaptive connected components — the same physical-strategy choice
     * Spark itself makes for joins (broadcast vs exchange), keyed off the
@@ -800,36 +851,42 @@ object TextOps {
       ccLargeSmallStar(vertices, pairs, fuseRounds = fuseRounds)
     else {
       val sess = vertices.sparkSession
-      val parent = new java.util.HashMap[Long, Long]()
+      val parent = new LongIdMap(math.min(nEdges, LocalCcMaxEdges).toInt * 2)
       def find(x0: Long): Long = {
         var x = x0
-        var p = parent.getOrDefault(x, x)
+        var p = parent.getOrIdentity(x)
         while (p != x) {
-          val gp = parent.getOrDefault(p, p)
+          val gp = parent.getOrIdentity(p)
           parent.put(x, gp); x = p; p = gp
         }
         x
       }
       val cols = pairs.columns
-      val ids = new java.util.HashSet[Long]()
-      pairs.select(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
-        .collect().foreach { r =>
-          val a = r.getLong(0); val b = r.getLong(1)
-          ids.add(a); ids.add(b)
-          val ra = find(a); val rb = find(b)
-          // min-root union: the surviving root of every merge is the smaller
-          // id, so each tree's root IS its component minimum — no second pass
-          if (ra < rb) parent.put(rb, ra)
-          else if (rb < ra) parent.put(ra, rb)
-        }
-      import scala.jdk.CollectionConverters._
-      val labelRows = ids.asScala.toSeq.map(v => org.apache.spark.sql.Row(v, find(v)))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("cc_label", org.apache.spark.sql.types.LongType, nullable = false)))
-      val nParts = math.max(1, labelRows.size / 1000000)
-      val labelsDf = sess.createDataFrame(
-        sess.sparkContext.parallelize(labelRows, nParts), schema)
+      // interleaved primitive endpoints: RDD[Long] collects as long[] on
+      // the driver (a Row collect would box ~100 B/edge — 6× the data)
+      var edges: Array[Long] = pairs
+        .select(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
+        .rdd.flatMap(r => Iterator(r.getLong(0), r.getLong(1))).collect()
+      var i = 0
+      while (i < edges.length) {
+        val ra = find(edges(i)); val rb = find(edges(i + 1))
+        // min-root union: the surviving root of every merge is the smaller
+        // id, so each tree's root IS its component minimum — no second pass
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+        i += 2
+      }
+      edges = null // free before materializing label tuples (peak-memory seam)
+      // only NON-ROOT vertices need label rows (a parent-table key always
+      // points below itself, so the key set IS the non-root set); roots and
+      // edge-free vertices fall through the left join's coalesce
+      val labels = Array.newBuilder[(Long, Long)]
+      parent.foreachKey(v => labels += ((v, find(v))))
+      import sess.implicits._
+      val labelRows = labels.result()
+      val nParts = math.max(1, labelRows.length / 1000000)
+      val labelsDf = sess.sparkContext
+        .parallelize(labelRows.toSeq, nParts).toDF("doc_id", "cc_label")
       vertices.join(labelsDf, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cc_label"), col("doc_id")).as("label"))
     }

@@ -11,6 +11,15 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Block until every queued listener-bus event has been delivered
+    * (`listenerBus` is `private[spark]`). Needed before registering a
+    * QueryExecutionListener that must observe ONLY subsequent executions:
+    * the bus is async, so success events from earlier queries can otherwise
+    * be delivered into a listener registered after those queries returned.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a function into an ALREADY-RUNNING session's registry
     * (`sessionState` is `private[sql]`). The cluster-submission path uses
     * `spark.sql.extensions` instead (see graft.plans.GraftExtensions);

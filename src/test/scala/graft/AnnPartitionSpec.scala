@@ -83,7 +83,7 @@ class AnnPartitionSpec extends SparkSpec {
     }
     val one = pq(1)
     assert(one == pq(32), "pqRecall drifted with partition count")
-    // recall must be non-degenerate: PQ with 16 centroids per subspace on
+    // recall must be non-degenerate: PQ with PqCodes=64 centroids per subspace on
     // this corpus should recover a decent share of the float top-10
     val avg = one.map(_.getAs[Double]("recall")).sum / one.size
     assert(avg >= 0.3, s"suspiciously low PQ recall: $avg")

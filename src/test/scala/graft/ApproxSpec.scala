@@ -77,4 +77,25 @@ class ApproxSpec extends SparkSpec {
     // bucket for this distribution
     assert(deep.forall(_.getAs[Boolean]("within_bucket")))
   }
+
+  test("q122 refinement terminates when one exact value outweighs the task budget") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 50k copies of ONE double (plus a thin tail so the extent is
+    // non-degenerate): value-range bucketing can never split the mass, the
+    // exact class of input that made the pre-guard loop spin forever once
+    // the sub-bucket width underflowed. The guard must re-anchor, detect
+    // the single-value chain, and resolve every quantile to that value.
+    val heavy = (1L to 50000L).map(i => (1234.5678, i, 1))
+    // tail large enough that rank ceil(0.99·n) = 54549 falls inside it
+    val tail = (50001L to 55100L).map(i => (9999.0 + i, i, 1))
+    val li = (heavy ++ tail).toDF("x", "l_orderkey", "l_linenumber")
+      .withColumn("l_linenumber", col("l_linenumber").cast("int"))
+    val out = Relational.histogramQuantilesOf(spark, li, taskRows = 1000L).collect()
+    assert(out.length == 3)
+    // ranks 0.5 and 0.9 fall inside the heavy mass; 0.99 in the tail
+    assert(out.filter(r => r.getDouble(0) <= 0.9)
+      .forall(_.getAs[Double]("exact_p") == 1234.5678))
+    assert(out.find(_.getDouble(0) == 0.99).get.getAs[Double]("exact_p") > 9999.0)
+  }
 }
