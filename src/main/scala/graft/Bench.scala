@@ -99,6 +99,11 @@ object Bench {
     val total = results.map(_._2).sum
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"heavies":$hv,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver's artifact keeps only the TAIL of stdout, which truncates
+    // the front-loaded total off the big line above (every r2–r7 BENCH
+    // artifact has `parsed: null`). A second, tiny trailing line survives
+    // any tail truncation; redundant with the big line by construction.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -226,6 +226,9 @@ object ScaleBench {
       s"\"$k\":{\"in_sequence\":$a,\"isolated\":$b}" }.mkString("{", ",", "}")
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"extras":$ex,"heavies":$hv,"errors":$errs,"sf":"$src x$tiles","tiles":$tiles}""")
+    // tiny trailing twin of the total: the driver keeps only the tail of
+    // stdout, which truncates the front-loaded total off the big line
+    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},"tiles":$tiles}""")
     spark.stop()
   }
 }
