@@ -100,6 +100,7 @@ object SparkEntry {
     "q123_stream_session_window" -> (EventsStream.streamingSessionWindow _),
     "q124_cdc_dedup"         -> (TextOps.cdcChunkDedup _),
     "q125_pq_recall"         -> (SimilarityOps.pqRecall _),
+    "q126_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1411,6 +1412,7 @@ object SparkEntry {
          |SELECT q.query_id, coalesce(cnt, CAST(0 AS BIGINT)) AS n_overlap,
          |  floor((coalesce(cnt, CAST(0 AS BIGINT)) * 1.0 / ${SimilarityOps.RecallK}) * 1e2 + 0.5) / 1e2 AS recall
          |FROM q LEFT JOIN ov ON q.query_id = ov.query_id ORDER BY q.query_id""".stripMargin,
+    "q126_semantic_dedup" -> SimilarityOps.semanticDedupSql,
     "q92_stratified_sample" ->
       s"""WITH b AS (SELECT lang, n_chars,
          |  ${PortableHash.h48Sql("text || ':sample'")} % 100 AS bucket,

@@ -100,7 +100,7 @@ case class SignSketch(child: Expression, prefix: String, bands: Int,
 
 object SignSketch {
   /** ±1.0 weight for plane `p`, position `i`: md5("prefix:p:i") first-byte
-    * parity — identical to `SimilarityOps.planeWeights`/`bandPlaneWeights`.
+    * parity — identical to `SimilarityOps.planeWeights`/`bandPlaneWeightsFor`.
     */
   def weights(prefix: String, planes: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")

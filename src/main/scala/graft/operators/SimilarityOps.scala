@@ -74,14 +74,29 @@ object SimilarityOps {
     }
   }
 
-  /** ±1 weights for the banded sketch, md5("bplane:p:i") parity. */
-  lazy val bandPlaneWeights: Array[Array[Int]] = {
+  /** ±1 weights for banded-sketch plane `p`, md5("bplane:p:i") parity —
+    * computed on demand (not from a fixed [[BandPlanes]]-sized table) so the
+    * oracle builder can render planes for ANY `graft.lsh.bandBits` setting
+    * with the same derivation [[graft.functions.SignSketch.weights]] uses.
+    */
+  def bandPlaneWeightsFor(p: Int): Array[Int] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(BandPlanes, Dim) { (p, i) =>
+    Array.tabulate(Dim) { i =>
       val h = md.digest(s"bplane:$p:$i".getBytes("UTF-8"))
       (java.lang.Byte.toUnsignedInt(h(0)) % 2) * 2 - 1
     }
   }
+
+  /** The session-resolved (bandBits, maxBucket) pair — ONE resolution point
+    * shared by the production candidate path ([[lshCandidates]]) and the
+    * oracle SQL builder ([[bandsCteSql]]), so an oracle dump run with either
+    * conf set compares against the SAME semantics the Spark plan executed
+    * (previously the oracle hard-coded the defaults — a conf'd comparison
+    * run would have silently diverged).
+    */
+  private def resolvedLshConf(spark: SparkSession): (Int, Int) =
+    (spark.conf.getOption("graft.lsh.bandBits").map(_.toInt).getOrElse(BandBits),
+     spark.conf.getOption("graft.lsh.maxBucket").map(_.toInt).getOrElse(MaxBucket))
 
   /** Sequential left-fold dot product (same op order as the oracle) — the
     * native codegen'd [[graft.functions.DotProduct]], proven value-identical
@@ -129,8 +144,7 @@ object SimilarityOps {
     * verification join, so candidate generation never moves payloads.
     */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val bandBits = spark.conf.getOption("graft.lsh.bandBits").map(_.toInt).getOrElse(BandBits)
-    val maxBucket = spark.conf.getOption("graft.lsh.maxBucket").map(_.toInt).getOrElse(MaxBucket)
+    val (bandBits, maxBucket) = resolvedLshConf(spark)
     lshCandidatesOf(vectors(spark, dir), bandBits, maxBucket)
   }
 
@@ -433,15 +447,23 @@ object SimilarityOps {
 
   /** `[d1, d2, …]` literal for banded plane p. */
   def bandPlaneSqlList(p: Int): String =
-    bandPlaneWeights(p).map(x => s"$x.0").mkString("[", ", ", "]")
+    bandPlaneWeightsFor(p).map(x => s"$x.0").mkString("[", ", ", "]")
 
   /** The `bands` CTE (one row per vector × band) plus the `cand` CTE of
     * distinct pairs sharing ≥1 band — the oracle twin of [[lshCandidates]].
-    * Append after [[vectorsCteSql]]. */
+    * Append after [[vectorsCteSql]]. Renders with the SESSION-resolved
+    * `graft.lsh.bandBits` / `graft.lsh.maxBucket` (falling back to the
+    * defaults when no session is active), so the oracle twin tracks the
+    * production path under conf overrides instead of silently comparing
+    * different semantics.
+    */
   def bandsCteSql: String = {
+    val (bandBits, maxBucket) = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(resolvedLshConf).getOrElse((BandBits, MaxBucket))
     val perBand = (0 until Bands).map { b =>
-      val v = (0 until BandBits).map { j =>
-        s"(CASE WHEN ${dotSql("v", bandPlaneSqlList(b * BandBits + j))} >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
+      val v = (0 until bandBits).map { j =>
+        s"(CASE WHEN ${dotSql("v", bandPlaneSqlList(b * bandBits + j))} >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band_idx, $v AS band_val FROM vecs"
     }.mkString(" UNION ALL ")
@@ -453,7 +475,7 @@ object SimilarityOps {
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
        |  JOIN bandsz s
        |    ON s.band_idx = a.band_idx AND s.band_val = a.band_val
-       |  WHERE s.bdf <= $MaxBucket
+       |  WHERE s.bdf <= $maxBucket
        |  GROUP BY 1, 2)""".stripMargin
   }
 
@@ -560,7 +582,13 @@ object SimilarityOps {
     * never grows with iteration count. At 100 TB the same loop runs with
     * the corpus scan as the only wide input, 3 passes total.
     */
-  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The [[kmeansTrain]] loop factored out so q126's semantic dedup can
+    * consume the trained codebook directly: returns `(cents, sizes)` —
+    * `cents` = (cluster, cv: array<double> of 4-dp-rounded components) after
+    * [[KmeansIters]] Lloyd iterations, `sizes` = (cluster, n_vecs) final
+    * membership counts; both localCheckpointed (lineage-free K-row state).
+    */
+  private[operators] def trainedCodebook(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     def corpus = Tables.embeddings(spark, dir).transform(Tables.fanout)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -610,6 +638,11 @@ object SimilarityOps {
       TextOps.freeMaterialized(aggregated)
       cents = next
     }
+    (cents, sizes)
+  }
+
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, sizes) = trainedCodebook(spark, dir)
     cents.select(col("cluster"), posexplode(col("cv")))
       .select(col("cluster"), col("pos").cast("long").as("dim_idx"),
         pround(col("col"), 4).as("centroid"))
@@ -625,6 +658,25 @@ object SimilarityOps {
     * so Spark and SQL can never disagree on iteration count or tie rules.
     */
   def kmeansTrainSql: String = {
+    import graft.functions.PortableHash.proundSql
+    val g = "(SELECT unnest(generate_series(1, 64)) AS i) g"
+    s"""WITH $kmeansCteBodySql,
+       |s AS (SELECT cluster, count(*) AS n_vecs FROM a$KmeansIters GROUP BY cluster)
+       |SELECT c.cluster, CAST(i - 1 AS BIGINT) AS dim_idx,
+       |  ${proundSql("cv[i]", 4)} AS centroid,
+       |  coalesce(n_vecs, 0) AS n_vecs
+       |FROM c$KmeansIters c CROSS JOIN $g LEFT JOIN s ON c.cluster = s.cluster
+       |ORDER BY c.cluster, dim_idx""".stripMargin
+  }
+
+  /** The shared CTE body of the unrolled k-means training loop (`e`, `c0`,
+    * then one a/m/r/c block per iteration, ending at `c[[KmeansIters]]`) —
+    * factored so [[kmeansTrainSql]] (q118) and [[semanticDedupSql]] (q126)
+    * can never disagree on the codebook. Returned WITHOUT the leading
+    * `WITH`/`WITH RECURSIVE` keyword (q126's consumer needs RECURSIVE for
+    * its reachability CTE).
+    */
+  def kmeansCteBodySql: String = {
     import graft.functions.PortableHash.proundSql
     val g = "(SELECT unnest(generate_series(1, 64)) AS i) g"
     def dist2(cv: String) =
@@ -647,15 +699,143 @@ object SimilarityOps {
          |  LEFT JOIN m$k m ON p.cluster = m.cluster AND p.pos = m.pos),
          |c$k AS (SELECT cluster, list(nc ORDER BY pos) AS cv FROM r$k GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $IvfK),
-       |$blocks,
-       |s AS (SELECT cluster, count(*) AS n_vecs FROM a$KmeansIters GROUP BY cluster)
-       |SELECT c.cluster, CAST(i - 1 AS BIGINT) AS dim_idx,
-       |  ${proundSql("cv[i]", 4)} AS centroid,
-       |  coalesce(n_vecs, 0) AS n_vecs
-       |FROM c$KmeansIters c CROSS JOIN $g LEFT JOIN s ON c.cluster = s.cluster
-       |ORDER BY c.cluster, dim_idx""".stripMargin
+       |$blocks""".stripMargin
+  }
+
+  /** Cosine threshold for q126's intra-cluster semantic-duplicate pairs —
+    * aligned with [[NearDupThreshold]] so DedupSpec can compare the
+    * cluster-restricted pair set against the global brute-force one. */
+  val SemDedupThreshold = 0.4
+
+  /** q126: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540) — the embedding-space dedup tier that catches
+    * paraphrases lexical dedup (q34/q36/q37/q105/q124) cannot: cluster the
+    * corpus, find high-cosine pairs ONLY within each cluster, and keep the
+    * best member of every connected duplicate group. Composed entirely from
+    * shapes this engine already ships:
+    *
+    *  - codebook: [[trainedCodebook]] — q118's [[KmeansIters]] Lloyd
+    *    iterations (corpus never shuffles, K-row checkpointed state);
+    *  - assignment: corpus ⋈ broadcast(codebook) by min squared-euclidean,
+    *    ties to the lower cluster id — q116's exact plan and tie rule;
+    *  - pairs: self-join restricted to the cluster key, exact-cosine
+    *    verified at ≥ [[SemDedupThreshold]] — never a global product;
+    *  - groups: connected components over the pair graph ([[TextOps
+    *    .ccAdaptive]] — measured-size strategy pick, distributed
+    *    large-star/small-star above the gate);
+    *  - keep-best: one member per group by (centroid-cosine desc, vec_id) —
+    *    q117's argmax policy with centroid affinity as the quality score
+    *    (the member closest to its cluster centroid is the group's most
+    *    representative exemplar).
+    *
+    * Scale shape: clustering is WHY this beats global pair search — the
+    * pair join's per-cluster width is n/K on average, and K is the growth
+    * lever (production SemDeDup scales K ∝ n so cluster width — and with it
+    * per-cluster pair work — stays constant; the harness pins K = [[IvfK]]
+    * so the oracle reproduces the codebook). Every vector is emitted with
+    * its verdict so downstream filters stay a predicate.
+    *
+    * Determinism: assignment distances and pair/centroid cosines are
+    * sequential left-fold dots over bit-identical doubles (codebook
+    * components are 4-dp-rounded exact-integer means), rounded once at 6 dp;
+    * group labels are component minima; ties break on integer ids.
+    */
+  /** q126's assignment stage: every vector with its trained cluster and
+    * 6-dp centroid cosine — localCheckpointed (feeds the pair self-join's
+    * both sides, the CC pass, and the output projection). Exposed so
+    * DedupSpec can drive the containment law on the same instance. */
+  private[graft] def semanticAssigned(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents0, _) = trainedCodebook(spark, dir)
+    val cents = cents0.select(col("cluster"), col("cv"),
+      sqrt(dot(col("cv"), col("cv"))).as("cn"))
+    val e = Tables.embeddings(spark, dir).transform(Tables.fanout)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cluster"))
+    // q116's assignment plan: broadcast codebook, min dist2, ties to lower id
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster"), col("cn"),
+        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("dist2"),
+        (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos_raw"))
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster"),
+        pround(col("ccos_raw"), 6).as("cent_cos"))
+      .localCheckpoint()
+  }
+
+  /** q126's pair stage: intra-cluster exact-cosine duplicate pairs — the
+    * equi-join key IS the cluster id, so the join's width is the cluster
+    * width, never the corpus. */
+  private[graft] def semanticPairsOf(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("norm").as("na"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("norm").as("nb")), "cluster")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(pround(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= SemDedupThreshold)
+      .select(col("vec_a"), col("vec_b"))
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = semanticAssigned(spark, dir)
+    val pairs = semanticPairsOf(assigned)
+    val nEdges = pairs.count()
+    val groups = TextOps.ccAdaptive(
+        assigned.select(col("vec_id").as("doc_id")), pairs, nEdges)
+      .select(col("doc_id").as("vec_id"), col("label").as("group_id"))
+    val byGroup = Window.partitionBy(col("group_id"))
+      .orderBy(col("cent_cos").desc, col("vec_id"))
+    assigned.select(col("vec_id"), col("cluster"), col("cent_cos"))
+      .join(groups, "vec_id")
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("group_id"))))
+      .withColumn("keep", row_number().over(byGroup) === 1)
+      .select(col("vec_id"), col("cluster"), col("cent_cos"),
+        col("group_id"), col("group_size"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The q126 oracle: [[kmeansTrainSql]]'s unrolled training CTEs, then
+    * assignment with the final codebook, intra-cluster pair discovery, a
+    * recursive-CTE connected-components pass (q62's oracle pattern), and the
+    * keep-best window — generated from the same constants as the Spark plan.
+    */
+  def semanticDedupSql: String = {
+    import graft.functions.PortableHash.proundSql
+    val fin = s"c$KmeansIters"
+    s"""WITH RECURSIVE $kmeansCteBodySql,
+       |cn AS (SELECT cluster, cv, sqrt(${dotSql("cv", "cv")}) AS cnorm FROM $fin),
+       |vn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS norm FROM e),
+       |asg AS (SELECT vec_id, v, norm, cluster,
+       |    ${proundSql("ccos_raw", 6)} AS cent_cos
+       |  FROM (SELECT e.vec_id, e.v, e.norm, c.cluster,
+       |      ${dotSql("e.v", "c.cv")} / (e.norm * c.cnorm) AS ccos_raw,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dotSql("e.v", "e.v")} - 2.0 * ${dotSql("e.v", "c.cv")}
+       |          + ${dotSql("c.cv", "c.cv")}, c.cluster) AS rn
+       |    FROM vn e CROSS JOIN cn c) WHERE rn = 1),
+       |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${proundSql(s"${dotSql("a.v", "b.v")} / (a.norm * b.norm)", 6)}
+       |    >= $SemDedupThreshold),
+       |edges AS (SELECT va AS x, vb AS y FROM prs
+       |          UNION ALL SELECT vb, va FROM prs),
+       |reach(n, l) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT g.y, r.l FROM reach r JOIN edges g ON r.n = g.x),
+       |lab AS (SELECT n AS vec_id, min(l) AS group_id FROM reach GROUP BY n),
+       |sz AS (SELECT group_id, count(*) AS group_size FROM lab GROUP BY 1)
+       |SELECT a.vec_id, a.cluster, a.cent_cos, l.group_id,
+       |  CAST(sz.group_size AS BIGINT) AS group_size,
+       |  (row_number() OVER (PARTITION BY l.group_id
+       |     ORDER BY a.cent_cos DESC, a.vec_id) = 1) AS keep
+       |FROM asg a JOIN lab l USING (vec_id) JOIN sz USING (group_id)
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   /** q63: per-label centroid vectors — the distributed vector mean that

@@ -271,6 +271,23 @@ object TextOps {
 
   val MaxShingleDf = 20
 
+  /** Hot-shingle count at or above which [[minhashCapped]] abandons the
+    * driver-side collect + codegen'd sorted-array membership and runs the
+    * fully-distributed form instead — the same MEASURED-size strategy pick
+    * [[ccAdaptive]] makes for union-find (and Spark itself makes for
+    * broadcast joins). The driver path holds `8 B × nHot` of sorted longs
+    * riding into codegen (single-digit MB at the bench's 100×), but on a
+    * Zipfian web corpus the distinct df>[[MaxShingleDf]] shingle count grows
+    * ~linearly with corpus size — 10⁹+ entries at 100 TB — so "the list is
+    * small by construction" is NOT a scale argument; the gate is. Above it,
+    * the hot list stays a DataFrame: the shingle stream is screened by a
+    * shuffled/broadcast-by-AQE anti-join and signatures come from the
+    * 64-min-aggregate groupBy — bit-identical output (DedupSpec proves it on
+    * a corpus synthesized to trip the gate), one extra exchange of cost.
+    * `graft.minhash.hotListMaxDriver` overrides (specs set it to 0).
+    */
+  private[graft] val HotListMaxDriver = 4000000L
+
   /** q102: MinHash-LSH near-dup pairs with hot-shingle capping — identical
     * to q36 except shingles carried by more than [[MaxShingleDf]] documents
     * are dropped BEFORE signatures and verification. This is the boilerplate
@@ -281,29 +298,59 @@ object TextOps {
     * are recomputed post-cap so the Jaccard stays a true similarity of the
     * capped shingle sets (both engines mirror the same capped pipeline).
     */
-  def minhashCapped(spark: SparkSession, dir: String): DataFrame = {
-    val shAll = shingleRows(spark, dir)
-    // The hot list is tiny by construction (≤ |distinct shingles|/cap) —
-    // collect it once: it feeds BOTH the verification anti-join filter and
-    // the capped signature expression. The same small-by-construction
-    // assumption already backed the broadcast anti-join; at a corpus size
-    // where it stopped holding, the cap itself would have removed most of
-    // the index, so the collect is not the scale cliff.
-    val hotArr = shAll.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+  def minhashCapped(spark: SparkSession, dir: String): DataFrame =
+    minhashCappedOf(spark,
+      Tables.documents(spark, dir).transform(Tables.fanout))
+
+  /** Core of q102 over an arbitrary (doc_id, text) relation — exposed so
+    * DedupSpec can prove the two hot-list strategies bit-identical on a
+    * synthetic boilerplate-heavy corpus.
+    */
+  def minhashCappedOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    val shAll = d.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
+      .distinct()
+    val hotDf = shAll.groupBy(col("shash")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
       .select(col("shash"))
-      .collect().map(_.getLong(0)).sorted
-    val sh = shAll.filter(
-        !graft.functions.InSortedLongs(col("shash"), hotArr))
-      .cache()
+    val maxDriver = spark.conf.getOption("graft.minhash.hotListMaxDriver")
+      .map(_.toLong).getOrElse(HotListMaxDriver)
+    // strategy pick off the MEASURED hot-list size (see [[HotListMaxDriver]]);
+    // the count is one hash aggregate over rows the pipeline reads anyway
+    val nHot = hotDf.count()
+    val (sh, sig) = if (nHot <= maxDriver) {
+      // driver path: the hot list collects once and feeds BOTH the
+      // verification filter and the capped signature expression as a sorted
+      // long[] probed inside codegen — zero extra exchanges
+      val hotArr = hotDf.collect().map(_.getLong(0)).sorted
+      val sh = shAll.filter(
+          !graft.functions.InSortedLongs(col("shash"), hotArr))
+        .cache()
+      // capped signatures as the SAME zero-shuffle narrow projection as q36 —
+      // the 64-min-aggregate groupBy over exploded shingle rows (the old
+      // shape) cost 3.5× q36's signature stage for identical values
+      val sig = d.select(col("doc_id"),
+          graft.functions.MinHashSigCapped(col("text"), 3, M31, MinHashPerms, hotArr).as("sg"))
+        .filter(size(col("sg")) > 0)
+      (sh, sig)
+    } else {
+      // distributed path: hot screening is an anti-join on the uniform
+      // shingle-hash key (AQE broadcasts the hot side while it fits, shuffles
+      // past that), and signatures are 64 `min(permuted(j, shash))`
+      // aggregates over the surviving rows — partial map-side, value-equal to
+      // MinHashSigCapped (min over the distinct capped set; a doc whose
+      // shingles are all hot has no rows here, mirroring the empty-signature
+      // filter). The driver never materializes anything.
+      val sh = shAll.join(hotDf, Seq("shash"), "left_anti").cache()
+      val aggs = (0 until MinHashPerms).map(j =>
+        min(graft.functions.PortableHash.permuted(lit(j.toLong), col("shash"))).as(s"m$j"))
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until MinHashPerms).map(j => col(s"m$j")): _*).as("sg"))
+      (sh, sig)
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // capped signatures as the SAME zero-shuffle narrow projection as q36 —
-    // the 64-min-aggregate groupBy over exploded shingle rows (the old
-    // shape) cost 3.5× q36's signature stage for identical values
-    val sig = Tables.documents(spark, dir).transform(Tables.fanout)
-      .select(col("doc_id"),
-        graft.functions.MinHashSigCapped(col("text"), 3, M31, MinHashPerms, hotArr).as("sg"))
-      .filter(size(col("sg")) > 0)
     val bandCols = array(bandSigCols(col("sg")): _*)
     val bands = sig.select(col("doc_id"), posexplode(bandCols))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
@@ -778,10 +825,14 @@ object TextOps {
     * driver-side. The collect ships PRIMITIVE longs (an RDD[Long] of
     * interleaved endpoints — never Row objects, whose ~100 B/edge boxing
     * would inflate 4M edges to ~400 MB), and the union-find state is an
-    * open-addressing long→long table: at the threshold the driver holds
-    * 64 MB of edges + ≤128 MB of table — inside a default 1g driver and
-    * `spark.driver.maxResultSize`, and far below where the distributed
-    * loop's per-round fixed costs stop dominating.
+    * open-addressing long→long table sized for `expected = nEdges` keys:
+    * at the threshold that is 2^23 slots × 16 B = ~134 MB of table (ks+vs)
+    * on top of the 64 MB edge array (plus its fetch-time copies); the
+    * worst case — every edge introduces two fresh vertices, keys →
+    * 2·edges — pays ONE doubling to ~270 MB. A default 1g driver holds the
+    * typical case comfortably and the worst case tightly; the threshold is
+    * also far below where the distributed loop's per-round fixed costs stop
+    * dominating.
     */
   private[graft] val LocalCcMaxEdges = 4000000L
 
@@ -807,9 +858,11 @@ object TextOps {
     def getOrIdentity(k: Long): Long = {
       val i = slot(k); if (ks(i) == k) vs(i) else k
     }
+    private var iterating = false
     def put(k: Long, v: Long): Unit = {
       val i = slot(k)
       if (ks(i) != k) {
+        assert(!iterating, "LongIdMap: insert during foreachKey would rehash mid-iteration")
         ks(i) = k; n += 1
         if (n * 2 > cap) grow()
       }
@@ -826,9 +879,18 @@ object TextOps {
         i += 1
       }
     }
+    /** INVARIANT: `f` may call [[put]] only on keys ALREADY PRESENT (updates
+      * in place, `n` unchanged, no grow/rehash) — [[ccAdaptive]]'s labeling
+      * pass relies on this: its `find` path-halving writes only to keys the
+      * union pass inserted. An `f` that INSERTS would trigger a mid-iteration
+      * rehash and silently skip or double-visit keys; [[put]] asserts it.
+      */
     def foreachKey(f: Long => Unit): Unit = {
-      var i = 0
-      while (i < ks.length) { if (ks(i) != Long.MinValue) f(ks(i)); i += 1 }
+      iterating = true
+      try {
+        var i = 0
+        while (i < ks.length) { if (ks(i) != Long.MinValue) f(ks(i)); i += 1 }
+      } finally iterating = false
     }
   }
 
@@ -851,7 +913,11 @@ object TextOps {
       ccLargeSmallStar(vertices, pairs, fuseRounds = fuseRounds)
     else {
       val sess = vertices.sparkSession
-      val parent = new LongIdMap(math.min(nEdges, LocalCcMaxEdges).toInt * 2)
+      // expected = nEdges: non-root keys ≤ vertices − components < 2·edges,
+      // but real near-dup graphs repeat vertices heavily, so nEdges is the
+      // right typical-case sizing — the pathological 2·edges-vertices graph
+      // costs one grow(), not a mis-sized table held for the whole pass
+      val parent = new LongIdMap(math.min(nEdges, LocalCcMaxEdges).toInt)
       def find(x0: Long): Long = {
         var x = x0
         var p = parent.getOrIdentity(x)

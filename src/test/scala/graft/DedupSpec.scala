@@ -43,6 +43,84 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"capped LSH=${got.size} exact=${expected.size}")
   }
 
+  test("q102's two hot-list strategies are bit-identical on a gate-tripping corpus") {
+    import spark.implicits._
+    // 30 docs share a boilerplate banner, so every boilerplate shingle has
+    // df = 30 > MaxShingleDf = 20 (the hot set is non-empty and the capped
+    // semantics are actually exercised); docs 1 and 2 carry near-identical
+    // bodies that survive the cap as a genuine near-dup pair.
+    val boiler = "all rights reserved contact the site admin for terms of use and privacy policy details"
+    val bodyA = "quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = (0 until 30).map { i =>
+      val body =
+        if (i == 1) bodyA
+        else if (i == 2) bodyA.replace("today", "tonight")
+        else s"unique body $i with words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+      (i.toLong, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    def run(): Seq[(Long, Long, Long, Long, Double)] =
+      TextOps.minhashCappedOf(spark, docs).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val driverPath = run()
+    // conf 0: any non-empty measured hot list exceeds the gate → the
+    // fully-distributed anti-join + 64-min-aggregate strategy runs instead
+    spark.conf.set("graft.minhash.hotListMaxDriver", "0")
+    val distributedPath = try run() finally
+      spark.conf.unset("graft.minhash.hotListMaxDriver")
+    assert(driverPath == distributedPath,
+      s"driver=${driverPath.size} rows, distributed=${distributedPath.size} rows")
+    assert(driverPath.exists { case (a, b, _, _, _) => (a, b) == (1L, 2L) },
+      "the planted near-dup pair must survive the cap on both paths")
+    // the boilerplate-only overlap must NOT pair anything else: every shared
+    // shingle between distinct-body docs is hot and dropped
+    assert(driverPath.size == 1, s"only the planted pair: $driverPath")
+  }
+
+  test("q126 semantic-dup pairs equal the global-threshold pairs within probed cells") {
+    import graft.operators.SimilarityOps
+    val assigned = SimilarityOps.semanticAssigned(spark, sf001)
+    val rows = assigned.select("vec_id", "cluster", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray))
+    // brute-force 6-dp cosine with the SAME sequential left-fold order
+    def pround6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val norm = rows.map { case (id, _, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val globalPairs = (for {
+      (a, _, va) <- rows; (b, _, vb) <- rows if a < b
+      if pround6(dot(va, vb) / (norm(a) * norm(b))) >= SimilarityOps.SemDedupThreshold
+    } yield (a, b)).toSet
+    val cellOf = rows.map { case (id, c, _) => id -> c }.toMap
+    val emitted = SimilarityOps.semanticPairsOf(assigned).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every emitted pair clears the global threshold
+    assert(emitted.subsetOf(globalPairs),
+      s"unsound pairs: ${(emitted -- globalPairs).take(5)}")
+    // completeness within cells: a global pair whose members share a cluster
+    // is always emitted — pruning loses ONLY cross-cluster pairs
+    val sameCell = globalPairs.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(emitted == sameCell,
+      s"emitted=${emitted.size} sameCell=${sameCell.size} global=${globalPairs.size}")
+    // the verdict layer: exactly one keeper per group, and it is the
+    // centroid-cosine argmax (ties to the lower id)
+    val out = SimilarityOps.semanticDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val byGroup = out.groupBy(_._4)
+    assert(byGroup.forall { case (_, g) => g.count(_._6) == 1 })
+    byGroup.values.foreach { g =>
+      val keeper = g.find(_._6).get
+      val best = g.minBy(m => (-m._3, m._1))
+      assert(keeper == best, s"keeper $keeper is not the argmax $best")
+      assert(g.forall(_._5 == g.length), "group_size must equal the member count")
+    }
+    assert(out.count(!_._6) == out.length - byGroup.size,
+      "non-keepers = vectors minus groups")
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val d = TextOps.dedupExact(spark, sf001).collect()
     assert(d.forall(_.getAs[Long]("n_copies") >= 1))
