@@ -47,9 +47,9 @@ object ScaleBench {
     "q34_dedup_exact", "q36_minhash_lsh", "q37_simhash_pairs",
     "q41_lsh_neardup", "q55_ivf_ann", "q57_salted_join",
     "q62_dedup_clusters", "q101_corpus_pipeline", "q102_minhash_capped",
-    "q105_passage_dedup", "q107_fuzzy_match")
+    "q105_passage_dedup", "q107_fuzzy_match", "q126_semantic_dedup")
 
-  private def selectedQueries: Seq[String] =
+  private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
       case Some("all") => SparkEntry.queries.keys.toSeq.sorted
       case Some(list)  => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -142,11 +142,7 @@ object ScaleBench {
     tiled.write.mode("overwrite").parquet(s"$out/$table.parquet")
   }
 
-  def main(args: Array[String]): Unit = {
-    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
-    val tiles = sys.env.getOrElse("SPARK_GRAFT_TILES", "10").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+  private[graft] def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -155,11 +151,17 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
     // if events carries TIMESTAMP(NANOS), read it as raw long so the tiled
     // copy round-trips as plain INT64 nanos; Tables.normalizeEventTs probes
     // the tiled layout either way (micros layouts are unaffected)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Materialize the `tiles`×`src` decorrelated dataset at `out` (reused if
+    * the marker file already exists — delete the dir to re-tile). */
+  private[graft] def ensureTiled(spark: SparkSession, src: String, out: String,
+      tiles: Int): Unit = {
     val marker = new java.io.File(s"$out/_TILED_$tiles")
     if (!marker.exists()) {
       val t0 = System.nanoTime()
@@ -169,6 +171,15 @@ object ScaleBench {
       marker.getParentFile.mkdirs(); marker.createNewFile()
       System.err.println(f"[scale] tiled $tiles×$src in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val tiles = sys.env.getOrElse("SPARK_GRAFT_TILES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = session(cpus)
+    ensureTiled(spark, src, out, tiles)
 
     // a failed query's elapsed-to-exception time is not a measurement: keep
     // it OUT of the queries map and the total (same rule as Bench's
@@ -230,5 +241,108 @@ object ScaleBench {
     // stdout, which truncates the front-loaded total off the big line
     println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},"tiles":$tiles}""")
     spark.stop()
+  }
+}
+
+/** The ×10/×20 tiling slope probe promoted from round-7 narrative to a
+  * machine-readable regression guard: for each selected query, measure
+  * WARM seconds at both tilings in one JVM and compare — per-query slope
+  * (t20/t10) materially above 2 at exactly-2× data is the signature of a
+  * quadratic operator (this protocol caught q41's uncapped LSH bucket join
+  * at slope 4.27 in round 7; every smaller test had missed it).
+  *
+  * Protocol per query (all in this JVM, caches cleared before every run):
+  * r1 = ×10 (absorbs the query's JIT), r2 = ×20, r3 = ×10 again;
+  * slope_raw = r2 / min(r1, r3). A query whose raw slope exceeds
+  * [[SlopeProbe.SlopeThreshold]] gets a confirmation re-run of BOTH scales
+  * (min-of-2 warm at each) before it may be called a failure — in-sequence
+  * single-shot slopes swing with JIT position and co-resident memory
+  * pressure (round 7 measured a "3.25" on a single hash aggregate that
+  * vanished in a clean JVM).
+  *
+  * Verdicts: `pass` (slope ≤ threshold), `allowlisted` (documented
+  * by-design superlinear instantiations, reason attached), `fail`
+  * (confirmed > threshold). Output: one JSON line (+ tiny trailing twin)
+  * with per-query {t10, t20, rows10, rows20, slope, verdict}; process exit
+  * is 1 iff any `fail` — so the probe can gate a round the way a test does.
+  *
+  * Env: SPARK_GRAFT_SCALE_QUERIES (default: the suspect set; `all` sweeps
+  * everything), SPARK_GRAFT_CPUS, SPARK_GRAFT_SRC_DIR; tiled dirs are the
+  * round-7 convention (/tmp/graft_sf1 at ×10, /tmp/graft_sf2 at ×20).
+  */
+object SlopeProbe {
+
+  val SlopeThreshold = 2.2
+
+  /** Documented by-design superlinear harness instantiations — each entry
+    * must name the production growth lever that keeps the real deployment
+    * linear. An allowlisted query still reports its measured slope. */
+  val Allowlist: Map[String, String] = Map(
+    "q36_minhash_lsh" ->
+      ("deliberately-UNCAPPED MinHash baseline (its capped form is q102): " +
+       "hot shingle buckets grow with corpus size by design here; the df " +
+       "cap is the production lever"),
+    "q126_semantic_dedup" ->
+      ("SemDeDup with harness-pinned K=16 so the oracle reproduces the " +
+       "codebook: intra-cluster pair work is n^2/K by construction at " +
+       "fixed K; production scales K with n (constant cluster width), " +
+       "which is the documented growth lever"))
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
+    val d10 = "/tmp/graft_sf1"
+    val d20 = "/tmp/graft_sf2"
+    val spark = ScaleBench.session(cpus)
+    ScaleBench.ensureTiled(spark, src, d10, 10)
+    ScaleBench.ensureTiled(spark, src, d20, 20)
+
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    def time(name: String, dir: String): Option[(Double, Long)] = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      try {
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        Some(((System.nanoTime() - t0) / 1e9, n))
+      } catch { case e: Throwable =>
+        errors += s"$name: ${e.getClass.getSimpleName}"; None }
+    }
+
+    val rows = ScaleBench.selectedQueries.flatMap { name =>
+      val probe = for {
+        (r1, n10) <- time(name, d10)
+        (r2, n20) <- time(name, d20)
+        (r3, _)   <- time(name, d10)
+      } yield {
+        var t10 = math.min(r1, r3)
+        var t20 = r2
+        if (t20 / t10 > SlopeThreshold) {
+          // confirmation pass: one more warm run of each scale, min-of-2
+          time(name, d10).foreach { case (r, _) => t10 = math.min(t10, r) }
+          time(name, d20).foreach { case (r, _) => t20 = math.min(t20, r) }
+        }
+        val slope = t20 / t10
+        val verdict =
+          if (Allowlist.contains(name)) "allowlisted"
+          else if (slope <= SlopeThreshold) "pass"
+          else "fail"
+        System.err.println(f"[slope] $name%-24s t10=$t10%7.2f t20=$t20%7.2f slope=$slope%5.2f  $verdict")
+        (name, t10, t20, n10, n20, slope, verdict)
+      }
+      if (probe.isEmpty) System.err.println(s"[slope] $name FAILED to run")
+      probe
+    }
+
+    val failed = rows.filter(_._7 == "fail")
+    val qs = rows.map { case (n, t10, t20, n10, n20, s, v) =>
+      s""""$n":{"t10":$t10,"t20":$t20,"rows10":$n10,"rows20":$n20,"slope":$s,"verdict":"$v"}"""
+    }.mkString("{", ",", "}")
+    val al = Allowlist.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"slope_probe","threshold":$SlopeThreshold,"queries":$qs,"allowlist":$al,"fail_n":${failed.size},"errors":$errs,"src":"$src"}""")
+    // tiny trailing twin — survives the driver's tail truncation
+    println(s"""{"metric":"slope_probe","fail_n":${failed.size},"n_queries":${rows.size},"errors_n":${errors.size}}""")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -168,11 +168,12 @@ class IncrementalReplaySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("left-outer interval-join emits each unmatched click exactly once across batches") {
-    // q119's shape under true multi-batch replay: an unmatched click's
-    // null-extended row may only emit when the ADVANCING watermark proves
-    // no future purchase can match; crossing batch boundaries must neither
-    // drop it nor emit it twice
+  /** Run the multi-batch left-outer interval-join replay (q119's shape — 4
+    * state stores) and return the streamed rows, asserting no double
+    * emission. An unmatched click's null-extended row may only emit when
+    * the ADVANCING watermark proves no future purchase can match; crossing
+    * batch boundaries must neither drop it nor emit it twice. */
+  private def runLeftOuterJoinReplay(): Set[(Long, Long)] = {
     def side(evType: String, prefix: String) = streamEvents
       .filter(col("event_type") === evType)
       .select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"),
@@ -190,7 +191,12 @@ class IncrementalReplaySpec extends SparkSpec {
     val streamed = spark.table(name).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
     assert(streamed.length == streamed.toSet.size, "a row emitted more than once")
-    // batch twin: interval join ∪ watermark-closed unmatched clicks
+    streamed.toSet
+  }
+
+  /** Batch twin of the left-outer interval-join replay: the q58 interval
+    * join ∪ watermark-closed unmatched clicks (as (click_id, -1)). */
+  private lazy val leftOuterJoinBatch: Set[(Long, Long)] = {
     val e = Tables.events(spark, sf001)
     val c = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
@@ -217,8 +223,30 @@ class IncrementalReplaySpec extends SparkSpec {
       .filter { case (id, t) => !matchedClicks.contains(id) &&
         t + 30L * 60 * 1000000 < wmUs }
       .map { case (id, _) => (id, -1L) }.toSet
-    assert(streamed.toSet == matched ++ unmatched)
     assert(unmatched.nonEmpty, "fixture should close at least one unmatched click")
+    matched ++ unmatched
+  }
+
+  test("left-outer interval-join emits each unmatched click exactly once across batches") {
+    assert(runLeftOuterJoinReplay() == leftOuterJoinBatch)
+  }
+
+  test("left-outer interval-join state is bit-identical under RocksDBStateStoreProvider") {
+    // The 100 TB state concern is LARGEST for stream-stream joins: the
+    // interval join holds BOTH sides' rows across the watermark horizon in
+    // 4 state stores (left/right × keyToNumValues/keyWithIndexToValue) —
+    // far more state than a windowed aggregate's one counter per window.
+    // Same slices, same watermark advance, same matched AND null-extended
+    // rows under the disk-spilling production provider.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try assert(runLeftOuterJoinReplay() == leftOuterJoinBatch)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Run the multi-batch session_window replay and return the streamed
