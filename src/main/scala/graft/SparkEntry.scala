@@ -101,6 +101,7 @@ object SparkEntry {
     "q124_cdc_dedup"         -> (TextOps.cdcChunkDedup _),
     "q125_pq_recall"         -> (SimilarityOps.pqRecall _),
     "q126_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
+    "q127_bpe_pairs"         -> (TextOps.bpePairCounts _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1338,6 +1339,21 @@ object SparkEntry {
          |SELECT lang, rank, bg AS bigram, c_xy, c_x, c_y,
          |  floor(ln((c_xy * 1.0 * n_uni * n_uni) / (n_bi * 1.0 * c_x * c_y)) * 1e4 + 0.5) / 1e4 AS pmi
          |FROM r WHERE rank <= 15 ORDER BY lang, rank""".stripMargin,
+    "q127_bpe_pairs" ->
+      s"""WITH t AS (SELECT unnest(${PortableHash.tokensSql("lower(text)")}) AS word FROM documents),
+         |wf AS (SELECT word, count(*) AS freq FROM t WHERE length(word) >= 1 GROUP BY word),
+         |ix AS (SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM wf),
+         |sym AS (SELECT freq, substring(word, i, 1) AS left_sym,
+         |          CASE WHEN i = length(word) THEN '</w>'
+         |               ELSE substring(word, i + 1, 1) END AS right_sym
+         |        FROM ix),
+         |pc AS (SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+         |       FROM sym GROUP BY 1, 2),
+         |rk AS (SELECT *, CAST(row_number() OVER
+         |         (ORDER BY pair_count DESC, left_sym, right_sym) AS BIGINT) AS rank
+         |       FROM pc)
+         |SELECT rank, left_sym, right_sym, pair_count
+         |FROM rk WHERE rank <= ${TextOps.BpeTopK} ORDER BY rank""".stripMargin,
     "q90_chunk_dedup" ->
       """WITH ch AS (SELECT doc_id, text,
         |              unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)) AS ci

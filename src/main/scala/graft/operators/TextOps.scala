@@ -1240,6 +1240,51 @@ object TextOps {
       .orderBy(col("lang"), col("rank"))
   }
 
+  val BpeTopK = 50
+
+  /** q127: the distributed BPE pair-count step — tokenizer training's inner
+    * loop (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units"): count adjacent symbol pairs across the corpus
+    * weighted by word frequency and emit the top-[[BpeTopK]] merge
+    * candidates (the argmax row IS the next BPE merge; iterating = re-running
+    * over the merged vocabulary). Symbols here are the initial character
+    * alphabet plus the canonical `</w>` end-of-word marker, so a word of
+    * length L contributes exactly L pairs.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: the pair
+    * scan runs over the VOCABULARY (distinct words with frequencies), not
+    * the corpus. The only corpus-sized stage is one word-count hash
+    * aggregate (uniform keys, partial map-side); everything after is
+    * |V|·avg_len rows. The top-K is `TakeOrderedAndProject` — per-partition
+    * partial top-k, no global sort — and the final rank window touches only
+    * the K survivors.
+    *
+    * Determinism: counts are exact integers; ties rank by the pair's UTF-8
+    * byte order on both engines.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).transform(Tables.fanout)
+    val wf = d.select(explode(tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val sym = wf
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("freq"),
+        col("word").substr(col("i"), lit(1)).as("left_sym"),
+        when(col("i") === length(col("word")), lit("</w>"))
+          .otherwise(col("word").substr(col("i") + 1, lit(1))).as("right_sym"))
+    val counts = sym.groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(BpeTopK)
+    // rank window runs on the K collected survivors only (single tiny task)
+    val w = Window.orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("left_sym"), col("right_sym"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
+
   /** Per-language sampling percentages for q92 (deterministic hash-rate
     * stratified sampling). */
   val SampleRates: Seq[(String, Int)] =
