@@ -217,6 +217,26 @@ object PlanAudit {
     println(s"[audit] q122 refinement " +
       (if (!q122W && q122T) "OK (no Window in any triggered job; rank via TakeOrderedAndProject)"
        else s"CHECK: window=$q122W topr=$q122T over ${q122Snap().size} jobs"))
+    // q127 BPE pairs: the only corpus-sized stage is the word-count hash
+    // aggregate (partial map-side); the merge ranking is a distributed
+    // top-k, never a global sort
+    audit("q127_bpe_pairs", Seq("TakeOrderedAndProject(limit=50", "HashAggregate"))
+    // q126 semantic dedup: the duplicate-pair join must be an EQUI-join on
+    // the cluster key (per-cluster width, never corpus width) — a product
+    // join over the corpus must not appear. Audited on the pair stage
+    // directly because the final frame reads the assignment through its
+    // localCheckpoint seam.
+    val q126pairs = graft.operators.SimilarityOps.semanticPairsOf(
+      graft.operators.SimilarityOps.semanticAssigned(spark, dir))
+    q126pairs.collect()
+    val q126plan = q126pairs.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q126ok = !q126plan.contains("CartesianProduct") &&
+      !q126plan.contains("BroadcastNestedLoopJoin") &&
+      q126plan.contains("cluster")
+    println(s"[audit] q126 cluster-key pair join " +
+      (if (q126ok) "OK (equi-join on cluster, no product join)"
+       else "CHECK: product join or missing cluster key"))
     // incremental dedup: candidates must come from equi-joins (band buckets
     // and md5 keys) — an all-pairs product over the corpus must NOT appear
     val q111 = SparkEntry.queries("q111_incremental_dedup")(spark, dir)

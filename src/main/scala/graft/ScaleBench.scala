@@ -336,7 +336,7 @@ object SlopeProbe {
           else if (slope <= SlopeThreshold) "pass"
           else if (slope <= outGrowth) "output-bound"
           else "fail"
-        System.err.println(f"[slope] $name%-24s t10=$t10%7.2f t20=$t20%7.2f slope=$slope%5.2f rows×$outGrowth%4.2f  $verdict")
+        System.err.println(f"[slope] $name%-24s t10=$t10%7.2f t20=$t20%7.2f slope=$slope%5.2f rows_x=$outGrowth%4.2f  $verdict")
         (name, t10, t20, n10, n20, slope, verdict)
       }
       if (probe.isEmpty) System.err.println(s"[slope] $name FAILED to run")
