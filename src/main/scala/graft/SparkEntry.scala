@@ -102,6 +102,7 @@ object SparkEntry {
     "q125_pq_recall"         -> (SimilarityOps.pqRecall _),
     "q126_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     "q127_bpe_pairs"         -> (TextOps.bpePairCounts _),
+    "q128_dsir_select"       -> (TextOps.dsirSelect _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1354,6 +1355,36 @@ object SparkEntry {
          |       FROM pc)
          |SELECT rank, left_sym, right_sym, pair_count
          |FROM rk WHERE rank <= ${TextOps.BpeTopK} ORDER BY rank""".stripMargin,
+    "q128_dsir_select" ->
+      s"""WITH tok AS (SELECT doc_id, lang, ${PortableHash.h48Sql("t")} % ${TextOps.DsirBuckets} AS b
+         |             FROM (SELECT doc_id, lang, unnest(${PortableHash.tokensSql("lower(text)")}) AS t
+         |                   FROM documents) u
+         |             WHERE length(t) >= 1),
+         |rawc AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+         |tgtc AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rawc) AS nr,
+         |               (SELECT CAST(sum(ct) AS BIGINT) FROM tgtc) AS nt),
+         |model AS (SELECT b, CAST(floor(
+         |    (ln(CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)
+         |     - ln(CAST(nt AS DOUBLE) + ${TextOps.DsirBuckets}.0)
+         |     - ln(CAST(cr AS DOUBLE) + 1.0)
+         |     + ln(CAST(nr AS DOUBLE) + ${TextOps.DsirBuckets}.0)) * 1e6 + 0.5) AS BIGINT) AS term
+         |  FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN tot),
+         |lw AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS li
+         |       FROM tok JOIN model USING (b) GROUP BY doc_id),
+         |gm AS (SELECT doc_id, lang, CAST(floor(
+         |    -ln(-ln((CAST(${PortableHash.h48Sql("text || ':dsir'")} % 1000000 AS DOUBLE) + 0.5) / 1e6))
+         |    * 1e6 + 0.5) AS BIGINT) AS gq
+         |  FROM documents),
+         |sc AS (SELECT l.doc_id, g.lang, li, gq, li + gq AS gkey
+         |       FROM lw l JOIN gm g USING (doc_id)),
+         |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS BIGINT) AS rank
+         |       FROM sc)
+         |SELECT rank, doc_id, lang,
+         |  ${PortableHash.proundSql("CAST(li AS DOUBLE) / 1e6", 6)} AS log_ratio,
+         |  ${PortableHash.proundSql("CAST(gq AS DOUBLE) / 1e6", 6)} AS gumbel,
+         |  ${PortableHash.proundSql("CAST(gkey AS DOUBLE) / 1e6", 6)} AS gumbel_key
+         |FROM rk WHERE rank <= ${TextOps.DsirK} ORDER BY rank""".stripMargin,
     "q90_chunk_dedup" ->
       """WITH ch AS (SELECT doc_id, text,
         |              unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)) AS ci

@@ -1262,8 +1262,13 @@ object TextOps {
     * Determinism: counts are exact integers; ties rank by the pair's UTF-8
     * byte order on both engines.
     */
-  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).transform(Tables.fanout)
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    bpePairCountsOf(Tables.documents(spark, dir).transform(Tables.fanout))
+
+  /** Core of q127 over an arbitrary (…, text) relation — exposed so
+    * PropertySpec can pin it against a driver-side recount on random
+    * corpora. */
+  def bpePairCountsOf(d: DataFrame): DataFrame = {
     val wf = d.select(explode(tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -1282,6 +1287,80 @@ object TextOps {
     val w = Window.orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
     counts.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("left_sym"), col("right_sym"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
+
+  val DsirBuckets = 4096L
+  val DsirK = 100
+
+  /** q128: DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169) — select the corpus documents most like a TARGET
+    * domain (here `lang = 'en'`, the English-pretraining instantiation)
+    * under hashed-unigram bag-of-words language models:
+    * importance weight w(d) = Σ_tokens [ln p̂_target(b) − ln p̂_raw(b)] over
+    * [[DsirBuckets]] hash buckets with Laplace smoothing, and selection is
+    * true Gumbel-top-k resampling-without-replacement — each document's key
+    * is its log-weight plus a Gumbel(0,1) draw from a DETERMINISTIC
+    * content-hash uniform, so the sample follows the importance
+    * distribution yet is bit-reproducible across engines. (DSIR's hashed
+    * bigrams are the same machinery with a shingle hash in place of the
+    * token hash.)
+    *
+    * Determinism: both smoothed-LM terms are quantized per BUCKET at 1e-6
+    * (4096 values), so every per-document sum is exact integer arithmetic
+    * (q95's fixed-point discipline); the Gumbel draw is quantized the same
+    * way, and ranking runs on the integer key with a doc_id tie-break.
+    *
+    * Scale shape: the two models are hash aggregates on [[DsirBuckets]]
+    * uniform keys (map-side partial); the per-token model join BROADCASTS
+    * the 4096-row term table; the per-doc sum partial-aggregates inside the
+    * scan partition (a document's tokens never span partitions), so only
+    * one row per document reaches the exchange; selection is a distributed
+    * top-k (TakeOrderedAndProject). The corpus never shuffles.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).transform(Tables.fanout)
+    val tok = d.select(col("doc_id"), col("lang"),
+        explode(tokens(lower(col("text")))).as("t"))
+      .filter(length(col("t")) >= 1)
+      .select(col("doc_id"), col("lang"),
+        pmod(h48(col("t")), lit(DsirBuckets)).as("b"))
+      .cache() // feeds both model aggregates and the per-doc scoring join
+    val rawCnt = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtCnt = tok.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = rawCnt.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tgtCnt.agg(sum(col("ct")).as("nt")))
+    // per-bucket smoothed log-ratio, quantized ONCE at the bucket level so
+    // document sums are exact integers (identical double-op order in the
+    // oracle: ((ln a − ln b) − ln c) + ln d)
+    val model = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log(coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0))
+             - log(col("nt").cast("double") + lit(DsirBuckets.toDouble))
+             - log(col("cr").cast("double") + lit(1.0))
+             + log(col("nr").cast("double") + lit(DsirBuckets.toDouble)))
+          * lit(1e6) + lit(0.5)).cast("long").as("term"))
+    val logw = tok.join(broadcast(model), "b")
+      .groupBy(col("doc_id")).agg(sum(col("term")).as("li"))
+    // deterministic Gumbel(0,1): u from the content hash's middle million,
+    // g = −ln(−ln u), quantized at 1e-6
+    val gum = d.select(col("doc_id"), col("lang"),
+      floor(-log(-log((pmod(h48(concat(col("text"), lit(":dsir"))), lit(1000000L))
+          .cast("double") + lit(0.5)) / lit(1e6)))
+        * lit(1e6) + lit(0.5)).cast("long").as("gq"))
+    val scored = logw.join(gum, "doc_id")
+      .select(col("doc_id"), col("lang"), col("li"), col("gq"),
+        (col("li") + col("gq")).as("gkey"))
+      .orderBy(col("gkey").desc, col("doc_id")).limit(DsirK)
+    val w = Window.orderBy(col("gkey").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("lang"),
+        pround(col("li").cast("double") / lit(1e6), 6).as("log_ratio"),
+        pround(col("gq").cast("double") / lit(1e6), 6).as("gumbel"),
+        pround(col("gkey").cast("double") / lit(1e6), 6).as("gumbel_key"))
       .orderBy(col("rank"))
   }
 

@@ -346,4 +346,29 @@ class CorpusOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("DSIR selection is importance-biased toward the target domain") {
+    val sel = TextOps.dsirSelect(spark, sf001).collect()
+    assert(sel.length == TextOps.DsirK)
+    assert(sel.map(_.getAs[Long]("rank")).toSeq == (1L to TextOps.DsirK.toLong))
+    // Gumbel keys must be sorted with the rank and unique per doc
+    val keys = sel.map(r => (r.getAs[Double]("gumbel_key"), r.getAs[Long]("doc_id")))
+    assert(keys.toSeq == keys.sortBy { case (k, id) => (-k, id) }.toSeq)
+    // importance bias: the target-domain ('en') share of the selected set
+    // must exceed its corpus share — the entire point of DSIR. The margin
+    // is modest because the synthetic languages share vocabulary and the
+    // docs are short, so the Gumbel term's 1.28 stddev is large relative
+    // to the per-doc log-ratio spread (measured: 0.46 selected vs 0.386
+    // corpus at sf0.001). (Deterministic: fixed fixture, fixed hashes.)
+    val d = Tables.documents(spark, sf001)
+    val enShare = d.filter(col("lang") === "en").count().toDouble / d.count()
+    val selShare = sel.count(_.getAs[String]("lang") == "en").toDouble / sel.length
+    assert(selShare > enShare + 0.03,
+      s"selected en share $selShare vs corpus $enShare")
+    // NOTE deliberately NOT asserted: "selected en docs have higher mean
+    // log_ratio than selected non-en docs" — conditioning on selection
+    // inverts that comparison (a selected non-en doc needed an unusually
+    // high log-ratio or Gumbel draw to get in; Berkson's paradox), so it is
+    // not a law of the operator.
+  }
 }

@@ -180,4 +180,38 @@ class PropertySpec extends SparkSpec {
       assert(gotLocal == want, s"trial $trial local path: n=${ids.length}")
     }
   }
+
+  test("BPE pair counts equal a driver-side recount on random corpora") {
+    // random words over a small alphabet (forces heavy pair collisions and
+    // repeated words — the frequency weighting must actually matter), mixed
+    // with punctuation-bearing and single-char words
+    val rnd = new scala.util.Random(777L)
+    (1 to 3).foreach { trial =>
+      val alphabet = "abcde.!"
+      def word() = (0 until (1 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val docs = (0 until 40).map { i =>
+        (i.toLong, (0 until (1 + rnd.nextInt(12))).map(_ => word()).mkString(" "))
+      }
+      val got = operators.TextOps.bpePairCountsOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+      // driver-side BPE pair count: word frequencies, then per-word
+      // character pairs + terminal </w>, weighted by frequency
+      val freq = docs.flatMap(_._2.toLowerCase.trim.split("\\s+"))
+        .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size.toLong)
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      freq.foreach { case (w, f) =>
+        val syms = w.map(_.toString) :+ "</w>"
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val want = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }
+        .take(operators.TextOps.BpeTopK)
+        .zipWithIndex
+        .map { case (((l, r), c), i) => (i + 1L, l, r, c) }
+      assert(got.toSeq == want, s"trial $trial: got=${got.take(3).toSeq} want=${want.take(3)}")
+      assert(got.nonEmpty)
+    }
+  }
 }
