@@ -221,6 +221,9 @@ object PlanAudit {
     // aggregate (partial map-side); the merge ranking is a distributed
     // top-k, never a global sort
     audit("q127_bpe_pairs", Seq("TakeOrderedAndProject(limit=50", "HashAggregate"))
+    // q128 DSIR: the 4096-row model term table must BROADCAST to the token
+    // stream and selection must plan as a distributed top-k
+    audit("q128_dsir_select", Seq("BroadcastHashJoin", "TakeOrderedAndProject(limit=100"))
     // q126 semantic dedup: the duplicate-pair join must be an EQUI-join on
     // the cluster key (per-cluster width, never corpus width) — a product
     // join over the corpus must not appear. Audited on the pair stage
