@@ -234,12 +234,18 @@ object PlanAudit {
     q126pairs.collect()
     val q126plan = q126pairs.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    // the join must be KEYED on cluster — match the join operator's key
+    // list or a cluster-key exchange, not the mere presence of the column
+    // name (which any projection over these frames contains)
+    val q126keyed =
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cluster#".r
+        .findFirstIn(q126plan).isDefined ||
+      q126plan.contains("hashpartitioning(cluster")
     val q126ok = !q126plan.contains("CartesianProduct") &&
-      !q126plan.contains("BroadcastNestedLoopJoin") &&
-      q126plan.contains("cluster")
+      !q126plan.contains("BroadcastNestedLoopJoin") && q126keyed
     println(s"[audit] q126 cluster-key pair join " +
-      (if (q126ok) "OK (equi-join on cluster, no product join)"
-       else "CHECK: product join or missing cluster key"))
+      (if (q126ok) "OK (join keyed on cluster, no product join)"
+       else "CHECK: product join or join not keyed on cluster"))
     // incremental dedup: candidates must come from equi-joins (band buckets
     // and md5 keys) — an all-pairs product over the corpus must NOT appear
     val q111 = SparkEntry.queries("q111_incremental_dedup")(spark, dir)

@@ -166,6 +166,11 @@ object ScaleBench {
     val marker = new java.io.File(s"$out/_TILED_$tiles")
     if (!marker.exists()) {
       val t0 = System.nanoTime()
+      // a shared dir re-tiled at a DIFFERENT count would otherwise carry two
+      // markers, and a later run at the old count would silently measure
+      // wrong-scale data — stale sibling markers die with the re-tile
+      Option(marker.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_TILED_")).foreach(_.delete())
       Seq("documents", "embeddings", "orders", "customer", "lineitem",
           "part", "supplier", "events", "region", "nation")
         .foreach(tileTable(spark, src, out, _, tiles))
@@ -262,10 +267,15 @@ object ScaleBench {
   * vanished in a clean JVM).
   *
   * Verdicts: `pass` (slope ≤ threshold), `allowlisted` (documented
-  * by-design superlinear instantiations, reason attached), `fail`
-  * (confirmed > threshold). Output: one JSON line (+ tiny trailing twin)
-  * with per-query {t10, t20, rows10, rows20, slope, verdict}; process exit
-  * is 1 iff any `fail` — so the probe can gate a round the way a test does.
+  * by-design superlinear instantiations, reason attached), `output-bound`
+  * (time grows slower than the query's own answer AND the query is in the
+  * documented [[SlopeProbe.OutputGrowthAllowlist]]), `fail` (confirmed >
+  * threshold, or output-bound without an allowlist entry). Output: one
+  * JSON line (+ tiny trailing twin) with per-query {t10, t20, rows10,
+  * rows20, slope, verdict}; process exit is 1 iff any `fail` OR any probed
+  * query crashed (a query that cannot complete at 2× data is the worst
+  * scale regression, not a skippable row) — so the probe can gate a round
+  * the way a test does.
   *
   * Env: SPARK_GRAFT_SCALE_QUERIES (default: the suspect set; `all` sweeps
   * everything), SPARK_GRAFT_CPUS, SPARK_GRAFT_SRC_DIR; tiled dirs are the
@@ -288,6 +298,24 @@ object SlopeProbe {
        "codebook: intra-cluster pair work is n^2/K by construction at " +
        "fixed K; production scales K with n (constant cluster width), " +
        "which is the documented growth lever"))
+
+  /** Queries whose OUTPUT legitimately grows superlinearly under the
+    * decorrelated tiling (so time may track the answer, not the data):
+    * ×20 offers C(20,2)=190 cross-tile near-pair opportunities vs ×10's 45,
+    * and the md5-derived embedding sign masks leave residual cross-tile
+    * cosine ≥ 0.4 pairs. An `output-bound` verdict is EXIT-CLEAN only for
+    * entries here; any new output-bound query fails the run and must be
+    * adjudicated into this list — otherwise a broken cap whose pair
+    * explosion reaches the output would sail through (time ∝ answer ∝ n²).
+    */
+  val OutputGrowthAllowlist: Map[String, String] = Map(
+    "q41_lsh_neardup" ->
+      ("sign-LSH near-dup pairs over the tiled embeddings: cross-tile " +
+       "mask-residual pairs grow with C(tiles,2), measured rows ×3.3 at " +
+       "×2 data with per-output-row time FALLING"),
+    "q39_embedding_dedup" ->
+      ("consumes q41's pair set (greedy keep-lowest anti-join), so its " +
+       "victim volume inherits the same C(tiles,2) cross-tile growth"))
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
@@ -334,7 +362,7 @@ object SlopeProbe {
         val verdict =
           if (Allowlist.contains(name)) "allowlisted"
           else if (slope <= SlopeThreshold) "pass"
-          else if (slope <= outGrowth) "output-bound"
+          else if (slope <= outGrowth && OutputGrowthAllowlist.contains(name)) "output-bound"
           else "fail"
         System.err.println(f"[slope] $name%-24s t10=$t10%7.2f t20=$t20%7.2f slope=$slope%5.2f rows_x=$outGrowth%4.2f  $verdict")
         (name, t10, t20, n10, n20, slope, verdict)
@@ -347,12 +375,17 @@ object SlopeProbe {
     val qs = rows.map { case (n, t10, t20, n10, n20, s, v) =>
       s""""$n":{"t10":$t10,"t20":$t20,"rows10":$n10,"rows20":$n20,"slope":$s,"verdict":"$v"}"""
     }.mkString("{", ",", "}")
-    val al = Allowlist.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val al = (Allowlist.map { case (k, v) => s""""$k":"$v"""" } ++
+      OutputGrowthAllowlist.map { case (k, v) => s""""$k (output)":"$v"""" })
+      .mkString("{", ",", "}")
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"slope_probe","threshold":$SlopeThreshold,"queries":$qs,"allowlist":$al,"fail_n":${failed.size},"errors":$errs,"src":"$src"}""")
     // tiny trailing twin — survives the driver's tail truncation
     println(s"""{"metric":"slope_probe","fail_n":${failed.size},"n_queries":${rows.size},"errors_n":${errors.size}}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    // a probed query that CRASHED at scale is the worst possible scale
+    // regression, not a skippable row — errors gate the exit exactly like
+    // confirmed quadratics do
+    if (failed.nonEmpty || errors.nonEmpty) sys.exit(1)
   }
 }

@@ -783,7 +783,11 @@ object SimilarityOps {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = semanticAssigned(spark, dir)
-    val pairs = semanticPairsOf(assigned)
+    // checkpoint the pair set BEFORE counting: the count feeds ccAdaptive's
+    // strategy pick, and an unmaterialized plan would re-run the dominant
+    // intra-cluster self-join for the edge collect (the dedupClusters
+    // "this count is free" discipline)
+    val pairs = semanticPairsOf(assigned).localCheckpoint()
     val nEdges = pairs.count()
     val groups = TextOps.ccAdaptive(
         assigned.select(col("vec_id").as("doc_id")), pairs, nEdges)

@@ -310,13 +310,16 @@ object TextOps {
     val shAll = d.select(col("doc_id"),
         explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
       .distinct()
+    // cached: the strategy-pick count below and the chosen path's consumer
+    // (driver collect OR distributed anti-join) must not each re-run the
+    // corpus-sized shingle explosion + aggregate behind it
     val hotDf = shAll.groupBy(col("shash")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
       .select(col("shash"))
+      .cache()
     val maxDriver = spark.conf.getOption("graft.minhash.hotListMaxDriver")
       .map(_.toLong).getOrElse(HotListMaxDriver)
-    // strategy pick off the MEASURED hot-list size (see [[HotListMaxDriver]]);
-    // the count is one hash aggregate over rows the pipeline reads anyway
+    // strategy pick off the MEASURED hot-list size (see [[HotListMaxDriver]])
     val nHot = hotDf.count()
     val (sh, sig) = if (nHot <= maxDriver) {
       // driver path: the hot list collects once and feeds BOTH the
