@@ -732,10 +732,15 @@ object SimilarityOps {
     *
     * Scale shape: clustering is WHY this beats global pair search — the
     * pair join's per-cluster width is n/K on average, and K is the growth
-    * lever (production SemDeDup scales K ∝ n so cluster width — and with it
-    * per-cluster pair work — stays constant; the harness pins K = [[IvfK]]
-    * so the oracle reproduces the codebook). Every vector is emitted with
-    * its verdict so downstream filters stay a predicate.
+    * lever: production SemDeDup scales K ∝ n so cluster width — and with it
+    * per-cluster pair work — stays constant (the harness pins K = [[IvfK]]
+    * so the oracle reproduces the codebook). The full accounting: pair work
+    * is ~n²d/K and flat-quantizer assignment is ~nKd, so a flat scan's
+    * optimum K ∝ √(n) gives n^1.5 total; past that, assignment itself goes
+    * hierarchical — exactly q55's IVF machinery (probe a coarse √K cell,
+    * refine inside it), which restores ~n·√K·d assignment and keeps the
+    * pair stage linear. Every vector is emitted with its verdict so
+    * downstream filters stay a predicate.
     *
     * Determinism: assignment distances and pair/centroid cosines are
     * sequential left-fold dots over bit-identical doubles (codebook
