@@ -224,6 +224,21 @@ object PlanAudit {
     // q128 DSIR: the 4096-row model term table must BROADCAST to the token
     // stream and selection must plan as a distributed top-k
     audit("q128_dsir_select", Seq("BroadcastHashJoin", "TakeOrderedAndProject(limit=100"))
+    // q129 exact-substring spans: JOIN-FREE — ownership and occurrence
+    // counts are window functions over the single whash exchange, islands
+    // run over the doc_id exchange; a Join (the agg+re-join shape that ran
+    // the corpus-sized window explosion twice) must not appear
+    val q129 = SparkEntry.queries("q129_substr_dedup")(spark, dir)
+    q129.collect()
+    val q129plan = q129.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q129ok = !q129plan.contains("Join") &&
+      q129plan.contains("hashpartitioning(whash") &&
+      q129plan.contains("hashpartitioning(doc_id") &&
+      q129plan.contains("shingle_hashes")
+    println(s"[audit] q129 join-free span merge " +
+      (if (q129ok) "OK (native window hashes, whash + doc_id exchanges only)"
+       else "CHECK: unexpected join or missing exchanges"))
     // q126 semantic dedup: the duplicate-pair join must be an EQUI-join on
     // the cluster key (per-cluster width, never corpus width) — a product
     // join over the corpus must not appear. Audited on the pair stage

@@ -103,6 +103,7 @@ object SparkEntry {
     "q126_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     "q127_bpe_pairs"         -> (TextOps.bpePairCounts _),
     "q128_dsir_select"       -> (TextOps.dsirSelect _),
+    "q129_substr_dedup"      -> (TextOps.exactSubstrSpans _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1385,6 +1386,30 @@ object SparkEntry {
          |  ${PortableHash.proundSql("CAST(gq AS DOUBLE) / 1e6", 6)} AS gumbel,
          |  ${PortableHash.proundSql("CAST(gkey AS DOUBLE) / 1e6", 6)} AS gumbel_key
          |FROM rk WHERE rank <= ${TextOps.DsirK} ORDER BY rank""".stripMargin,
+    "q129_substr_dedup" ->
+      s"""WITH sh0 AS (SELECT doc_id,
+         |    ${PortableHash.shinglesSql(PortableHash.tokensSql("lower(text)"), TextOps.SubstrWindow)} AS sh
+         |  FROM documents),
+         |occ0 AS (SELECT doc_id, sh, unnest(generate_series(1, len(sh))) AS i FROM sh0),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ${PortableHash.h48Sql("sh[i]")} AS whash
+         |        FROM occ0),
+         |own AS (SELECT whash, min(doc_id * 1048576 + pos) AS okey, count(*) AS n_occ
+         |        FROM occ GROUP BY whash),
+         |m AS (SELECT o.doc_id, o.pos
+         |      FROM occ o JOIN own w USING (whash)
+         |      WHERE w.n_occ >= 2 AND o.doc_id * 1048576 + o.pos <> w.okey),
+         |g AS (SELECT doc_id, pos,
+         |        CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1048576)
+         |               + ${TextOps.SubstrWindow} THEN 1 ELSE 0 END AS brk
+         |      FROM m),
+         |i AS (SELECT doc_id, pos,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM g)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + ${TextOps.SubstrWindow - 1} AS BIGINT) AS span_end,
+         |  count(*) AS n_windows,
+         |  CAST(max(pos) + ${TextOps.SubstrWindow - 1} - min(pos) + 1 AS BIGINT) AS n_tokens
+         |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     "q90_chunk_dedup" ->
       """WITH ch AS (SELECT doc_id, text,
         |              unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)) AS ci

@@ -1243,6 +1243,86 @@ object TextOps {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Window width (tokens) for q129's exact-substring duplicate spans —
+    * the Lee et al. threshold scaled to the fixture's short documents (the
+    * paper uses 50 BPE tokens on web text; the operator is
+    * width-parametric). */
+  val SubstrWindow = 16
+
+  /** q129: exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * ExactSubstr): find every maximal span of ≥ [[SubstrWindow]] tokens
+    * that also occurs EARLIER in the corpus (same doc or another), the
+    * sub-document dedup tier between q105's fixed passages (grid-aligned,
+    * misses shifted copies) and q36's whole-document MinHash. The suffix
+    * array of the paper is re-expressed Spark-first as its equivalent
+    * join formulation: every length-[[SubstrWindow]] token window is
+    * hashed; a window occurring at 2+ positions marks every occurrence
+    * EXCEPT the corpus-first (min (doc, pos)) as duplicated; overlapping
+    * marked windows within a document merge into maximal spans (the
+    * islands pattern — q21's gap sessionization on token positions).
+    * Output: one row per merged span with its window count and token
+    * length; "drop every span, keep the first occurrence" is then a
+    * per-doc substring delete.
+    *
+    * Scale shape: the window explosion is narrow per-document work (n
+    * windows per n-token doc, each a 48-bit hash — no strings on the
+    * wire); ownership is one hash aggregate on the uniform window-hash
+    * key; the mark join probes that aggregate on the same key; span
+    * merging is a doc_id-partitioned window over only the MARKED
+    * positions (duplicated text, ≪ corpus). No driver state, no product
+    * joins, and the heaviest exchange carries (hash, doc, pos) triples.
+    *
+    * Determinism: ownership is an integer min over doc_id·2²⁰+pos packed
+    * keys; span extents are integer min/max — every value engine-exact.
+    */
+  def exactSubstrSpans(spark: SparkSession, dir: String): DataFrame =
+    exactSubstrSpansOf(Tables.documents(spark, dir).transform(Tables.fanout))
+
+  /** Core of q129 over an arbitrary (doc_id, text) relation — exposed so
+    * CorpusOpsSpec can prove the shifted-copy property against a driver
+    * recount. */
+  def exactSubstrSpansOf(d: DataFrame): DataFrame = {
+    // window hashes come from the native one-pass ShingleHashes (no window
+    // strings materialize anywhere); mod 2^48 is the h48 identity, so the
+    // oracle stays plain h48(sh[i]). posexplode supplies the positions.
+    val occ = d.select(col("doc_id"),
+        posexplode(graft.functions.ShingleHashes(
+          lower(col("text")), SubstrWindow, 1L << 48)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("whash"))
+    // corpus-first occurrence per window value, as a packed integer key
+    // (pos < 2^20 per doc at any real document length). ONE exchange: the
+    // per-hash min/count run as window functions over the whash partition —
+    // the agg + re-join alternative re-runs the corpus-sized window
+    // explosion a second time AND shuffles it twice.
+    val packed = col("doc_id") * lit(1048576L) + col("pos")
+    val byHash = Window.partitionBy(col("whash"))
+    val marked = occ
+      .withColumn("okey", min(packed).over(byHash))
+      .withColumn("n_occ", count(lit(1)).over(byHash))
+      .filter(col("n_occ") >= 2 && packed =!= col("okey"))
+      .select(col("doc_id"), col("pos"))
+    // islands: a marked window extends the current span iff its covered
+    // range [pos, pos+W-1] overlaps or touches the previous window's range
+    // (pos ≤ prev + W — their union has no uncovered hole); a strictly
+    // larger gap starts a new span
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("brk",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(byDoc), lit(-1048576L))
+          + SubstrWindow, lit(1L)).otherwise(lit(0L)))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spans.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + (SubstrWindow - 1)).as("span_end"),
+           count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val BpeTopK = 50
 
   /** q127: the distributed BPE pair-count step — tokenizer training's inner

@@ -347,6 +347,54 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrSpans equals a driver recount and catches SHIFTED copies q105's grid misses") {
+    import spark.implicits._
+    val w = TextOps.SubstrWindow
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val phrase = words("shared", 24)             // 24-token phrase, > window
+    val docs = Seq(
+      // doc 0 owns the phrase at offset 5
+      0L -> (words("a", 5) ++ phrase ++ words("atail", 6)).mkString(" "),
+      // doc 1 repeats it at offset 9 — SHIFTED vs doc 0 (different 8-token
+      // grid alignment, so q105's fixed passages would NOT match it)
+      1L -> (words("b", 9) ++ phrase ++ words("btail", 3)).mkString(" "),
+      // doc 2 is unrelated
+      2L -> words("c", 40).mkString(" "),
+      // doc 3 repeats ITS OWN 18-token opening internally (self-dup)
+      3L -> { val block = words("d", 18); (block ++ words("mid", 4) ++ block).mkString(" ") }
+    ).toDF("doc_id", "text")
+    val got = TextOps.exactSubstrSpansOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // driver recount of the same algorithm
+    val occ = docs.collect().flatMap { r =>
+      val toks = r.getString(1).toLowerCase.trim.split("\\s+")
+      toks.sliding(w).zipWithIndex.filter(_._1.length == w).map { case (win, p) =>
+        (graft.functions.H48.hash(win.mkString(" ").getBytes("UTF-8")), r.getLong(0), p.toLong)
+      }
+    }
+    val owner = occ.groupBy(_._1).view.mapValues(_.map(o => o._2 * 1048576L + o._3).min).toMap
+    val countByHash = occ.groupBy(_._1).view.mapValues(_.size).toMap
+    val marked = occ.filter(o => countByHash(o._1) >= 2 && o._2 * 1048576L + o._3 != owner(o._1))
+      .map(o => (o._2, o._3)).distinct.sorted
+    val want = marked.groupBy(_._1).toSeq.flatMap { case (doc, ps) =>
+      val pos = ps.map(_._2).sorted
+      val islands = pos.foldLeft(List.empty[List[Long]]) {
+        case (Nil, p) => List(List(p))
+        case (h :: t, p) => if (p > h.head + w) List(p) :: h :: t else (p :: h) :: t
+      }.map(_.reverse).reverse
+      islands.map(is => (doc, is.head, is.last + w - 1, is.length.toLong, is.last + w - is.head))
+    }.sortBy(s => (s._1, s._2))
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want")
+    // the shifted copy IS caught: doc 1 carries a span covering its phrase
+    assert(got.exists { case (d, s, e, _, _) => d == 1L && s <= 9 && e >= 9 + 24 - 1 - (w - 1) },
+      "shifted phrase copy must be marked in doc 1")
+    // the self-duplicate is caught in doc 3's second block
+    assert(got.exists(_._1 == 3L), "internal repetition must mark doc 3")
+    // doc 0 (corpus-first owner) and doc 2 (unique) are span-free
+    assert(!got.exists(_._1 == 0L) && !got.exists(_._1 == 2L))
+  }
+
   test("DSIR selection is importance-biased toward the target domain") {
     val sel = TextOps.dsirSelect(spark, sf001).collect()
     assert(sel.length == TextOps.DsirK)
