@@ -1291,8 +1291,14 @@ object TextOps {
           lower(col("text")), SubstrWindow, 1L << 48)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("whash"))
-    // corpus-first occurrence per window value, as a packed integer key
-    // (pos < 2^20 per doc at any real document length). ONE exchange: the
+    // corpus-first occurrence per window value, as a packed integer key.
+    // The packing budgets 2^20 token positions per document (≈ 4–8 MB of
+    // text) — above that a position would bleed into the next doc_id's key
+    // range. Training pipelines cap document length far below this (docs
+    // are pre-split to context-window scale upstream); a corpus that
+    // genuinely carries >1M-token documents would widen the pack to
+    // min(struct(doc_id, pos)) at the cost of a wider shuffle key. ONE
+    // exchange: the
     // per-hash min/count run as window functions over the whash partition —
     // the agg + re-join alternative re-runs the corpus-sized window
     // explosion a second time AND shuffles it twice.
