@@ -309,7 +309,9 @@ class IncrementalReplaySpec extends SparkSpec {
     }
   }
 
-  test("flatMapGroupsWithState session state carries open sessions across batches") {
+  /** Run the multi-batch flatMapGroupsWithState session replay and return
+    * the streamed rows. */
+  private def runCustomStateReplay(): Set[(Long, Long, Long, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.streaming.EventsStream.{Ev, Sess, St}
@@ -335,19 +337,44 @@ class IncrementalReplaySpec extends SparkSpec {
       .format("memory").queryName(name).outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    val streamed = spark.table(name).collect()
+    spark.table(name).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
                  r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+  }
+
+  /** Batch twin of the custom-state replay: q21's sessionization minus each
+    * user's (never-emitted) final open session. */
+  private lazy val customStateClosedBatch: Set[(Long, Long, Long, Long)] = {
     val batchAll = EventOps.sessionize(spark, sf001).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
                  r.getAs[Long]("start_us"), r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
     val lastSeq = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-    val closed = batchAll.filter(s => s._2 != lastSeq(s._1))
+    batchAll.filter(s => s._2 != lastSeq(s._1))
       .map(s => (s._1, s._3, s._4, s._5)).toSet
-    assert(streamed == closed)
+  }
+
+  test("flatMapGroupsWithState session state carries open sessions across batches") {
+    val streamed = runCustomStateReplay()
+    assert(streamed == customStateClosedBatch)
     // cross-batch continuation actually happened: sessions span slice
     // boundaries iff some emitted session's range crosses a file boundary —
     // with 4 time slices of a month of data this is guaranteed non-trivially
     assert(streamed.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState user state is bit-identical under RocksDBStateStoreProvider") {
+    // completes the state-tier trilogy: windowed aggregate (r7), stream-
+    // stream interval join (this round), and now ENCODER-SERIALIZED custom
+    // user state — the tier where a provider-level round-trip bug would
+    // corrupt arbitrary case-class state rather than engine-internal rows
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try assert(runCustomStateReplay() == customStateClosedBatch)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }
