@@ -221,6 +221,9 @@ object PlanAudit {
     // aggregate (partial map-side); the merge ranking is a distributed
     // top-k, never a global sort
     audit("q127_bpe_pairs", Seq("TakeOrderedAndProject(limit=50", "HashAggregate"))
+    // q130 sketch rollup: daily k-min sketches must cap MAP-SIDE (partial
+    // WindowGroupLimit below the per-day exchange, rank limit K = 64)
+    audit("q130_sketch_rollup", Seq("row_number(), 64, Partial", "row_number(), 64, Final"))
     // q128 DSIR: the 4096-row model term table must BROADCAST to the token
     // stream and selection must plan as a distributed top-k
     audit("q128_dsir_select", Seq("BroadcastHashJoin", "TakeOrderedAndProject(limit=100"))

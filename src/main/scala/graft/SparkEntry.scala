@@ -104,6 +104,7 @@ object SparkEntry {
     "q127_bpe_pairs"         -> (TextOps.bpePairCounts _),
     "q128_dsir_select"       -> (TextOps.dsirSelect _),
     "q129_substr_dedup"      -> (TextOps.exactSubstrSpans _),
+    "q130_sketch_rollup"     -> (Analytics.sketchRollup _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1410,6 +1411,37 @@ object SparkEntry {
          |  count(*) AS n_windows,
          |  CAST(max(pos) + ${TextOps.SubstrWindow - 1} - min(pos) + 1 AS BIGINT) AS n_tokens
          |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "q130_sketch_rollup" -> {
+      val k = graft.functions.KmvSketch.K
+      val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain
+      val r = Analytics.RollupDays
+      s"""WITH e AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |            user_id, ${PortableHash.h48Sql("CAST(user_id AS VARCHAR)")} AS uh
+         |          FROM events),
+         |d AS (SELECT DISTINCT day, uh FROM e),
+         |b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM d),
+         |sk AS (SELECT day, uh FROM
+         |        (SELECT day, uh, row_number() OVER (PARTITION BY day ORDER BY uh) AS rn FROM d)
+         |       WHERE rn <= $k),
+         |ex AS (SELECT DISTINCT day + i AS win_end, uh
+         |       FROM sk CROSS JOIN (SELECT unnest(generate_series(0, ${r - 1})) AS i) g, b
+         |       WHERE day + i >= dmin + ${r - 1} AND day + i <= dmax),
+         |k2 AS (SELECT win_end, count(*) AS nk, max(uh) AS kth FROM
+         |        (SELECT win_end, uh, row_number() OVER (PARTITION BY win_end ORDER BY uh) AS rn FROM ex)
+         |       WHERE rn <= $k GROUP BY win_end),
+         |es AS (SELECT win_end,
+         |         CAST(CASE WHEN nk < $k THEN nk ELSE ${numer} // kth END AS BIGINT) AS est_distinct
+         |       FROM k2),
+         |ud AS (SELECT DISTINCT day + i AS win_end, user_id
+         |       FROM (SELECT DISTINCT day, user_id FROM e) u
+         |       CROSS JOIN (SELECT unnest(generate_series(0, ${r - 1})) AS i) g, b
+         |       WHERE day + i >= dmin + ${r - 1} AND day + i <= dmax),
+         |xc AS (SELECT win_end, CAST(count(*) AS BIGINT) AS exact_distinct FROM ud GROUP BY win_end)
+         |SELECT es.win_end, strftime(DATE '1970-01-01' + CAST(es.win_end AS INT), '%Y-%m-%d') AS window_date,
+         |  est_distinct, exact_distinct,
+         |  ${PortableHash.proundSql("abs(est_distinct - exact_distinct) * 100.0 / exact_distinct", 2)} AS err_pct
+         |FROM es JOIN xc USING (win_end) ORDER BY es.win_end""".stripMargin
+    },
     "q90_chunk_dedup" ->
       """WITH ch AS (SELECT doc_id, text,
         |              unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)) AS ci

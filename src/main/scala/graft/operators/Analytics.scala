@@ -333,4 +333,84 @@ object Analytics {
         (col("est") - col("exact_n")).as("overestimate"))
       .orderBy(col("hh_rank"))
   }
+
+  /** Sliding-window span (days) for [[sketchRollup]]. */
+  val RollupDays = 7
+
+  /** q130: mergeable-sketch sliding rollup — 7-day sliding distinct users
+    * per day from PER-DAY KMV sketches, the pre-aggregated-summary pattern
+    * every large-scale OLAP rollup runs: materialize one K-minimum-values
+    * sketch per day ONCE, then answer ANY window by merging K-sized
+    * summaries instead of re-scanning events (the same mergeability that
+    * makes [[graft.functions.KmvSketch]] a one-pass distinct count; here
+    * the merge is across TIME — daily cube cells → arbitrary windows). The
+    * exact per-window distinct count is computed alongside as the in-query
+    * accuracy audit (the q19/q69/q121 sketch-audit discipline).
+    *
+    * KMV merge correctness: the K smallest distinct hashes of a union are
+    * the K smallest of the union of per-set K-smallest, so merging
+    * truncated daily sketches is EXACT sketch semantics (and when the
+    * merged set holds < K hashes it IS the full union — the estimate
+    * degenerates to the exact count, both engines).
+    *
+    * Scale shape: daily sketches are a rank ≤ K filter planning a PARTIAL
+    * WindowGroupLimit below the per-day exchange (each map partition ships
+    * ≤ K+1 rows per day); each sketch row expands to the [[RollupDays]]
+    * windows it serves (bounded fan-out of K-sized data, not events); the
+    * estimate reduction touches ≤ K·[[RollupDays]] rows per window. Only
+    * the AUDIT pass (exact distinct) scans event-scale data — at 100 TB it
+    * runs sampled or not at all, and the sketch path is what ships.
+    *
+    * Determinism: 48-bit md5 hashes, integer ranks, and the estimator's
+    * `(K−1)·2⁴⁸ div kth` is INTEGRAL division — (K−1)·2⁴⁸ ≈ 1.8e16
+    * overflows a double's 53-bit mantissa, so a float division here would
+    * be engine-dependent in the last digits; both engines divide exactly.
+    */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.h48
+    val K = graft.functions.KmvSketch.K
+    val numer = (K - 1).toLong * graft.functions.KmvSketch.Domain
+    val e = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        col("user_id"))
+    val daily = e.select(col("day"), h48(col("user_id").cast("string")).as("uh"))
+      .distinct()
+    val byDay = Window.partitionBy(col("day")).orderBy(col("uh"))
+    val sketch = daily.withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") <= K).select(col("day"), col("uh"))
+    val bounds = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    // each day's sketch serves the RollupDays windows ending day..day+R-1;
+    // keep only FULL windows inside the data range
+    val expanded = sketch
+      .select(explode(sequence(col("day"), col("day") + (RollupDays - 1))).as("win_end"),
+        col("uh"))
+      .join(broadcast(bounds),
+        col("win_end") >= col("dmin") + (RollupDays - 1) && col("win_end") <= col("dmax"))
+      .select(col("win_end"), col("uh")).distinct()
+    val byWin = Window.partitionBy(col("win_end")).orderBy(col("uh"))
+    val est = expanded.withColumn("rn", row_number().over(byWin))
+      .filter(col("rn") <= K)
+      .groupBy(col("win_end"))
+      .agg(count(lit(1)).as("nk"), max(col("uh")).as("kth"))
+      .select(col("win_end"),
+        when(col("nk") < K, col("nk"))
+          .otherwise(expr(s"${numer}L div kth")).as("est_distinct"))
+    // exact audit: true distinct users per window (event-scale pass)
+    val exact = e.distinct()
+      .select(explode(sequence(col("day"), col("day") + (RollupDays - 1))).as("win_end"),
+        col("user_id"))
+      .join(broadcast(bounds),
+        col("win_end") >= col("dmin") + (RollupDays - 1) && col("win_end") <= col("dmax"))
+      .select(col("win_end"), col("user_id")).distinct()
+      .groupBy(col("win_end")).agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, "win_end")
+      .select(col("win_end"),
+        date_format(
+          date_add(lit(java.sql.Date.valueOf("1970-01-01")), col("win_end").cast("int")),
+          "yyyy-MM-dd").as("window_date"),
+        col("est_distinct"), col("exact_distinct"),
+        pround(abs(col("est_distinct") - col("exact_distinct")) * lit(100.0)
+          / col("exact_distinct"), 2).as("err_pct"))
+      .orderBy(col("win_end"))
+  }
 }

@@ -378,4 +378,44 @@ class AnalyticsSpec extends SparkSpec {
     val n = Tables.lineitem(spark, sf001).count()
     rows.foreach(r => assert(r.getAs[Long]("n") == n))
   }
+
+  test("sketchRollup: merging daily KMV sketches equals sketching each full window") {
+    val K = graft.functions.KmvSketch.K
+    val domain = graft.functions.KmvSketch.Domain
+    val rows = Analytics.sketchRollup(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // driver ground truth: per-day distinct user-hash sets straight off the
+    // events table
+    val ev = Tables.events(spark, sf001)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        graft.functions.PortableHash.h48(col("user_id").cast("string")).as("uh"),
+        col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDay = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = Analytics.RollupDays
+    rows.foreach { row =>
+      val winEnd = row.getAs[Long]("win_end")
+      // the mergeability identity: k-min over the union of per-day k-mins
+      // == k-min over the union of the FULL daily sets (what one giant
+      // sketch of the window would hold)
+      val dailyKmins = (winEnd - (r - 1) to winEnd)
+        .flatMap(d => byDay.getOrElse(d, Set.empty).toSeq.sorted.take(K)).toSet
+      val fullUnion = (winEnd - (r - 1) to winEnd)
+        .flatMap(d => byDay.getOrElse(d, Set.empty)).toSet
+      def estOf(s: Set[Long]): Long = {
+        val mins = s.toSeq.sorted.take(K)
+        if (mins.size < K) mins.size.toLong else (K - 1).toLong * domain / mins.last
+      }
+      assert(estOf(dailyKmins) == estOf(fullUnion), s"win_end=$winEnd merge identity")
+      assert(row.getAs[Long]("est_distinct") == estOf(fullUnion), s"win_end=$winEnd estimate")
+      // exact audit is the true distinct-user count
+      val exactUsers = ev.filter(e => e._1 >= winEnd - (r - 1) && e._1 <= winEnd)
+        .map(_._3).toSet.size.toLong
+      assert(row.getAs[Long]("exact_distinct") == exactUsers)
+    }
+    // every full window in range is present, exactly once
+    val days = byDay.keySet
+    val expectedWins = (days.min + (r - 1) to days.max)
+    assert(rows.map(_.getAs[Long]("win_end")).toSeq == expectedWins.toSeq)
+  }
 }
