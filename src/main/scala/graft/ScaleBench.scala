@@ -49,7 +49,7 @@ object ScaleBench {
     "q62_dedup_clusters", "q101_corpus_pipeline", "q102_minhash_capped",
     "q105_passage_dedup", "q107_fuzzy_match", "q126_semantic_dedup",
     "q127_bpe_pairs", "q128_dsir_select", "q129_substr_dedup",
-    "q130_sketch_rollup")
+    "q130_sketch_rollup", "q131_stream_kmv")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

@@ -105,6 +105,7 @@ object SparkEntry {
     "q128_dsir_select"       -> (TextOps.dsirSelect _),
     "q129_substr_dedup"      -> (TextOps.exactSubstrSpans _),
     "q130_sketch_rollup"     -> (Analytics.sketchRollup _),
+    "q131_stream_kmv"        -> (EventsStream.streamingKmvDistinct _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1411,6 +1412,21 @@ object SparkEntry {
          |  count(*) AS n_windows,
          |  CAST(max(pos) + ${TextOps.SubstrWindow - 1} - min(pos) + 1 AS BIGINT) AS n_tokens
          |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "q131_stream_kmv" -> {
+      val k = graft.functions.KmvSketch.K
+      val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain
+      s"""WITH h AS (SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+         |            user_id, ${PortableHash.h48Sql("CAST(user_id AS VARCHAR)")} AS uh
+         |          FROM events),
+         |g AS (SELECT day, list_sort(list_distinct(list(uh))) AS ks,
+         |        count(DISTINCT user_id) AS exact_distinct
+         |      FROM h GROUP BY 1)
+         |SELECT day,
+         |  CASE WHEN len(ks) < $k THEN CAST(len(ks) AS BIGINT)
+         |       ELSE CAST($numer // ks[$k] AS BIGINT) END AS kmv_users,
+         |  exact_distinct
+         |FROM g ORDER BY day""".stripMargin
+    },
     "q130_sketch_rollup" -> {
       val k = graft.functions.KmvSketch.K
       val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain

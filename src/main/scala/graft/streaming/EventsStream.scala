@@ -400,4 +400,46 @@ object EventsStream {
     }
     spark.table(name).orderBy(col("user_id"), col("event_type"), col("event_id"))
   }
+
+  /** q131: streaming KMV distinct count — per-day distinct users estimated
+    * by the [[graft.functions.KmvSketch]] typed Aggregator running INSIDE a
+    * streaming aggregation (complete mode), with the exact batch distinct
+    * joined on as the accuracy audit. This is the sketch tier's streaming
+    * form: the same ≤K-long buffer that makes KMV a one-pass batch
+    * aggregate is what the state store holds per group here — custom
+    * Aggregator state merges incrementally across micro-batches exactly
+    * like the built-in algebraic aggregates (and unlike exact
+    * count-distinct, whose streaming state would grow with the distinct
+    * count). Determinism: "K smallest distinct hashes" is merge-order
+    * independent, so the streaming estimate equals the batch/oracle
+    * estimate bit-for-bit no matter how batches slice the input.
+    *
+    * Scale shape: state is K longs per day-group; the shuffle carries
+    * partial buffers, not users. At 100 TB the same query runs with a
+    * watermark dropping closed days from state.
+    */
+  def streamingKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val name = s"stream_kmv_${counter.incrementAndGet()}"
+    val kmv = udaf(graft.functions.KmvSketch)
+    val stream = Tables.eventsStream(spark, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        PortableHash.h48(col("user_id").cast("string")).as("uh"))
+      .groupBy(col("day"))
+      .agg(kmv(col("uh")).as("kmv_users"))
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // exact audit from the batch table (the q79/q130 sketch-audit pattern)
+    val exact = Tables.events(spark, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    spark.table(name).join(exact, "day")
+      .select(col("day"), col("kmv_users"), col("exact_distinct"))
+      .orderBy(col("day"))
+  }
 }

@@ -353,6 +353,34 @@ class IncrementalReplaySpec extends SparkSpec {
       .map(s => (s._1, s._3, s._4, s._5)).toSet
   }
 
+  test("custom KMV Aggregator buffers merge across micro-batches to the batch estimate") {
+    // q131's real streaming claim: the typed Aggregator's ≤K-long buffer is
+    // STATE that partial-merges across micro-batch boundaries; "K smallest
+    // distinct hashes" is merge-order independent, so a 4-slice replay must
+    // reproduce the one-shot batch estimate bit-for-bit for every day
+    import graft.functions.PortableHash
+    val name = s"inc_kmv_${counter.incrementAndGet()}"
+    val kmv = udaf(graft.functions.KmvSketch)
+    val q = streamEvents
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        PortableHash.h48(col("user_id").cast("string")).as("uh"))
+      .groupBy(col("day")).agg(kmv(col("uh")).as("kmv_users"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 4, s"expected >=4 non-empty micro-batches, saw $nBatches")
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, sf001)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        PortableHash.h48(col("user_id").cast("string")).as("uh"))
+      .groupBy(col("day")).agg(kmv(col("uh")).as("kmv_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState session state carries open sessions across batches") {
     val streamed = runCustomStateReplay()
     assert(streamed == customStateClosedBatch)
