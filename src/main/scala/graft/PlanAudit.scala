@@ -221,9 +221,18 @@ object PlanAudit {
     // aggregate (partial map-side); the merge ranking is a distributed
     // top-k, never a global sort
     audit("q127_bpe_pairs", Seq("TakeOrderedAndProject(limit=50", "HashAggregate"))
-    // q130 sketch rollup: daily k-min sketches must cap MAP-SIDE (partial
-    // WindowGroupLimit below the per-day exchange, rank limit K = 64)
-    audit("q130_sketch_rollup", Seq("row_number(), 64, Partial", "row_number(), 64, Final"))
+    // q130 sketch rollup: the daily sketch must PARTIAL-aggregate the KMV
+    // buffer map-side (≤K longs per day per map partition reach the
+    // exchange — never the raw hash stream). Audited on the daily stage
+    // directly: the final frame reads it through its localCheckpoint seam.
+    val q130daily = graft.operators.Analytics.dailyKmvBufs(spark, dir)
+    q130daily.collect()
+    val q130plan = q130daily.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q130ok = q130plan.contains("partial_kmvbuffer")
+    println(s"[audit] q130 map-side sketch buffers " +
+      (if (q130ok) "OK (partial_kmvbuffer below the day exchange)"
+       else "CHECK: no partial KMV buffer aggregation"))
     // q128 DSIR: the 4096-row model term table must BROADCAST to the token
     // stream and selection must plan as a distributed top-k
     audit("q128_dsir_select", Seq("BroadcastHashJoin", "TakeOrderedAndProject(limit=100"))
@@ -235,13 +244,18 @@ object PlanAudit {
     q129.collect()
     val q129plan = q129.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    // enforce the "only whash + doc_id hash exchanges" claim, not just
+    // their presence: collect every hashpartitioning key in the plan (the
+    // fanout round-robin and presentation-sort range exchanges are
+    // expected and keyless/range)
+    val q129hashKeys = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(q129plan).map(_.group(1)).toSet
     val q129ok = !q129plan.contains("Join") &&
-      q129plan.contains("hashpartitioning(whash") &&
-      q129plan.contains("hashpartitioning(doc_id") &&
+      q129hashKeys == Set("whash", "doc_id") &&
       q129plan.contains("shingle_hashes")
     println(s"[audit] q129 join-free span merge " +
-      (if (q129ok) "OK (native window hashes, whash + doc_id exchanges only)"
-       else "CHECK: unexpected join or missing exchanges"))
+      (if (q129ok) "OK (native window hashes; hash exchanges exactly {whash, doc_id})"
+       else s"CHECK: join present or hash-exchange keys = ${q129hashKeys.mkString(",")}"))
     // q126 semantic dedup: the duplicate-pair join must be an EQUI-join on
     // the cluster key (per-cluster width, never corpus width) — a product
     // join over the corpus must not appear. Audited on the pair stage

@@ -35,7 +35,7 @@ object KmvSketch extends Aggregator[Long, Array[Long], Long] {
 
   /** Insert into the sorted k-smallest-distinct buffer (no-op when h is
     * already present or larger than a full buffer's kth value). */
-  private def insert(b: Array[Long], h: Long): Array[Long] = {
+  private[functions] def insert(b: Array[Long], h: Long): Array[Long] = {
     val idx = java.util.Arrays.binarySearch(b, h)
     if (idx >= 0) b                        // distinct-set semantics
     else {
@@ -58,4 +58,23 @@ object KmvSketch extends Aggregator[Long, Array[Long], Long] {
 
   def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** Buffer-returning sibling of [[KmvSketch]] for PRE-AGGREGATED sketch
+  * tables (q130's daily cells): identical zero/reduce/merge, but `finish`
+  * emits the ≤[[KmvSketch.K]]-long buffer itself instead of the estimate —
+  * so a `groupBy(day).agg(...)` ships partial buffers map-side (≤ K longs
+  * per group per map partition; the raw stream never reaches an exchange)
+  * and the materialized cell IS the mergeable sketch any later window can
+  * union. The distinct-set semantics live in the shared insert, so feeding
+  * raw (non-distinct) hashes yields the same buffer as feeding the
+  * distinct set.
+  */
+object KmvBuffer extends Aggregator[Long, Array[Long], Array[Long]] {
+  def zero: Array[Long] = KmvSketch.zero
+  def reduce(b: Array[Long], h: Long): Array[Long] = KmvSketch.insert(b, h)
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = KmvSketch.merge(a, b)
+  def finish(b: Array[Long]): Array[Long] = b
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }

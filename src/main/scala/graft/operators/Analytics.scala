@@ -353,19 +353,36 @@ object Analytics {
     * merged set holds < K hashes it IS the full union — the estimate
     * degenerates to the exact count, both engines).
     *
-    * Scale shape: daily sketches are a rank ≤ K filter planning a PARTIAL
-    * WindowGroupLimit below the per-day exchange (each map partition ships
-    * ≤ K+1 rows per day); each sketch row expands to the [[RollupDays]]
-    * windows it serves (bounded fan-out of K-sized data, not events); the
-    * estimate reduction touches ≤ K·[[RollupDays]] rows per window. Only
-    * the AUDIT pass (exact distinct) scans event-scale data — at 100 TB it
-    * runs sampled or not at all, and the sketch path is what ships.
+    * Scale shape: daily sketches come from [[graft.functions.KmvBuffer]] —
+    * a buffer-returning Aggregator whose groupBy PARTIAL-aggregates
+    * map-side, so each map partition ships ≤ K longs per day and the raw
+    * event stream never reaches an exchange (an earlier rank ≤ K
+    * formulation needed a `(day, hash).distinct()` first, whose exchange
+    * carried every distinct per-day hash — event-distinct scale — before
+    * the cap could bite); each sketch element then expands to the
+    * [[RollupDays]] windows it serves (bounded fan-out of K-sized data,
+    * not events) and the estimate reduction touches ≤ K·[[RollupDays]]
+    * rows per window. Only the AUDIT pass (exact distinct) scans
+    * event-scale data — at 100 TB it runs sampled or not at all, and the
+    * sketch path is what ships.
     *
     * Determinism: 48-bit md5 hashes, integer ranks, and the estimator's
     * `(K−1)·2⁴⁸ div kth` is INTEGRAL division — (K−1)·2⁴⁸ ≈ 1.8e16
     * overflows a double's 53-bit mantissa, so a float division here would
     * be engine-dependent in the last digits; both engines divide exactly.
     */
+  /** q130's daily-sketch stage, un-checkpointed — exposed so PlanAudit can
+    * assert the buffer aggregate partial-aggregates map-side (the final
+    * frame reads this through its localCheckpoint seam). */
+  private[graft] def dailyKmvBufs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.h48
+    val kmvBuf = udaf(graft.functions.KmvBuffer)
+    Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        h48(col("user_id").cast("string")).as("uh"))
+      .groupBy(col("day")).agg(kmvBuf(col("uh")).as("buf"))
+  }
+
   def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash.h48
     val K = graft.functions.KmvSketch.K
@@ -373,12 +390,12 @@ object Analytics {
     val e = Tables.events(spark, dir)
       .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
         col("user_id"))
-    val daily = e.select(col("day"), h48(col("user_id").cast("string")).as("uh"))
-      .distinct()
-    val byDay = Window.partitionBy(col("day")).orderBy(col("uh"))
-    val sketch = daily.withColumn("rn", row_number().over(byDay))
-      .filter(col("rn") <= K).select(col("day"), col("uh"))
-    val bounds = daily.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    // one ≤K-long sketch buffer per day, partial-aggregated map-side (no
+    // pre-distinct needed — KMV insert has distinct-set semantics)
+    val dayBufs = dailyKmvBufs(spark, dir)
+      .localCheckpoint() // one row per day, feeds bounds + the expansion
+    val sketch = dayBufs.select(col("day"), explode(col("buf")).as("uh"))
+    val bounds = dayBufs.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
     // each day's sketch serves the RollupDays windows ending day..day+R-1;
     // keep only FULL windows inside the data range
     val expanded = sketch

@@ -415,8 +415,12 @@ object EventsStream {
     * estimate bit-for-bit no matter how batches slice the input.
     *
     * Scale shape: state is K longs per day-group; the shuffle carries
-    * partial buffers, not users. At 100 TB the same query runs with a
-    * watermark dropping closed days from state.
+    * partial buffers, not users. The harness replays in COMPLETE mode
+    * (every day re-emitted per trigger — the memory-sink comparison form);
+    * complete mode never evicts aggregation state, so the production form
+    * at 100 TB is the SAME aggregate in UPDATE mode with a watermark on
+    * `ts` — there the engine does drop closed days from the store, and the
+    * per-day buffers it holds until then are the identical ≤K longs.
     */
   def streamingKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash
