@@ -103,7 +103,11 @@ object Bench {
     // the front-loaded total off the big line above (every r2–r7 BENCH
     // artifact has `parsed: null`). A second, tiny trailing line survives
     // any tail truncation; redundant with the big line by construction.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},"sf":"$sfDir"}""")
+    // The metric name deliberately STAYS "total": the round-8 driver parse
+    // keyed on it (renaming risks parsed:null again); `"tail":true` is the
+    // discriminator for consumers that need to tell the twins apart — the
+    // value is identical on both lines by construction either way.
+    println(s"""{"metric":"total","tail":true,"value":$total,"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

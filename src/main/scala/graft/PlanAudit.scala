@@ -124,9 +124,22 @@ object PlanAudit {
     // broadcast, and the sampled count partial-aggregates map-side — the
     // corpus rows themselves never shuffle
     audit("q115_temperature_mix", Seq("BroadcastHashJoin", "HashAggregate"))
-    // k-means step: assignment is corpus ⋈ broadcast(codebook) (no corpus
-    // shuffle) and re-estimation partial-aggregates on (cluster, dim)
-    audit("q116_kmeans_step", Seq("BroadcastNestedLoopJoin", "HashAggregate"))
+    // k-means step: assignment is the native nearest_centroid argmin
+    // PROJECTION (codebook as a codegen reference object) — the corpus must
+    // never K-fold-expand through a join, never hit a Window, and never
+    // exchange on vec_id; the only wide stage is the (cluster, dim)
+    // re-estimation hash aggregate
+    audit("q116_kmeans_step", Seq("nearest_centroid", "HashAggregate"))
+    val q116 = SparkEntry.queries("q116_kmeans_step")(spark, dir)
+    q116.collect()
+    val q116plan = q116.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q116narrow = !q116plan.contains("Window") &&
+      !q116plan.contains("hashpartitioning(vec_id") &&
+      !q116plan.contains("NestedLoop")
+    println(s"[audit] q116 narrow assignment " +
+      (if (q116narrow) "OK (no Window, no vec_id exchange, no join expansion)"
+       else "CHECK: assignment stage widened"))
     // k-means TRAINING loop: each iteration runs eagerly at its checkpoint,
     // so the per-iteration corpus ⋈ broadcast(codebook) shape is the q116
     // audit above (identical assignment plan); the returned frame is the

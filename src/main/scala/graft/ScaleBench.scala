@@ -246,7 +246,7 @@ object ScaleBench {
     println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"extras":$ex,"heavies":$hv,"errors":$errs,"sf":"$src x$tiles","tiles":$tiles}""")
     // tiny trailing twin of the total: the driver keeps only the tail of
     // stdout, which truncates the front-loaded total off the big line
-    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},"tiles":$tiles}""")
+    println(s"""{"metric":"scale_total","tail":true,"value":${results.map(_._2).sum},"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},"tiles":$tiles}""")
     spark.stop()
   }
 }
@@ -382,7 +382,7 @@ object SlopeProbe {
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"slope_probe","threshold":$SlopeThreshold,"queries":$qs,"allowlist":$al,"fail_n":${failed.size},"errors":$errs,"src":"$src"}""")
     // tiny trailing twin — survives the driver's tail truncation
-    println(s"""{"metric":"slope_probe","fail_n":${failed.size},"n_queries":${rows.size},"errors_n":${errors.size}}""")
+    println(s"""{"metric":"slope_probe","tail":true,"fail_n":${failed.size},"n_queries":${rows.size},"errors_n":${errors.size}}""")
     spark.stop()
     // a probed query that CRASHED at scale is the worst possible scale
     // regression, not a skippable row — errors gate the exit exactly like

@@ -105,6 +105,18 @@ object SimilarityOps {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct(a, b)
 
+  /** Collect a K-row codebook frame to driver arrays (ids ascending) for
+    * [[graft.functions.NearestCentroid]]. This is the same driver-side
+    * materialization `broadcast()` performed internally for the old
+    * crossJoin formulation — K stays bounded by the broadcast budget; the
+    * corpus side never moves. */
+  private def collectCodebook(df: DataFrame, idCol: String, vecCol: String)
+      : (Array[Long], Array[Array[Double]]) = {
+    val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
   /** Corpus with norm and sign-sketch bucket. */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -219,8 +231,9 @@ object SimilarityOps {
     * max-cosine assignment; each query probes only its [[IvfProbes]] nearest
     * cells and exact-ranks inside them.
     *
-    * Scale shape: assignment is corpus ⨯ broadcast(codebook) — narrow,
-    * linear, no shuffle of the big side; the probe join is
+    * Scale shape: assignment is the [[graft.functions.NearestCentroid]]
+    * argmax-cosine projection — narrow, linear, zero shuffle and zero row
+    * expansion of the big side; the probe join is
     * broadcast(queries) ⋈ cell — each query touches ~nprobe/K of the corpus.
     * At 100 TB the cell id doubles as the partition/bucket key so a probe
     * reads only its cells' files (partition pruning on `cell`).
@@ -230,14 +243,21 @@ object SimilarityOps {
     val e = vectors(spark, dir)
     val cents = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
-    val scored = e.crossJoin(broadcast(cents))
+    val (cids, cvs) = collectCodebook(cents, "cent_id", "cv")
+    // cell assignment = the NearestCentroid argmax-cosine projection (no
+    // K-fold corpus expansion, no vec_id Exchange+Sort for the rn=1 pick)
+    val nc = graft.functions.NearestCentroid(col("v"), col("norm"), cids, cvs,
+      byCosine = true)
+    val assigned = e.select(col("vec_id"), col("v"), col("norm"), nc.as("nc"))
+      .select(col("vec_id"), col("v"), col("norm"), col("nc.cluster").as("cell"))
+    // nprobe>1 needs the 2nd-best cell too — but only for the 10 query
+    // vectors, so the old windowed ranking runs over a 10×K frame
+    val scoredQ = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("norm"), col("cent_id"),
         (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
-    val ranked = scored.withColumn("crn", row_number().over(byVec))
-    val assigned = ranked.filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
-    val probes = ranked.filter(col("vec_id") < 10 && col("crn") <= IvfProbes)
+    val probes = scoredQ.withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") <= IvfProbes)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
         col("cent_id").as("cell"))
     val joined = assigned.join(broadcast(probes), Seq("cell"))
@@ -511,27 +531,25 @@ object SimilarityOps {
     * so neither depends on partition/accumulation order. The new-centroid
     * mean reuses q63's exploded hash-agg shape.
     *
-    * Scale shape: assignment is corpus ⋈ broadcast(16 centroids) with a
-    * per-vector window (partition-local after the scan); the re-estimation
-    * aggregates on (cluster, dim) — 1024 uniform keys with map-side partial
-    * sums. The corpus never shuffles; iterating = re-running with the
-    * emitted centroids as the next codebook.
+    * Scale shape: assignment is ONE narrow codegen'd projection — the
+    * [[graft.functions.NearestCentroid]] argmin with the K centroids as a
+    * reference object (the broadcast-equivalent driver materialization), so
+    * the corpus never expands K-fold and never shuffles for assignment; the
+    * re-estimation aggregates on (cluster, dim) — 1024 uniform keys with
+    * map-side partial sums. Iterating = re-running with the emitted
+    * centroids as the next codebook.
     */
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir).transform(Tables.fanout)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val scored = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
-          + dot(col("cv"), col("cv"))).as("dist2"))
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cent_id"))
-    val assigned = scored.withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cluster"),
-        floor(col("dist2") * lit(1e6) + lit(0.5)).cast("long").as("d2i"))
+    val (cids, cvs) = collectCodebook(cents, "cent_id", "cv")
+    val nc = graft.functions.NearestCentroid(col("v"), lit(0.0), cids, cvs,
+      byCosine = false)
+    val assigned = e.select(col("vec_id"), col("v"), nc.as("nc"))
+      .select(col("vec_id"), col("v"), col("nc.cluster").as("cluster"),
+        floor(col("nc.dist2") * lit(1e6) + lit(0.5)).cast("long").as("d2i"))
     // mean via 1e-9-scaled integer sums (the q115 normalizer trick): a
     // double `avg` is accumulation-order dependent at 4-dp rounding
     // boundaries; exact integer sums make the result partition-count
@@ -574,8 +592,10 @@ object SimilarityOps {
     * inputs are bit-identical on both sides. A cluster that loses all
     * members keeps its previous centroid (rounded), both sides.
     *
-    * Scale shape: the corpus NEVER shuffles — each iteration is one corpus
-    * scan ⋈ broadcast(K centroids) + one (cluster, dim) hash aggregate
+    * Scale shape: the corpus NEVER shuffles — each iteration is one narrow
+    * corpus scan through the [[graft.functions.NearestCentroid]] argmin
+    * projection (codebook as a reference object — the broadcast-equivalent
+    * driver materialization) + one (cluster, dim) hash aggregate
     * (K·Dim uniform keys, partial map-side). Centroid state between
     * iterations is a K-row checkpoint, freed eagerly when superseded (the
     * [[TextOps.ccLargeSmallStar]] iterative-state discipline); lineage
@@ -589,21 +609,23 @@ object SimilarityOps {
     * membership counts; both localCheckpointed (lineage-free K-row state).
     */
   private[operators] def trainedCodebook(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     def corpus = Tables.embeddings(spark, dir).transform(Tables.fanout)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     var cents = corpus.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cluster"), col("v").as("cv"))
       .localCheckpoint()
     var sizes: DataFrame = null
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cluster"))
     for (k <- 1 to KmeansIters) {
-      val assigned = corpus.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cluster"),
-          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
-            + dot(col("cv"), col("cv"))).as("dist2"))
-        .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cluster"))
+      // assignment = the NearestCentroid argmin projection (q116's plan):
+      // collecting the K checkpointed centroid rows per iteration is the
+      // driver materialization broadcast() paid anyway, and the corpus pass
+      // is now a narrow codegen'd scan — no K-fold expansion, no
+      // Exchange+Sort on vec_id per Lloyd iteration
+      val (cids, cvs) = collectCodebook(cents, "cluster", "cv")
+      val nc = graft.functions.NearestCentroid(col("v"), lit(0.0), cids, cvs,
+        byCosine = false)
+      val assigned = corpus.select(col("vec_id"), col("v"), nc.as("nc"))
+        .select(col("vec_id"), col("v"), col("nc.cluster").as("cluster"))
       // materialize the (cluster, dim) aggregate ONCE per iteration (K·Dim
       // rows): the corpus pass behind it runs exactly once, and both the
       // new centroids AND the member counts derive from this checkpoint —
@@ -752,23 +774,19 @@ object SimilarityOps {
     * both sides, the CC pass, and the output projection). Exposed so
     * DedupSpec can drive the containment law on the same instance. */
   private[graft] def semanticAssigned(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (cents0, _) = trainedCodebook(spark, dir)
-    val cents = cents0.select(col("cluster"), col("cv"),
-      sqrt(dot(col("cv"), col("cv"))).as("cn"))
+    val (cids, cvs) = collectCodebook(cents0, "cluster", "cv")
     val e = Tables.embeddings(spark, dir).transform(Tables.fanout)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cluster"))
-    // q116's assignment plan: broadcast codebook, min dist2, ties to lower id
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("norm"), col("cluster"), col("cn"),
-        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
-          + dot(col("cv"), col("cv"))).as("dist2"),
-        (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos_raw"))
-      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("cluster"),
-        pround(col("ccos_raw"), 6).as("cent_cos"))
+    // q116's assignment semantics (min dist2, ties to lower id) as the
+    // NearestCentroid argmin projection; the winner's v·c rides along so the
+    // centroid cosine needs no second codebook pass
+    val nc = graft.functions.NearestCentroid(col("v"), col("norm"), cids, cvs,
+      byCosine = false)
+    e.select(col("vec_id"), col("v"), col("norm"), nc.as("nc"))
+      .select(col("vec_id"), col("v"), col("norm"), col("nc.cluster").as("cluster"),
+        pround(col("nc.ccos"), 6).as("cent_cos"))
       .localCheckpoint()
   }
 

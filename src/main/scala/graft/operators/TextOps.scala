@@ -919,7 +919,12 @@ object TextOps {
       // expected = nEdges: non-root keys ≤ vertices − components < 2·edges,
       // but real near-dup graphs repeat vertices heavily, so nEdges is the
       // right typical-case sizing — the pathological 2·edges-vertices graph
-      // costs one grow(), not a mis-sized table held for the whole pass
+      // costs one grow(), not a mis-sized table held for the whole pass.
+      // Peak-memory honesty for that grow(): the rehash transient holds the
+      // old (~134 MB) and new (~270 MB) tables simultaneously, on top of
+      // the 64 MB edge array — ~470 MB worst case at the 4M-edge gate,
+      // still inside a default 1g driver but far above the steady-state
+      // ~270 MB; LocalCcMaxEdges keeps that headroom deliberate
       val parent = new LongIdMap(math.min(nEdges, LocalCcMaxEdges).toInt)
       def find(x0: Long): Long = {
         var x = x0
@@ -1294,15 +1299,20 @@ object TextOps {
     // corpus-first occurrence per window value, as a packed integer key.
     // The packing budgets 2^20 token positions per document (≈ 4–8 MB of
     // text) — above that a position would bleed into the next doc_id's key
-    // range. Training pipelines cap document length far below this (docs
-    // are pre-split to context-window scale upstream); a corpus that
-    // genuinely carries >1M-token documents would widen the pack to
-    // min(struct(doc_id, pos)) at the cost of a wider shuffle key. ONE
-    // exchange: the
+    // range, so an oversized document fails LOUDLY (raise_error below)
+    // instead of corrupting ownership. Training pipelines cap document
+    // length far below this (docs are pre-split to context-window scale
+    // upstream); a corpus that genuinely carries >1M-token documents would
+    // widen the pack to min(struct(doc_id, pos)) at the cost of a wider
+    // shuffle key. ONE exchange: the
     // per-hash min/count run as window functions over the whash partition —
     // the agg + re-join alternative re-runs the corpus-sized window
     // explosion a second time AND shuffles it twice.
-    val packed = col("doc_id") * lit(1048576L) + col("pos")
+    val checkedPos = when(col("pos") < lit(1L << 20), col("pos"))
+      .otherwise(raise_error(concat(
+        lit("q129: >2^20 window positions in doc_id="), col("doc_id"),
+        lit(" — pack budget exceeded; widen to min(struct(doc_id, pos)) per the comment"))))
+    val packed = col("doc_id") * lit(1048576L) + checkedPos
     val byHash = Window.partitionBy(col("whash"))
     val marked = occ
       .withColumn("okey", min(packed).over(byHash))
@@ -1410,24 +1420,30 @@ object TextOps {
     */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).transform(Tables.fanout)
-    val tok = d.select(col("doc_id"), col("lang"),
+    // tok is deliberately NOT cached: it is a token-level row set (corpus ×
+    // tokens-per-doc — the one thing you never pin in storage at 100 TB),
+    // and its two consumers each need one full pass anyway. Folding the
+    // raw- and target-LM counts into ONE conditional aggregate keeps it to
+    // exactly two narrow tokenize passes with zero retained storage (the
+    // previous cache() was never unpersisted and accumulated across a
+    // multi-query session).
+    def tok = d.select(col("doc_id"), col("lang"),
         explode(tokens(lower(col("text")))).as("t"))
       .filter(length(col("t")) >= 1)
       .select(col("doc_id"), col("lang"),
         pmod(h48(col("t")), lit(DsirBuckets)).as("b"))
-      .cache() // feeds both model aggregates and the per-doc scoring join
-    val rawCnt = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgtCnt = tok.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = rawCnt.agg(sum(col("cr")).as("nr"))
-      .crossJoin(tgtCnt.agg(sum(col("ct")).as("nt")))
+    val cnts = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+           sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L))).as("ct"))
+    val totals = cnts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     // per-bucket smoothed log-ratio, quantized ONCE at the bucket level so
     // document sums are exact integers (identical double-op order in the
-    // oracle: ((ln a − ln b) − ln c) + ln d)
-    val model = rawCnt.join(tgtCnt, Seq("b"), "left")
+    // oracle: ((ln a − ln b) − ln c) + ln d); ct = 0 where the bucket has
+    // no target tokens — the same value the old left join's coalesce gave
+    val model = cnts
       .crossJoin(broadcast(totals))
       .select(col("b"),
-        floor((log(coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0))
+        floor((log(col("ct").cast("double") + lit(1.0))
              - log(col("nt").cast("double") + lit(DsirBuckets.toDouble))
              - log(col("cr").cast("double") + lit(1.0))
              + log(col("nr").cast("double") + lit(DsirBuckets.toDouble)))
