@@ -297,8 +297,9 @@ object SlopeProbe {
     "q126_semantic_dedup" ->
       ("SemDeDup with harness-pinned K=16 so the oracle reproduces the " +
        "codebook: intra-cluster pair work is n^2/K by construction at " +
-       "fixed K; production scales K with n (constant cluster width), " +
-       "which is the documented growth lever"))
+       "fixed K; production scales K with n (constant cluster width) — " +
+       "MEASURED by this probe's q126_scaled_k row (K=16@x10 vs K=32@x20, " +
+       "a real pass/fail verdict), not just documented"))
 
   /** Queries whose OUTPUT legitimately grows superlinearly under the
     * decorrelated tiling (so time may track the answer, not the data):
@@ -372,8 +373,48 @@ object SlopeProbe {
       probe
     }
 
-    val failed = rows.filter(_._7 == "fail")
-    val qs = rows.map { case (n, t10, t20, n10, n20, s, v) =>
+    // K ∝ n lever measurement: q126's allowlist entry documents that
+    // production SemDeDup scales the codebook with the corpus so cluster
+    // width — and intra-cluster pair work — stays constant. Demonstrate it
+    // instead of asserting it: K=16 at ×10 vs K=32 at ×20 (double data,
+    // double K) must hold the slope at data-linear, unlike the pinned-K
+    // harness query whose pair stage is n²/K by construction. Recorded as
+    // its own row with a REAL pass/fail verdict (a fail gates the exit).
+    val scaledRow =
+      if (!ScaleBench.selectedQueries.contains("q126_semantic_dedup")) Seq.empty
+      else {
+        def timeScaled(dir: String, k0: Int): Option[(Double, Long)] = {
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          try {
+            val n = graft.operators.SimilarityOps.semanticDedupK(spark, dir, k0).count()
+            Some(((System.nanoTime() - t0) / 1e9, n))
+          } catch { case e: Throwable =>
+            errors += s"q126_scaled_k: ${e.getClass.getSimpleName}"; None }
+        }
+        val probe = for {
+          (r1, n10) <- timeScaled(d10, 16)
+          (r2, n20) <- timeScaled(d20, 32)
+          (r3, _)   <- timeScaled(d10, 16)
+        } yield {
+          var t10 = math.min(r1, r3)
+          var t20 = r2
+          if (t20 / t10 > SlopeThreshold) {
+            timeScaled(d10, 16).foreach { case (r, _) => t10 = math.min(t10, r) }
+            timeScaled(d20, 32).foreach { case (r, _) => t20 = math.min(t20, r) }
+          }
+          val slope = t20 / t10
+          val verdict = if (slope <= SlopeThreshold) "pass" else "fail"
+          System.err.println(f"[slope] q126_scaled_k (K prop n) t10=$t10%7.2f t20=$t20%7.2f slope=$slope%5.2f  $verdict")
+          ("q126_scaled_k", t10, t20, n10, n20, slope, verdict)
+        }
+        if (probe.isEmpty) System.err.println(s"[slope] q126_scaled_k FAILED to run")
+        probe.toSeq
+      }
+
+    val all = rows ++ scaledRow
+    val failed = all.filter(_._7 == "fail")
+    val qs = all.map { case (n, t10, t20, n10, n20, s, v) =>
       s""""$n":{"t10":$t10,"t20":$t20,"rows10":$n10,"rows20":$n20,"slope":$s,"verdict":"$v"}"""
     }.mkString("{", ",", "}")
     val al = (Allowlist.map { case (k, v) => s""""$k":"$v"""" } ++
@@ -382,7 +423,7 @@ object SlopeProbe {
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"slope_probe","threshold":$SlopeThreshold,"queries":$qs,"allowlist":$al,"fail_n":${failed.size},"errors":$errs,"src":"$src"}""")
     // tiny trailing twin — survives the driver's tail truncation
-    println(s"""{"metric":"slope_probe","tail":true,"fail_n":${failed.size},"n_queries":${rows.size},"errors_n":${errors.size}}""")
+    println(s"""{"metric":"slope_probe","tail":true,"fail_n":${failed.size},"n_queries":${all.size},"errors_n":${errors.size}}""")
     spark.stop()
     // a probed query that CRASHED at scale is the worst possible scale
     // regression, not a skippable row — errors gate the exit exactly like

@@ -106,6 +106,7 @@ object SparkEntry {
     "q129_substr_dedup"      -> (TextOps.exactSubstrSpans _),
     "q130_sketch_rollup"     -> (Analytics.sketchRollup _),
     "q131_stream_kmv"        -> (EventsStream.streamingKmvDistinct _),
+    "q132_stream_kmv_update" -> (EventsStream.streamingKmvUpdate _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1425,6 +1426,20 @@ object SparkEntry {
          |  CASE WHEN len(ks) < $k THEN CAST(len(ks) AS BIGINT)
          |       ELSE CAST($numer // ks[$k] AS BIGINT) END AS kmv_users,
          |  exact_distinct
+         |FROM g ORDER BY day""".stripMargin
+    },
+    "q132_stream_kmv_update" -> {
+      // q131's estimator CTE without the exact-audit column: the update-mode
+      // upserted target's final contents equal the batch per-day estimate
+      val k = graft.functions.KmvSketch.K
+      val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain
+      s"""WITH h AS (SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+         |            ${PortableHash.h48Sql("CAST(user_id AS VARCHAR)")} AS uh
+         |          FROM events),
+         |g AS (SELECT day, list_sort(list_distinct(list(uh))) AS ks FROM h GROUP BY 1)
+         |SELECT day,
+         |  CASE WHEN len(ks) < $k THEN CAST(len(ks) AS BIGINT)
+         |       ELSE CAST($numer // ks[$k] AS BIGINT) END AS kmv_users
          |FROM g ORDER BY day""".stripMargin
     },
     "q130_sketch_rollup" -> {

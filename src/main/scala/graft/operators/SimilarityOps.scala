@@ -608,10 +608,11 @@ object SimilarityOps {
     * [[KmeansIters]] Lloyd iterations, `sizes` = (cluster, n_vecs) final
     * membership counts; both localCheckpointed (lineage-free K-row state).
     */
-  private[operators] def trainedCodebook(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[operators] def trainedCodebook(spark: SparkSession, dir: String,
+      k0: Int = IvfK): (DataFrame, DataFrame) = {
     def corpus = Tables.embeddings(spark, dir).transform(Tables.fanout)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    var cents = corpus.filter(col("vec_id") < IvfK)
+    var cents = corpus.filter(col("vec_id") < k0)
       .select(col("vec_id").as("cluster"), col("v").as("cv"))
       .localCheckpoint()
     var sizes: DataFrame = null
@@ -773,8 +774,9 @@ object SimilarityOps {
     * 6-dp centroid cosine — localCheckpointed (feeds the pair self-join's
     * both sides, the CC pass, and the output projection). Exposed so
     * DedupSpec can drive the containment law on the same instance. */
-  private[graft] def semanticAssigned(spark: SparkSession, dir: String): DataFrame = {
-    val (cents0, _) = trainedCodebook(spark, dir)
+  private[graft] def semanticAssigned(spark: SparkSession, dir: String,
+      k0: Int = IvfK): DataFrame = {
+    val (cents0, _) = trainedCodebook(spark, dir, k0)
     val (cids, cvs) = collectCodebook(cents0, "cluster", "cv")
     val e = Tables.embeddings(spark, dir).transform(Tables.fanout)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -803,9 +805,17 @@ object SimilarityOps {
         >= SemDedupThreshold)
       .select(col("vec_a"), col("vec_b"))
 
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupK(spark, dir, IvfK)
+
+  /** [[semanticDedup]] with an explicit codebook size — the K ∝ n
+    * production lever made runnable so SlopeProbe can MEASURE it (K=16 at
+    * ×10 vs K=32 at ×20: double data, double K, constant cluster width —
+    * the slope must stay data-linear). The harness query pins K=[[IvfK]]
+    * so the DuckDB oracle reproduces the codebook CTEs. */
+  def semanticDedupK(spark: SparkSession, dir: String, k0: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = semanticAssigned(spark, dir)
+    val assigned = semanticAssigned(spark, dir, k0)
     // checkpoint the pair set BEFORE counting: the count feeds ccAdaptive's
     // strategy pick, and an unmaterialized plan would re-run the dominant
     // intra-cluster self-join for the edge collect (the dedupClusters

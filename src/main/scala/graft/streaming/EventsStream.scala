@@ -446,4 +446,75 @@ object EventsStream {
       .select(col("day"), col("kmv_users"), col("exact_distinct"))
       .orderBy(col("day"))
   }
+
+  /** q132: the PRODUCTION form of q131 — the same KMV distinct-count
+    * Aggregator in watermarked UPDATE mode with a `foreachBatch` keyed
+    * upsert sink (the q23-era overwrite-by-key pattern). q131's
+    * complete-mode harness form holds every day's group in the state store
+    * forever and re-emits the whole result per trigger — fine for a
+    * memory-sink comparison, unbounded at 100 TB. Here:
+    *
+    *  - the aggregation groups by a `window(ts, 1 day)` over the
+    *    WATERMARKED event time, so once the watermark passes a day's end
+    *    the engine EVICTS that day's ≤K-long buffer from the store — state
+    *    is bounded by the days inside the watermark horizon, not the
+    *    stream's lifetime (IncrementalReplaySpec asserts the store's final
+    *    row count is a fraction of the day count after a 4-slice replay);
+    *  - update mode emits only the days each micro-batch CHANGED (not the
+    *    full history), and the upsert keeps the newest emission per day —
+    *    `batchId` is the recency key, so replaying a batch after a failure
+    *    converges to the same target (idempotent upsert);
+    *  - the sink target outlives eviction: a closed day's final estimate
+    *    lives in the upserted table after its state is dropped, which is
+    *    exactly the division of labor a production rollup wants.
+    *
+    * Determinism: "K smallest distinct hashes" is merge/slice-order
+    * independent and late data beyond the watermark cannot exist in the
+    * in-order replay, so the final target equals the batch per-day KMV
+    * estimate bit-for-bit — the DuckDB oracle is q131's estimator CTE
+    * without the audit column.
+    */
+  def streamingKmvUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHash
+    val kmv = udaf(graft.functions.KmvSketch)
+    val target = java.nio.file.Files.createTempDirectory("graft_kmv_upsert").toString
+    val stream = Tables.eventsStream(spark, dir)
+      // watermarks require TIMESTAMP event time (UTC session: same instant)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", AppendDelay)
+      // group by the window STRUCT over the watermarked column: update-mode
+      // state cleanup keys off its event-time metadata (the q108 contract)
+      .groupBy(window(col("ts"), "1 day").as("win"))
+      .agg(kmv(PortableHash.h48(col("user_id").cast("string"))).as("kmv_users"))
+      .select(date_format(col("win").getField("start"), "yyyy-MM-dd").as("day"),
+              col("kmv_users"))
+    withStatePartitions(spark) {
+      val q = stream.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sp = batch.sparkSession
+          val withSeq = batch.withColumn("batch_seq", lit(batchId))
+          val existing =
+            try sp.read.parquet(target)
+            catch { case _: Throwable =>
+              sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                withSeq.schema) }
+          // newest emission per day wins (batch_seq is monotonic); ties
+          // impossible — update mode emits a changed group once per batch
+          val w = Window.partitionBy(col("day")).orderBy(col("batch_seq").desc)
+          val merged = existing.unionByName(withSeq)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          // staging dir: the merge reads the live target (q23 upsert rule)
+          val staging = target + ".staging"
+          merged.write.mode("overwrite").parquet(staging)
+          sp.read.parquet(staging).write.mode("overwrite").parquet(target)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(target)
+      .select(col("day"), col("kmv_users"))
+      .orderBy(col("day"))
+  }
 }

@@ -381,6 +381,64 @@ class IncrementalReplaySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("update-mode KMV upsert evicts closed days' state while the sink keeps their finals") {
+    // q132's production claim, both halves: (1) the watermarked update-mode
+    // aggregate DROPS a day's ≤K-long buffer from the state store once the
+    // watermark passes the day (state is horizon-bounded, not
+    // lifetime-bounded — the exact defect q131's complete-mode harness form
+    // documents), and (2) the foreachBatch keyed upsert retains each
+    // evicted day's FINAL estimate, so the sink equals the batch per-day
+    // KMV bit-for-bit even though most days no longer exist in state.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHash
+    val kmv = udaf(graft.functions.KmvSketch)
+    val target = java.nio.file.Files.createTempDirectory("inc_kmv_upd").toString
+    val q = streamEvents
+      .withWatermark("ts", graft.streaming.EventsStream.AppendDelay)
+      .groupBy(window(col("ts"), "1 day").as("win"))
+      .agg(kmv(PortableHash.h48(col("user_id").cast("string"))).as("kmv_users"))
+      .select(date_format(col("win").getField("start"), "yyyy-MM-dd").as("day"),
+              col("kmv_users"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val withSeq = batch.withColumn("batch_seq", lit(batchId))
+        val existing =
+          try sp.read.parquet(target)
+          catch { case _: Throwable =>
+            sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              withSeq.schema) }
+        val w = Window.partitionBy(col("day")).orderBy(col("batch_seq").desc)
+        val merged = existing.unionByName(withSeq)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        val staging = target + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        sp.read.parquet(staging).write.mode("overwrite").parquet(target)
+      }
+      .start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    // the last committed progress is the post-eviction view: the engine's
+    // closing no-data micro-batch removes every watermark-closed day
+    val finalStateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(nBatches >= 4, s"expected >=4 non-empty micro-batches, saw $nBatches")
+    val streamed = spark.read.parquet(target)
+      .select(col("day"), col("kmv_users")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, sf001)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        PortableHash.h48(col("user_id").cast("string")).as("uh"))
+      .groupBy(col("day")).agg(kmv(col("uh")).as("kmv_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    val nDays = batch.size
+    assert(nDays >= 4, s"fixture too small to demonstrate eviction: $nDays days")
+    assert(finalStateRows < nDays,
+      s"no eviction: $finalStateRows state rows for $nDays days — update-mode state must be watermark-bounded")
+  }
+
   test("flatMapGroupsWithState session state carries open sessions across batches") {
     val streamed = runCustomStateReplay()
     assert(streamed == customStateClosedBatch)
