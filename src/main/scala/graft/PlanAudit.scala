@@ -146,6 +146,20 @@ object PlanAudit {
     // K-row centroid expansion joined to the K-row sizes — broadcast, never
     // a shuffled join
     audit("q118_kmeans_train", Seq("BroadcastHashJoin", "Generate posexplode"))
+    // media near-dup: decode runs per-partition (MapPartitions seam), the
+    // fingerprint is the native sign_sketch expression, and candidate
+    // generation happens at distinct-fingerprint granularity — payloads
+    // themselves must never reach an exchange
+    val q133 = SparkEntry.queries("q133_media_neardup")(spark, dir)
+    q133.collect()
+    val q133plan = q133.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q133ok = q133plan.contains("MapPartitions") &&
+      q133plan.contains("sign_sketch") &&
+      !q133plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("payload"))
+    println(s"[audit] q133 decode-seam fingerprints " +
+      (if (q133ok) "OK (MapPartitions decode + sign_sketch; no payload exchange)"
+       else "CHECK: decode/banding shape changed"))
     // rate anomalies: the z-score windows must run over the aggregated
     // (type, hour) rows — a hash aggregate below a PARTITIONed window, no
     // single-partition exchange of raw events

@@ -107,6 +107,8 @@ object SparkEntry {
     "q130_sketch_rollup"     -> (Analytics.sketchRollup _),
     "q131_stream_kmv"        -> (EventsStream.streamingKmvDistinct _),
     "q132_stream_kmv_update" -> (EventsStream.streamingKmvUpdate _),
+    "q133_media_neardup"     -> (Multimodal.mediaNearDup _),
+    "q134_bpe_train"         -> (TextOps.bpeTrain _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1441,6 +1443,76 @@ object SparkEntry {
          |  CASE WHEN len(ks) < $k THEN CAST(len(ks) AS BIGINT)
          |       ELSE CAST($numer // ks[$k] AS BIGINT) END AS kmv_users
          |FROM g ORDER BY day""".stripMargin
+    },
+    "q134_bpe_train" -> {
+      // q118's unrolled-CTE pattern: one (pairs → argmax → re-segment)
+      // block per merge round; the re-segmentation list_reduce is the
+      // string-accumulator fold twin of the Spark aggregate()
+      val iters = (1 to TextOps.BpeMerges).map { k =>
+        val prev = s"w${k - 1}"
+        s"""x$k AS (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM $prev),
+           |p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           |        FROM x$k GROUP BY 1, 2),
+           |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$k AS (SELECT freq,
+           |    string_split(substr(list_reduce(list_prepend('', syms),
+           |      (acc, x) -> CASE WHEN ends_with(acc, chr(1) || m.l) AND x = m.r
+           |        THEN substr(acc, 1, length(acc) - length(m.l) - 1) || chr(1) || m.l || m.r
+           |        ELSE acc || chr(1) || x END), 2), chr(1)) AS syms
+           |  FROM $prev, m$k m)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to TextOps.BpeMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH t AS (SELECT unnest(${PortableHash.tokensSql("lower(text)")}) AS word FROM documents),
+         |wf AS (SELECT word, count(*) AS freq FROM t WHERE length(word) >= 1 GROUP BY word),
+         |w0 AS (SELECT CAST(freq AS BIGINT) AS freq,
+         |         list_append(string_split(word, ''), '</w>') AS syms FROM wf),
+         |$iters
+         |$out
+         |ORDER BY rank""".stripMargin
+    },
+    "q133_media_neardup" -> {
+      import graft.multimodal.Multimodal.{MediaDim, MediaBands, MediaBandBits,
+        MediaPlanes, MediaMaxHamming, ChunkSize}
+      // session-resolved cap (the bandsCteSql pattern): the oracle twin must
+      // track a conf'd run instead of silently comparing different semantics
+      val mediaCap = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(graft.multimodal.Multimodal.resolvedMediaCap)
+        .getOrElse(graft.multimodal.Multimodal.MediaMaxBucket)
+      val w = graft.functions.SignSketch.weights("mplane", MediaPlanes, MediaDim)
+      val comps = (0 until MediaDim).map { i =>
+        val h = PortableHash.h48Sql(s"substr(text, ${i * ChunkSize + 1}, $ChunkSize) || ':$i'")
+        s"(($h % 2001) - 1000) / 1000.0 AS v$i"
+      }.mkString(",\n         |  ")
+      val phash = (0 until MediaPlanes).map { p =>
+        val dot = (0 until MediaDim).map(i => s"v$i * ${w(p * MediaDim + i)}").mkString(" + ")
+        s"(CASE WHEN ($dot) >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)"
+      }.mkString("\n         |    + ")
+      s"""WITH f AS (SELECT doc_id,
+         |  $comps
+         |  FROM documents),
+         |ph AS (SELECT doc_id, $phash AS phash FROM f),
+         |dv AS (SELECT DISTINCT phash FROM ph),
+         |bands AS (SELECT phash, band_idx,
+         |    CAST((phash >> (band_idx * $MediaBandBits)) & ${(1 << MediaBandBits) - 1} AS BIGINT) AS band_val
+         |  FROM dv CROSS JOIN (SELECT unnest(generate_series(0, ${MediaBands - 1})) AS band_idx) g),
+         |bsz AS (SELECT band_idx, band_val, count(*) AS bdf FROM bands GROUP BY 1, 2),
+         |vp AS (SELECT DISTINCT x.phash AS pa, y.phash AS pb
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.phash < y.phash
+         |  JOIN bsz s ON s.band_idx = x.band_idx AND s.band_val = x.band_val
+         |  WHERE s.bdf <= $mediaCap
+         |    AND bit_count(xor(x.phash, y.phash)) <= $MediaMaxHamming),
+         |cp AS (SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
+         |    CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |  FROM vp JOIN ph a ON a.phash = vp.pa JOIN ph b ON b.phash = vp.pb),
+         |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+         |  FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cp
+         |UNION ALL SELECT doc_a, doc_b, hamming FROM ip
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q130_sketch_rollup" -> {
       val k = graft.functions.KmvSketch.K

@@ -148,6 +148,131 @@ object Multimodal {
                                     ci: org.apache.spark.sql.Column) =
     md5(text.substr(ci * ChunkSize + 1, lit(ChunkSize)).cast("binary")).as("chunk_md5")
 
+  // ---- q133: banded-hamming perceptual near-dup over decoded features ----
+
+  val MediaDim = 16          // decoded feature vector width (one cell per chunk)
+  val MediaBands = 4         // 4 × 12-bit bands over the 48-bit phash
+  val MediaBandBits = 12
+  val MediaPlanes: Int = MediaBands * MediaBandBits
+  val MediaMaxHamming = 3    // < MediaBands ⇒ banding is pigeonhole-complete
+  /** Hot band-bucket cap (q41's skew lever at the distinct-value level).
+    * Session-overridable via `graft.media.maxBucket` — ONE resolution point
+    * shared with the oracle builder (the resolvedLshConf pattern), so a
+    * conf'd comparison run never silently diverges; DedupSpec forces the
+    * uncapped path with it to prove banding completeness against brute
+    * force. NOTE the cap is ACTIVE at the oracle SFs here (unlike q41):
+    * short payloads leave tail cells empty, so structurally-similar
+    * fingerprints pile onto shared band values — the oracle carries the
+    * same bdf filter, so the capped semantics are what hash-matches. */
+  val MediaMaxBucket = 32
+
+  private[graft] def resolvedMediaCap(spark: SparkSession): Int =
+    spark.conf.getOption("graft.media.maxBucket").map(_.toInt)
+      .getOrElse(MediaMaxBucket)
+
+  case class MediaVec(doc_id: Long, v: Array[Double])
+
+  /** STUB feature extractor — stands in for the model forward pass /
+    * thumbnail decode (no codecs in this environment). Each of the
+    * [[MediaDim]] components summarizes one [[ChunkSize]]-char cell of the
+    * payload (md5-derived value in [-1, 1]), so payloads sharing most cells
+    * get vectors agreeing on most components — the block-hash structure a
+    * real perceptual feature map has, derived deterministically so the
+    * DuckDB oracle reproduces the whole pipeline. */
+  def decodeVecStub(r: MediaRecord): MediaVec = {
+    val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    val v = Array.tabulate(MediaDim) { i =>
+      val from = math.min(i * ChunkSize, text.length)
+      val until = math.min((i + 1) * ChunkSize, text.length)
+      val h = h48Bytes((text.substring(from, until) + ":" + i).getBytes("UTF-8"))
+      ((h % 2001) - 1000) / 1000.0
+    }
+    MediaVec(r.doc_id, v)
+  }
+
+  /** The decode seam for q133: per-partition feature extraction (the q52
+    * mapPartitions pattern — one decoder context per partition). */
+  private[graft] def mediaVecs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions(_.map(decodeVecStub)).toDF()
+  }
+
+  /** Per-document 48-bit perceptual hash: [[graft.functions.SignSketch]]
+    * over the decoded feature vector ("mplane" hyperplanes), band values
+    * folded into one fingerprint. */
+  private[graft] def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    val bands = graft.functions.SignSketch(
+      col("v"), "mplane", MediaBands, MediaBandBits, MediaDim)
+    val phash = (0 until MediaBands)
+      .map(b => element_at(bands, b + 1) * lit(1L << (b * MediaBandBits)))
+      .reduce(_ + _)
+    mediaVecs(spark, dir).select(col("doc_id"), phash.as("phash"))
+  }
+
+  /** q133: multimodal banded-hamming near-dup — the media twin of q37's
+    * SimHash tier, completing the multimodal dedup ladder (q90/q124 are
+    * hash-EXACT chunk dedup; this catches payloads whose decoded features
+    * differ in a few cells). Pipeline: decode seam → [[MediaDim]]-dim
+    * feature vector per payload → sign-LSH 48-bit phash ([[MediaBands]]
+    * bands) → banded candidate join at the DISTINCT-fingerprint level
+    * (q37's collapse seam: identical payloads share one value, so band
+    * buckets are quadratic only in distinct collisions) with q41's
+    * hot-bucket cap → exact-Hamming verify ≤ [[MediaMaxHamming]] →
+    * membership joins expand value pairs back to document pairs (plus the
+    * Hamming-0 pairs via the direct fingerprint self-join).
+    *
+    * Completeness: Hamming ≤ 3 over 4 bands shares ≥1 band by pigeonhole,
+    * so banding loses nothing below the cut (DedupSpec proves the pair set
+    * equals driver brute-force Hamming when the bucket cap is inactive —
+    * and pins that it IS inactive at the oracle SFs, the q41 contract).
+    * The cap is part of the oracle-checked semantics: a bucket with more
+    * than [[MediaMaxBucket]] distinct fingerprints drops whole, bounding
+    * candidates linearly; band width grows as log2(n) at real scale (the
+    * q41 lever, same reasoning).
+    *
+    * Scale shape: payloads never shuffle — the decode projection is
+    * narrow; only 48-bit fingerprints reach the banding exchange, at
+    * distinct-value granularity; the expansion joins move (value, doc_id)
+    * memberships. All arithmetic is md5-derived integers and exact ±1.0
+    * dots, so the DuckDB oracle hash-matches the full pipeline including
+    * the stub decode (the q52 discipline).
+    */
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = mediaPhash(spark, dir).localCheckpoint()  // feeds banding + both expansions
+    val d = s.select(col("phash")).distinct()
+    val banded = d.select(col("phash"),
+        posexplode(array((0 until MediaBands).map(b =>
+          shiftright(col("phash"), b * MediaBandBits)
+            .bitwiseAND((1 << MediaBandBits) - 1)): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
+    // q41's cap at the distinct-value tier: the windowed count shares the
+    // band exchange (no agg + re-join), and an over-cap bucket drops whole
+    val wB = Window.partitionBy(col("band_idx"), col("band_val"))
+    val kept = banded.withColumn("bdf", count(lit(1)).over(wB))
+      .filter(col("bdf") <= resolvedMediaCap(spark))
+    val vp = kept.as("x").join(kept.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.phash") < col("y.phash") &&
+          bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= MediaMaxHamming)
+      .select(col("x.phash").as("pa"), col("y.phash").as("pb"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long").as("hamming"))
+      .dropDuplicates("pa", "pb")
+    val cross = vp
+      .join(s.as("a"), col("pa") === col("a.phash"))
+      .join(s.as("b"), col("pb") === col("b.phash"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+              col("hamming"))
+    val intra = s.as("a").join(s.as("b"),
+        col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              lit(0L).as("hamming"))
+    cross.union(intra).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val EmbedDim = 8
 
   /** q67: media → embedding → kNN, the end-to-end multimodal retrieval

@@ -1389,6 +1389,85 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** Merge rounds for q134's iterated BPE training. */
+  val BpeMerges = 8
+  /** Symbol separator for the re-segmentation fold — a control char that
+    * cannot appear in [[tokens]] output. */
+  private val BpeSep = "\u0001"
+
+  /** q134: iterated BPE TRAINING — [[BpeMerges]] greedy merge rounds over
+    * the corpus vocabulary (Sennrich et al. 2016), completing what q127
+    * demonstrates for one step: each round counts adjacent symbol pairs
+    * weighted by word frequency, takes the argmax as the next merge rule,
+    * and re-segments the vocabulary by merging every leftmost
+    * non-overlapping occurrence of that pair. Emits the learned merge list
+    * (rank, left, right, count-at-merge-time) — the artifact a tokenizer
+    * trainer ships.
+    *
+    * Scale shape (the q127 argument, iterated): the ONLY corpus-sized stage
+    * is the initial word-count hash aggregate; every round after runs over
+    * the |V|-row vocabulary state, checkpointed per round and freed when
+    * superseded (the q118 iterative-state discipline — lineage never grows
+    * with rounds). The argmax is a 1-row `limit(1)` collect, exactly the
+    * K-row driver state broadcast() would hold.
+    *
+    * Determinism: counts are exact integer sums; the argmax tie-breaks on
+    * the pair's binary string order; re-segmentation is a LEFT fold per word
+    * ("aaa" + merge(a,a) → [aa, a] — leftmost-greedy, merged symbols never
+    * re-merge within the same round), implemented as the same
+    * string-accumulator fold in both engines (DuckDB `list_reduce` twin in
+    * the oracle) so vocabularies stay bit-identical round for round.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(spark, Tables.documents(spark, dir).transform(Tables.fanout))
+
+  private[graft] def bpeTrainOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    val syms0 = concat(
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))),
+      array(lit("</w>")))
+    var vs = d.select(explode(tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), syms0.as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (k <- 1 to BpeMerges) {
+      // pair counts over the vocabulary; guard the generator for words
+      // collapsed to ONE symbol (sequence(1, 0) counts DOWN in Spark —
+      // the q90 phantom-row lesson)
+      val idx = when(size(col("syms")) >= 2, sequence(lit(1), size(col("syms")) - 1))
+        .otherwise(array().cast("array<int>"))
+      val best = vs.select(col("freq"), col("syms"), explode(idx).as("i"))
+        .select(col("freq"),
+          element_at(col("syms"), col("i")).as("l"),
+          element_at(col("syms"), col("i") + 1).as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((k.toLong, l, r, cnt))
+      // greedy leftmost re-segmentation: string-accumulator fold; the
+      // separator makes "last symbol == l" an ends_with test, and a freshly
+      // merged tail (l||r) can never equal l again, so no within-round
+      // cascade — bit-identical to the oracle's list_reduce
+      val folded = aggregate(col("syms"), lit(""), (acc, x) =>
+        when(acc.endsWith(lit(BpeSep + l)) && x === lit(r),
+          concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
+            lit(BpeSep + l + r)))
+        .otherwise(concat(acc, lit(BpeSep), x)))
+      val next = vs.select(col("freq"),
+          split(folded.substr(lit(2), length(folded) - 1), BpeSep).as("syms"))
+        .localCheckpoint()
+      freeMaterialized(vs)
+      vs = next
+    }
+    freeMaterialized(vs)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   val DsirBuckets = 4096L
   val DsirK = 100
 

@@ -419,4 +419,51 @@ class CorpusOpsSpec extends SparkSpec {
     // high log-ratio or Gumbel draw to get in; Berkson's paradox), so it is
     // not a law of the operator.
   }
+
+  test("bpeTrain's merge list equals a driver-side reference BPE") {
+    // q134 vs an independent plain-Scala BPE trainer over the same
+    // vocabulary: same greedy leftmost merge, same (count desc, pair asc)
+    // argmax — the merge LISTS must agree round for round, which pins both
+    // the pair counting and the re-segmentation fold.
+    val words = Tables.documents(spark, sf001).select(lower(col("text")))
+      .collect().flatMap(_.getString(0).trim.split("\\s+")).filter(_.nonEmpty)
+    var vocab: Map[Vector[String], Long] = words.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+      .map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+    def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val reference = (1 to TextOps.BpeMerges).map { k =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.groupBy { case (syms, _) => mergeWord(syms, l, r) }
+        .map { case (m, g) => m -> g.values.sum }
+      (k.toLong, l, r, cnt)
+    }
+    val got = TextOps.bpeTrain(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == reference, s"got=$got\nref=$reference")
+    // the loop must actually compound: some later merge consumes an earlier
+    // merged symbol, otherwise 8 rounds would be indistinguishable from
+    // one q127 pass over the initial alphabet
+    val compounds = reference.exists { case (k, l, r, _) =>
+      val earlier = reference.filter(_._1 < k).map { case (_, a, b, _) => a + b }.toSet
+      earlier.contains(l) || earlier.contains(r)
+    }
+    assert(compounds,
+      "no merge built on a previous round's symbol — fixture too shallow")
+  }
 }

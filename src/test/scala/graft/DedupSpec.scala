@@ -121,6 +121,74 @@ class DedupSpec extends SparkSpec {
       "non-keepers = vectors minus groups")
   }
 
+  test("media banded-hamming pairs equal driver brute force, uncapped AND capped") {
+    // q133's completeness law: 4-band banding over the 48-bit phash loses
+    // nothing at Hamming ≤ 3 (pigeonhole), so with the hot-bucket cap
+    // inactive the pair set must equal all-pairs brute force over the
+    // per-document fingerprints computed independently on the driver.
+    import graft.multimodal.Multimodal
+    val phashes = Multimodal.mediaPhash(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver twin of the whole stub pipeline: decode → vector → sign-LSH
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val w = graft.functions.SignSketch.weights(
+      "mplane", Multimodal.MediaPlanes, Multimodal.MediaDim)
+    val driverPh = docs.map { case (id, text) =>
+      val v = Multimodal.decodeVecStub(
+        Multimodal.MediaRecord(id, text.getBytes("UTF-8"))).v
+      var ph = 0L
+      for (p <- 0 until Multimodal.MediaPlanes) {
+        var acc = 0.0
+        for (i <- 0 until Multimodal.MediaDim) acc += v(i) * w(p * Multimodal.MediaDim + i)
+        if (!(acc < 0)) ph |= 1L << p
+      }
+      (id, ph)
+    }
+    assert(phashes.sorted.toSeq == driverPh.sorted.toSeq,
+      "mapPartitions decode + SignSketch must equal the driver pipeline")
+    // Completeness law needs the hot-bucket cap OFF (it is ACTIVE even at
+    // this SF: short payloads leave tail cells empty, so structurally-close
+    // fingerprints share band values) — force the uncapped path through the
+    // same conf lever the oracle resolves (the q102/q41 spec pattern).
+    val brute = (for {
+      (a, pa) <- driverPh; (b, pb) <- driverPh
+      if a < b && java.lang.Long.bitCount(pa ^ pb) <= Multimodal.MediaMaxHamming
+    } yield (a, b, java.lang.Long.bitCount(pa ^ pb).toLong)).toSet
+    spark.conf.set("graft.media.maxBucket", Int.MaxValue.toString)
+    val uncapped =
+      try Multimodal.mediaNearDup(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      finally spark.conf.unset("graft.media.maxBucket")
+    assert(uncapped == brute, s"uncapped=${uncapped.size} brute=${brute.size}")
+    assert(brute.exists(_._3 > 0), "fixture should have non-identical near pairs")
+    // Capped (default) semantics: the driver twin applies the same
+    // drop-over-cap-buckets-whole rule at the distinct-value level
+    val distinctPh = driverPh.map(_._2).distinct.toList
+    val bucketOf: Map[(Int, Long), List[Long]] = distinctPh
+      .flatMap(ph => (0 until Multimodal.MediaBands).toList
+        .map(b => ((b, (ph >> (b * Multimodal.MediaBandBits)) & 0xfff), ph)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    assert(bucketOf.values.map(_.length).max > Multimodal.MediaMaxBucket,
+      "fixture should trip the cap so this law is non-trivial")
+    val keptValuePairs: Set[(Long, Long)] = bucketOf.values.toList
+      .filter(_.length <= Multimodal.MediaMaxBucket)
+      .flatMap(vs => for {
+        x <- vs; y <- vs
+        if x < y && java.lang.Long.bitCount(x ^ y) <= Multimodal.MediaMaxHamming
+      } yield (x, y)).toSet
+    val byPh: Map[Long, List[Long]] =
+      driverPh.toList.groupBy(_._2).map { case (k, vs) => k -> vs.map(_._1) }
+    val cappedBrute = (keptValuePairs.toList.flatMap { case (x, y) =>
+      for (a <- byPh(x); b <- byPh(y))
+        yield (math.min(a, b), math.max(a, b), java.lang.Long.bitCount(x ^ y).toLong)
+    } ++ byPh.values.toList.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b, 0L))).toSet
+    val got = Multimodal.mediaNearDup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == cappedBrute, s"got=${got.size} cappedBrute=${cappedBrute.size}")
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val d = TextOps.dedupExact(spark, sf001).collect()
     assert(d.forall(_.getAs[Long]("n_copies") >= 1))
