@@ -36,20 +36,40 @@ object ScaleBench {
 
   private val Stride = 100000000L // > any sf0.1 key; tiles never collide
 
-  /** The queries worth stressing: everything the round-3 verdict called
-    * expensive or scale-suspect, plus representative scan/join/window work.
+  /** The queries worth stressing — since round 9 this is the WHOLE heavy
+    * tail: every query whose isolated sf0.1 cost exceeded 0.5 s in the
+    * round-8 bench (53 queries), unioned with the historical suspect set,
+    * so the slope guard covers everything that could meaningfully regress
+    * at scale, not just the known-risky operators.
     * `SPARK_GRAFT_SCALE_QUERIES` widens the run: `all` sweeps the entire
     * declared surface (the round-5 cliff audit), or a comma list picks
-    * specific queries; default is this suspect set.
+    * specific queries; default is this set.
     */
   private val ScaleQueries = Seq(
+    // historical suspect set (kept even where now < 0.5 s)
     "q01_pricing_summary", "q13_letter_pipeline", "q24_asof_join",
-    "q34_dedup_exact", "q36_minhash_lsh", "q37_simhash_pairs",
-    "q41_lsh_neardup", "q55_ivf_ann", "q57_salted_join",
-    "q62_dedup_clusters", "q101_corpus_pipeline", "q102_minhash_capped",
-    "q105_passage_dedup", "q107_fuzzy_match", "q126_semantic_dedup",
-    "q127_bpe_pairs", "q128_dsir_select", "q129_substr_dedup",
-    "q130_sketch_rollup", "q131_stream_kmv")
+    "q34_dedup_exact", "q57_salted_join",
+    // the round-8 > 0.5 s tail, heaviest first
+    "q126_semantic_dedup", "q101_corpus_pipeline", "q107_fuzzy_match",
+    "q118_kmeans_train", "q117_quality_dedup", "q102_minhash_capped",
+    "q62_dedup_clusters", "q119_stream_left_join", "q58_stream_join",
+    "q35_ngram_jaccard", "q38_dedup_corpus", "q36_minhash_lsh",
+    "q123_stream_session_window", "q89_collocations", "q37_simhash_pairs",
+    "q128_dsir_select", "q110_stream_sliding_append", "q116_kmeans_step",
+    "q108_stream_append", "q39_embedding_dedup", "q87_tfidf_terms",
+    "q96_centroid_sim", "q114_sequence_pack", "q131_stream_kmv",
+    "q80_stream_sliding", "q55_ivf_ann", "q95_lm_quality",
+    "q50_stream_tumbling", "q81_stream_sessions", "q26_cube_pricing",
+    "q106_scd2_dimension", "q112_stream_admission", "q122_hist_quantiles",
+    "q56_stream_enrich", "q130_sketch_rollup", "q60_repetition_stats",
+    "q41_lsh_neardup", "q98_multiset_ops", "q129_substr_dedup",
+    "q25_range_join", "q71_session_window", "q121_countmin_audit",
+    "q67_media_embed_knn", "q127_bpe_pairs", "q21_sessionize",
+    "q40_cosine_topk", "q125_pq_recall", "q105_passage_dedup",
+    "q70_unpivot_events", "q08_revenue_by_brand", "q90_chunk_dedup",
+    "q53_frame_sample",
+    // round-9 additions
+    "q132_stream_kmv_update", "q133_media_neardup", "q134_bpe_train")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
