@@ -109,6 +109,7 @@ object SparkEntry {
     "q132_stream_kmv_update" -> (EventsStream.streamingKmvUpdate _),
     "q133_media_neardup"     -> (Multimodal.mediaNearDup _),
     "q134_bpe_train"         -> (TextOps.bpeTrain _),
+    "q135_bpe_encode"        -> (TextOps.bpeEncode _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -258,6 +259,38 @@ object SparkEntry {
        |                x.simhash AS sim_a, y.simhash AS sim_b
        |         FROM banded x JOIN banded y
        |           ON x.bi = y.bi AND x.band_val = y.band_val AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** q134/q135's shared BPE training chain (q118's unrolled-CTE pattern):
+    * one (pairs → argmax → re-segment) block per merge round, carrying
+    * `word` through so the encode oracle can read the final vocabulary;
+    * the re-segmentation list_reduce is the string-accumulator fold twin
+    * of the Spark `aggregate()`. */
+  private def bpeChainSql: String = {
+    val iters = (1 to operators.TextOps.BpeMerges).map { k =>
+      val prev = s"w${k - 1}"
+      s"""x$k AS (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM $prev),
+         |p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |        FROM x$k GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT word, freq,
+         |    string_split(substr(list_reduce(list_prepend('', syms),
+         |      (acc, x) -> CASE WHEN ends_with(acc, chr(1) || m.l) AND x = m.r
+         |        THEN substr(acc, 1, length(acc) - length(m.l) - 1) || chr(1) || m.l || m.r
+         |        ELSE acc || chr(1) || x END), 2), chr(1)) AS syms
+         |  FROM $prev, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT unnest(${PortableHash.tokensSql("lower(text)")}) AS word FROM documents),
+       |wf AS (SELECT word, count(*) AS freq FROM t WHERE length(word) >= 1 GROUP BY word),
+       |w0 AS (SELECT word, CAST(freq AS BIGINT) AS freq,
+       |         list_append(string_split(word, ''), '</w>') AS syms FROM wf),
+       |$iters""".stripMargin
+  }
+
+  /** The q134 merge-list projection over [[bpeChainSql]]'s m1..mN rows. */
+  private def bpeMergesSql: String =
+    (1 to operators.TextOps.BpeMerges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$k")
+      .mkString("\nUNION ALL ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for approximate ops (HLL) → driver
@@ -1445,32 +1478,22 @@ object SparkEntry {
          |FROM g ORDER BY day""".stripMargin
     },
     "q134_bpe_train" -> {
-      // q118's unrolled-CTE pattern: one (pairs → argmax → re-segment)
-      // block per merge round; the re-segmentation list_reduce is the
-      // string-accumulator fold twin of the Spark aggregate()
-      val iters = (1 to TextOps.BpeMerges).map { k =>
-        val prev = s"w${k - 1}"
-        s"""x$k AS (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i FROM $prev),
-           |p$k AS (SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
-           |        FROM x$k GROUP BY 1, 2),
-           |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-           |w$k AS (SELECT freq,
-           |    string_split(substr(list_reduce(list_prepend('', syms),
-           |      (acc, x) -> CASE WHEN ends_with(acc, chr(1) || m.l) AND x = m.r
-           |        THEN substr(acc, 1, length(acc) - length(m.l) - 1) || chr(1) || m.l || m.r
-           |        ELSE acc || chr(1) || x END), 2), chr(1)) AS syms
-           |  FROM $prev, m$k m)""".stripMargin
-      }.mkString(",\n")
-      val out = (1 to TextOps.BpeMerges).map(k =>
-        s"SELECT CAST($k AS BIGINT) AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$k")
-        .mkString("\nUNION ALL ")
-      s"""WITH t AS (SELECT unnest(${PortableHash.tokensSql("lower(text)")}) AS word FROM documents),
-         |wf AS (SELECT word, count(*) AS freq FROM t WHERE length(word) >= 1 GROUP BY word),
-         |w0 AS (SELECT CAST(freq AS BIGINT) AS freq,
-         |         list_append(string_split(word, ''), '</w>') AS syms FROM wf),
-         |$iters
-         |$out
+      s"""WITH $bpeChainSql
+         |${bpeMergesSql}
          |ORDER BY rank""".stripMargin
+    },
+    "q135_bpe_encode" -> {
+      val fin = s"w${TextOps.BpeMerges}"
+      s"""WITH $bpeChainSql,
+         |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS w_tokens FROM $fin),
+         |dt AS (SELECT doc_id, n_chars, unnest(${PortableHash.tokensSql("lower(text)")}) AS word
+         |       FROM documents),
+         |dv AS (SELECT doc_id, n_chars, word FROM dt WHERE length(word) >= 1)
+         |SELECT d.doc_id, count(*) AS n_words, CAST(sum(w.w_tokens) AS BIGINT) AS n_tokens,
+         |  ${PortableHash.proundSql("max(d.n_chars) * 1.0 / sum(w.w_tokens)", 4)} AS chars_per_token
+         |FROM dv d JOIN wt w USING (word)
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
     "q133_media_neardup" -> {
       import graft.multimodal.Multimodal.{MediaDim, MediaBands, MediaBandBits,

@@ -1418,10 +1418,30 @@ object TextOps {
     * string-accumulator fold in both engines (DuckDB `list_reduce` twin in
     * the oracle) so vocabularies stay bit-identical round for round.
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeTrainOf(spark, Tables.documents(spark, dir).transform(Tables.fanout))
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, vocab) =
+      bpeLearnOf(spark, Tables.documents(spark, dir).transform(Tables.fanout))
+    freeMaterialized(vocab)
+    import spark.implicits._
+    merges.toDF("rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("rank"))
+  }
 
   private[graft] def bpeTrainOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    val (merges, vocab) = bpeLearnOf(spark, d)
+    freeMaterialized(vocab)
+    import spark.implicits._
+    merges.toDF("rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** The q134 training loop, returning BOTH artifacts: the learned merge
+    * list and the final segmented vocabulary `(word, freq, syms)` —
+    * localCheckpointed |V|-row state — so q135's encode step consumes the
+    * trained tokenizer without re-deriving it (the q118 → q55
+    * train-then-apply seam). Caller frees `vocab` when done. */
+  private[graft] def bpeLearnOf(spark: SparkSession, d: DataFrame)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     val syms0 = concat(
       transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))),
@@ -1429,7 +1449,7 @@ object TextOps {
     var vs = d.select(explode(tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), syms0.as("syms"))
+      .select(col("word"), col("freq"), syms0.as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (k <- 1 to BpeMerges) {
@@ -1456,16 +1476,43 @@ object TextOps {
           concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
             lit(BpeSep + l + r)))
         .otherwise(concat(acc, lit(BpeSep), x)))
-      val next = vs.select(col("freq"),
+      val next = vs.select(col("word"), col("freq"),
           split(folded.substr(lit(2), length(folded) - 1), BpeSep).as("syms"))
         .localCheckpoint()
       freeMaterialized(vs)
       vs = next
     }
-    freeMaterialized(vs)
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
-      .orderBy(col("rank"))
+    (merges.toSeq, vs)
+  }
+
+  /** q135: BPE ENCODE — apply the q134-trained tokenizer to segment the
+    * corpus and report per-document token accounting (the train → apply
+    * lifecycle seam, like q118's codebook feeding q55's search). The
+    * trained artifact is the final segmented VOCABULARY, so encoding is a
+    * join: token stream ⋈ (word → post-merge token count) on the uniform
+    * word key, then one per-document hash aggregate. Emits words, BPE
+    * tokens, and chars-per-token — the compression ratio a tokenizer
+    * trainer tracks to decide vocabulary size.
+    *
+    * Scale shape: training is q134's (vocab-sized rounds); encode is one
+    * corpus-sized token explode + an equi-join on the word key (vocabulary
+    * broadcast when small, shuffled on the uniform key past the threshold
+    * — Spark's pick) + one doc_id hash aggregate with map-side partials.
+    * Token text never reaches the doc aggregate — only per-word counts.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).transform(Tables.fanout)
+    val (_, vocab) = bpeLearnOf(spark, d)
+    val wt = vocab.select(col("word"), size(col("syms")).cast("long").as("w_tokens"))
+    val tok = d.select(col("doc_id"), col("n_chars"),
+        explode(tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) >= 1)
+    tok.join(wt, "word")
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        pround(col("n_chars") * lit(1.0) / col("n_tokens"), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
   }
 
   val DsirBuckets = 4096L

@@ -425,11 +425,18 @@ class CorpusOpsSpec extends SparkSpec {
     // vocabulary: same greedy leftmost merge, same (count desc, pair asc)
     // argmax — the merge LISTS must agree round for round, which pins both
     // the pair counting and the re-segmentation fold.
-    val words = Tables.documents(spark, sf001).select(lower(col("text")))
-      .collect().flatMap(_.getString(0).trim.split("\\s+")).filter(_.nonEmpty)
-    var vocab: Map[Vector[String], Long] = words.groupBy(identity).view
-      .mapValues(_.length.toLong).toMap
-      .map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+    val docRows = Tables.documents(spark, sf001)
+      .select(col("doc_id"), lower(col("text")), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val words = docRows.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+    val freqs: Map[String, Long] =
+      words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // word-keyed segmentation state so the encode law below can read the
+    // final per-word token counts
+    var wordSyms: Map[String, Vector[String]] =
+      freqs.keys.map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+    def vocab: Map[Vector[String], Long] =
+      wordSyms.toSeq.groupBy(_._2).map { case (s, g) => s -> g.map(x => freqs(x._1)).sum }
     def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
       val out = Vector.newBuilder[String]
       var i = 0
@@ -449,8 +456,7 @@ class CorpusOpsSpec extends SparkSpec {
         }
       }
       val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
-      vocab = vocab.groupBy { case (syms, _) => mergeWord(syms, l, r) }
-        .map { case (m, g) => m -> g.values.sum }
+      wordSyms = wordSyms.map { case (w, syms) => w -> mergeWord(syms, l, r) }
       (k.toLong, l, r, cnt)
     }
     val got = TextOps.bpeTrain(spark, sf001).collect()
@@ -465,5 +471,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(compounds,
       "no merge built on a previous round's symbol — fixture too shallow")
+    // q135 encode law: per-document (n_words, n_tokens, chars/token) must
+    // equal the reference segmentation applied to each document's tokens
+    val refEncode = docRows.flatMap { case (id, text, nChars) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else {
+        val nTok = ws.map(w => wordSyms(w).length.toLong).sum
+        Some((id, ws.length.toLong, nTok,
+          math.floor(nChars * 1.0 / nTok * 1e4 + 0.5) / 1e4))
+      }
+    }.sortBy(_._1).toSeq
+    val gotEnc = TextOps.bpeEncode(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(gotEnc == refEncode,
+      s"encode mismatch: got ${gotEnc.take(3)} ref ${refEncode.take(3)}")
+    // merges must actually shorten the corpus: total BPE tokens < total
+    // initial symbols (chars + terminals)
+    val initialSyms = docRows.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+      .map(w => w.length.toLong + 1).sum
+    assert(gotEnc.map(_._3).sum < initialSyms,
+      "8 merges should compress the corpus below its char+terminal count")
   }
 }
