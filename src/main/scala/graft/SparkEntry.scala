@@ -110,6 +110,8 @@ object SparkEntry {
     "q133_media_neardup"     -> (Multimodal.mediaNearDup _),
     "q134_bpe_train"         -> (TextOps.bpeTrain _),
     "q135_bpe_encode"        -> (TextOps.bpeEncode _),
+    "q136_media_dup_groups"  -> (Multimodal.mediaDupGroups _),
+    "q137_source_overlap"    -> (Analytics.sourceOverlapKmv _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -284,6 +286,50 @@ object SparkEntry {
        |w0 AS (SELECT word, CAST(freq AS BIGINT) AS freq,
        |         list_append(string_split(word, ''), '</w>') AS syms FROM wf),
        |$iters""".stripMargin
+  }
+
+  /** q133/q136's shared media-fingerprint CTEs: stub feature vectors →
+    * sign-LSH phash → distinct-value banding with the session-resolved
+    * hot-bucket cap → verified value pairs (`vp`) → doc-pair expansions
+    * (`cp` cross-value, `ip` hamming-0). */
+  private def mediaPairsCteSql: String = {
+    import graft.multimodal.Multimodal.{MediaDim, MediaBands, MediaBandBits,
+      MediaPlanes, MediaMaxHamming, ChunkSize}
+    // session-resolved cap (the bandsCteSql pattern): the oracle twin must
+    // track a conf'd run instead of silently comparing different semantics
+    val mediaCap = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(graft.multimodal.Multimodal.resolvedMediaCap)
+      .getOrElse(graft.multimodal.Multimodal.MediaMaxBucket)
+    val w = graft.functions.SignSketch.weights("mplane", MediaPlanes, MediaDim)
+    val comps = (0 until MediaDim).map { i =>
+      val h = PortableHash.h48Sql(s"substr(text, ${i * ChunkSize + 1}, $ChunkSize) || ':$i'")
+      s"(($h % 2001) - 1000) / 1000.0 AS v$i"
+    }.mkString(",\n  ")
+    val phash = (0 until MediaPlanes).map { p =>
+      val dot = (0 until MediaDim).map(i => s"v$i * ${w(p * MediaDim + i)}").mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""f AS (SELECT doc_id,
+       |  $comps
+       |  FROM documents),
+       |ph AS (SELECT doc_id, $phash AS phash FROM f),
+       |dv AS (SELECT DISTINCT phash FROM ph),
+       |bands AS (SELECT phash, band_idx,
+       |    CAST((phash >> (band_idx * $MediaBandBits)) & ${(1 << MediaBandBits) - 1} AS BIGINT) AS band_val
+       |  FROM dv CROSS JOIN (SELECT unnest(generate_series(0, ${MediaBands - 1})) AS band_idx) g),
+       |bsz AS (SELECT band_idx, band_val, count(*) AS bdf FROM bands GROUP BY 1, 2),
+       |vp AS (SELECT DISTINCT x.phash AS pa, y.phash AS pb
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.phash < y.phash
+       |  JOIN bsz s ON s.band_idx = x.band_idx AND s.band_val = x.band_val
+       |  WHERE s.bdf <= $mediaCap
+       |    AND bit_count(xor(x.phash, y.phash)) <= $MediaMaxHamming),
+       |cp AS (SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
+       |    CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |  FROM vp JOIN ph a ON a.phash = vp.pa JOIN ph b ON b.phash = vp.pb),
+       |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+       |  FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** The q134 merge-list projection over [[bpeChainSql]]'s m1..mN rows. */
@@ -1496,46 +1542,66 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin
     },
     "q133_media_neardup" -> {
-      import graft.multimodal.Multimodal.{MediaDim, MediaBands, MediaBandBits,
-        MediaPlanes, MediaMaxHamming, ChunkSize}
-      // session-resolved cap (the bandsCteSql pattern): the oracle twin must
-      // track a conf'd run instead of silently comparing different semantics
-      val mediaCap = org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .map(graft.multimodal.Multimodal.resolvedMediaCap)
-        .getOrElse(graft.multimodal.Multimodal.MediaMaxBucket)
-      val w = graft.functions.SignSketch.weights("mplane", MediaPlanes, MediaDim)
-      val comps = (0 until MediaDim).map { i =>
-        val h = PortableHash.h48Sql(s"substr(text, ${i * ChunkSize + 1}, $ChunkSize) || ':$i'")
-        s"(($h % 2001) - 1000) / 1000.0 AS v$i"
-      }.mkString(",\n         |  ")
-      val phash = (0 until MediaPlanes).map { p =>
-        val dot = (0 until MediaDim).map(i => s"v$i * ${w(p * MediaDim + i)}").mkString(" + ")
-        s"(CASE WHEN ($dot) >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)"
-      }.mkString("\n         |    + ")
-      s"""WITH f AS (SELECT doc_id,
-         |  $comps
-         |  FROM documents),
-         |ph AS (SELECT doc_id, $phash AS phash FROM f),
-         |dv AS (SELECT DISTINCT phash FROM ph),
-         |bands AS (SELECT phash, band_idx,
-         |    CAST((phash >> (band_idx * $MediaBandBits)) & ${(1 << MediaBandBits) - 1} AS BIGINT) AS band_val
-         |  FROM dv CROSS JOIN (SELECT unnest(generate_series(0, ${MediaBands - 1})) AS band_idx) g),
-         |bsz AS (SELECT band_idx, band_val, count(*) AS bdf FROM bands GROUP BY 1, 2),
-         |vp AS (SELECT DISTINCT x.phash AS pa, y.phash AS pb
-         |  FROM bands x JOIN bands y
-         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.phash < y.phash
-         |  JOIN bsz s ON s.band_idx = x.band_idx AND s.band_val = x.band_val
-         |  WHERE s.bdf <= $mediaCap
-         |    AND bit_count(xor(x.phash, y.phash)) <= $MediaMaxHamming),
-         |cp AS (SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
-         |    CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-         |  FROM vp JOIN ph a ON a.phash = vp.pa JOIN ph b ON b.phash = vp.pb),
-         |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
-         |  FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id)
+      s"""WITH $mediaPairsCteSql
          |SELECT doc_a, doc_b, hamming FROM cp
          |UNION ALL SELECT doc_a, doc_b, hamming FROM ip
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q136_media_dup_groups" -> {
+      // q133's pair CTEs + q62's recursive-CTE connected components +
+      // q117's keep-best window (quality = n_chars desc, ties lower id)
+      s"""WITH RECURSIVE $mediaPairsCteSql,
+         |prs AS (SELECT doc_a, doc_b FROM cp UNION SELECT doc_a, doc_b FROM ip),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+         |          UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(n, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON r.n = e.a),
+         |lab AS (SELECT n AS doc_id, min(l) AS group_id FROM reach GROUP BY n),
+         |sz AS (SELECT group_id, count(*) AS group_size FROM lab GROUP BY 1)
+         |SELECT d.doc_id, l.group_id, CAST(sz.group_size AS BIGINT) AS group_size,
+         |  d.n_chars,
+         |  (row_number() OVER (PARTITION BY l.group_id
+         |     ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+         |FROM documents d JOIN lab l USING (doc_id) JOIN sz USING (group_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "q137_source_overlap" -> {
+      val k = graft.functions.KmvSketch.K
+      val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain
+      s"""WITH tw AS (SELECT source, ${PortableHash.tokensSql("lower(text)")} AS w FROM documents),
+         |t AS (SELECT source, unnest(${PortableHash.shinglesSql("w")}) AS s3 FROM tw),
+         |h AS (SELECT source, ${PortableHash.h48Sql("s3")} AS uh FROM t),
+         |d AS (SELECT DISTINCT source, uh FROM h),
+         |sk AS (SELECT source, list_sort(list_distinct(list(uh)))[1:$k] AS ks FROM d GROUP BY source),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b, a.ks AS ka, b.ks AS kb
+         |       FROM sk a JOIN sk b ON a.source < b.source),
+         |m AS (SELECT source_a, source_b, ka, kb,
+         |        list_sort(list_distinct(list_concat(ka, kb))) AS mg FROM pr),
+         |e AS (SELECT source_a, source_b,
+         |        CAST(LEAST(len(mg), $k) AS BIGINT) AS keff,
+         |        CAST(len(list_filter(mg[1:$k],
+         |          v -> list_contains(ka, v) AND list_contains(kb, v))) AS BIGINT) AS k_overlap,
+         |        CASE WHEN len(mg) < $k THEN CAST(len(mg) AS BIGINT)
+         |             ELSE CAST($numer // mg[$k] AS BIGINT) END AS est_union
+         |      FROM m),
+         |xi AS (SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(count(*) AS BIGINT) AS xinter
+         |       FROM d a JOIN d b ON a.uh = b.uh AND a.source < b.source GROUP BY 1, 2)
+         |SELECT e.source_a, e.source_b, e.k_overlap, e.est_union,
+         |  CAST((e.k_overlap * e.est_union) // e.keff AS BIGINT) AS est_intersection,
+         |  CAST(za.n + zb.n - coalesce(xi.xinter, 0) AS BIGINT) AS exact_union,
+         |  CAST(coalesce(xi.xinter, 0) AS BIGINT) AS exact_intersection,
+         |  ${PortableHash.proundSql("e.k_overlap * 1.0 / e.keff", 6)} AS jaccard_est,
+         |  ${PortableHash.proundSql(
+             "coalesce(xi.xinter, 0) * 1.0 / (za.n + zb.n - coalesce(xi.xinter, 0))", 6)} AS jaccard_exact
+         |FROM e
+         |JOIN sz za ON za.source = e.source_a
+         |JOIN sz zb ON zb.source = e.source_b
+         |LEFT JOIN xi ON xi.source_a = e.source_a AND xi.source_b = e.source_b
+         |ORDER BY e.source_a, e.source_b""".stripMargin
     },
     "q130_sketch_rollup" -> {
       val k = graft.functions.KmvSketch.K

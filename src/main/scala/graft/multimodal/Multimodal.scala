@@ -238,9 +238,15 @@ object Multimodal {
     * dots, so the DuckDB oracle hash-matches the full pipeline including
     * the stub decode (the q52 discipline).
     */
-  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame =
+    mediaNearPairsOf(mediaPhash(spark, dir).localCheckpoint())
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** q133's pair stage over a checkpointed (doc_id, phash) frame — exposed
+    * so q136's grouping consumes the same candidate machinery. */
+  private[graft] def mediaNearPairsOf(s: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = mediaPhash(spark, dir).localCheckpoint()  // feeds banding + both expansions
+    val spark = s.sparkSession
     val d = s.select(col("phash")).distinct()
     val banded = d.select(col("phash"),
         posexplode(array((0 until MediaBands).map(b =>
@@ -270,7 +276,43 @@ object Multimodal {
         col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               lit(0L).as("hamming"))
-    cross.union(intra).orderBy(col("doc_a"), col("doc_b"))
+    cross.union(intra)
+  }
+
+  /** q136: media duplicate GROUPS with keep-best — q117's quality-aware
+    * cluster-dedup policy applied to the perceptual tier: q133's
+    * banded-hamming pairs feed connected components
+    * ([[graft.operators.TextOps.ccAdaptive]] — measured-size strategy
+    * pick), and each transitive duplicate group keeps its LARGEST member
+    * (`n_chars` desc — for media, the highest-resolution/least-truncated
+    * copy is the keeper a real pipeline retains), ties to the lower id.
+    * Every row carries its verdict so downstream filtering is a predicate.
+    *
+    * Scale shape: inherits q133's (payloads never shuffle; fingerprints at
+    * distinct-value granularity) plus q62's CC machinery (driver union-find
+    * below the measured 4M-edge gate, large-star/small-star above); the
+    * quality join moves only (doc_id, n_chars).
+    */
+  def mediaDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = mediaPhash(spark, dir).localCheckpoint()
+    // checkpoint before counting: the count feeds ccAdaptive's strategy
+    // pick and the pair set flows on (the q126 double-execution rule)
+    val pairs = mediaNearPairsOf(s)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nEdges = pairs.count()
+    val groups = graft.operators.TextOps.ccAdaptive(
+        s.select(col("doc_id")), pairs, nEdges)
+      .select(col("doc_id"), col("label").as("group_id"))
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val byGroup = Window.partitionBy(col("group_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    groups.join(d, "doc_id")
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("group_id"))))
+      .withColumn("keep", row_number().over(byGroup) === 1)
+      .select(col("doc_id"), col("group_id"), col("group_size"),
+        col("n_chars"), col("keep"))
+      .orderBy(col("doc_id"))
   }
 
   val EmbedDim = 8

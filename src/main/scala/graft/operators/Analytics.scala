@@ -430,4 +430,83 @@ object Analytics {
           / col("exact_distinct"), 2).as("err_pct"))
       .orderBy(col("win_end"))
   }
+
+  /** q137: cross-source overlap estimation via KMV set algebra (Beyer et
+    * al. 2007, "On synopses for distinct value estimation under multiset
+    * operations") — for every pair of sources, estimate the distinct
+    * 3-GRAM union, intersection, and Jaccard from the per-source ≤K
+    * sketches alone. This is how a 100 TB pipeline answers "how much do
+    * these two crawls overlap?" without ever co-shuffling their full id
+    * sets: per-source sketches are one map-side-partial pass
+    * ([[graft.functions.KmvBuffer]]); ALL pairwise algebra then runs on
+    * S × K longs.
+    *
+    * The estimator: merge two k-min sketches → k-min of the union (KMV
+    * closure under union); est|A∪B| = (K−1)·D div kth (q131's integral
+    * division); ρ = |{v ∈ Kmin(A∪B) : v ∈ Kmin(A) ∧ v ∈ Kmin(B)}| / keff
+    * (membership in the union's k-mins implies membership in each side's
+    * k-mins, so the buffers suffice); est|A∩B| = ρ · est|A∪B|, computed
+    * as `(k_overlap · est_union) div keff` so both engines agree exactly.
+    * When the merged sketch holds fewer than K values it IS the exact
+    * union and every estimate degenerates to exact (keff = |union|).
+    *
+    * The exact audit (distinct (source, token) self-join) rides along at
+    * harness SFs — at production scale only the sketch path runs (the
+    * q130 audit-rider discipline).
+    */
+  def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.{h48, tokens, shingles}
+    val K = graft.functions.KmvSketch.K
+    val numer = (K - 1).toLong * graft.functions.KmvSketch.Domain
+    val kmvBuf = udaf(graft.functions.KmvBuffer)
+    val d = Tables.documents(spark, dir).transform(Tables.fanout)
+    // identity = 3-gram shingle hashes (the q35/q36 content identity):
+    // "how much n-gram mass do two crawls share" is the decontamination /
+    // crawl-overlap question, and shingle cardinality actually exercises
+    // the kth-min estimator (the fixture's unigram vocabulary is ~31
+    // tokens — every sketch would degenerate to exact)
+    def tok = d.select(col("source"),
+        explode(shingles(tokens(lower(col("text"))))).as("t"))
+      .select(col("source"), h48(col("t")).as("uh"))
+    // the audit's distinct (source, uh) set is materialized anyway at
+    // harness SFs, and KMV insert has distinct-set semantics — so the
+    // sketch aggregate rides the SAME exchange (bit-identical to sketching
+    // the raw stream; at production scale, where the audit is dropped, the
+    // sketch runs straight off `tok` with its map-side partial buffers)
+    val dd = tok.distinct().localCheckpoint()
+    // S rows of ≤K longs — the only state the pairwise stage touches
+    val sk = dd.groupBy(col("source")).agg(kmvBuf(col("uh")).as("ks"))
+      .localCheckpoint()
+    val ska = sk.select(col("source").as("source_a"), col("ks").as("ka"))
+    val skb = sk.select(col("source").as("source_b"), col("ks").as("kb"))
+    val est = ska.join(skb, col("source_a") < col("source_b"))
+      .withColumn("mg", array_sort(array_distinct(concat(col("ka"), col("kb")))))
+      .withColumn("keff", least(size(col("mg")), lit(K)).cast("long"))
+      .withColumn("mk", slice(col("mg"), 1, K))
+      .withColumn("k_overlap",
+        size(array_intersect(array_intersect(col("mk"), col("ka")), col("kb"))).cast("long"))
+      .withColumn("est_union", when(size(col("mg")) < K, size(col("mg")).cast("long"))
+        .otherwise(expr(s"${numer}L div element_at(mg, $K)")))
+      .withColumn("est_intersection", expr("(k_overlap * est_union) div keff"))
+    // exact audit (dropped at production scale; the estimator is the ship)
+    val sizes = dd.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val xinter = dd.select(col("source").as("source_a"), col("uh"))
+      .join(dd.select(col("source").as("source_b"), col("uh")), "uh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("xi"))
+    est
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .join(xinter, Seq("source_a", "source_b"), "left")
+      .withColumn("exact_intersection", coalesce(col("xi"), lit(0L)))
+      .withColumn("exact_union", col("na") + col("nb") - col("exact_intersection"))
+      .select(col("source_a"), col("source_b"), col("k_overlap"),
+        col("est_union"), col("est_intersection"),
+        col("exact_union"), col("exact_intersection"),
+        pround(col("k_overlap") * lit(1.0) / col("keff"), 6).as("jaccard_est"),
+        pround(col("exact_intersection") * lit(1.0) / col("exact_union"), 6)
+          .as("jaccard_exact"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -418,4 +418,47 @@ class AnalyticsSpec extends SparkSpec {
     val expectedWins = (days.min + (r - 1) to days.max)
     assert(rows.map(_.getAs[Long]("win_end")).toSeq == expectedWins.toSeq)
   }
+
+  test("sourceOverlapKmv equals a driver twin of the full KMV set algebra") {
+    val K = graft.functions.KmvSketch.K
+    val domain = graft.functions.KmvSketch.Domain
+    // driver ground truth: per-source distinct 3-gram hash sets, same
+    // tokenize → shingle → h48 derivation
+    val docs = Tables.documents(spark, sf001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingleHashes(t: String): Set[Long] = {
+      val toks = t.toLowerCase.trim.split("\\s+")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(w =>
+        graft.functions.H48.hash(w.mkString(" ").getBytes("UTF-8"))).toSet
+    }
+    val bySource: Map[String, Set[Long]] = docs.groupBy(_._1).view
+      .mapValues(_.map(t => shingleHashes(t._2)).reduce(_ ++ _)).toMap
+    def kmins(s: Set[Long]): Seq[Long] = s.toSeq.sorted.take(K)
+    val expected = (for {
+      (sa, a) <- bySource.toSeq; (sb, b) <- bySource.toSeq if sa < sb
+    } yield {
+      val mg = (kmins(a).toSet ++ kmins(b).toSet).toSeq.sorted
+      val keff = math.min(mg.size, K).toLong
+      val mk = mg.take(K)
+      val kOverlap = mk.count(v => kmins(a).contains(v) && kmins(b).contains(v)).toLong
+      val estUnion = if (mg.size < K) mg.size.toLong else (K - 1).toLong * domain / mg(K - 1)
+      val estInter = kOverlap * estUnion / keff
+      val xInter = (a & b).size.toLong
+      val xUnion = (a ++ b).size.toLong
+      def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      (sa, sb, kOverlap, estUnion, estInter, xUnion, xInter,
+        p6(kOverlap * 1.0 / keff), p6(xInter * 1.0 / xUnion))
+    }).sortBy(t => (t._1, t._2))
+    val got = Analytics.sourceOverlapKmv(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8)))
+      .toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(x => x._1 != x._2)}")
+    // the fixture must exercise the ESTIMATOR branch (union > K), not just
+    // the degenerate exact branch — otherwise this law proves nothing about
+    // the kth-min arithmetic
+    assert(expected.exists(_._6 > K), "fixture unions too small to estimate")
+    assert(expected.exists(_._7 > 0), "fixture should have real cross-source overlap")
+  }
 }
