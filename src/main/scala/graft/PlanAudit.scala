@@ -150,12 +150,18 @@ object PlanAudit {
     // fingerprint is the native sign_sketch expression, and candidate
     // generation happens at distinct-fingerprint granularity — payloads
     // themselves must never reach an exchange
+    // the fingerprint stage sits BEHIND a localCheckpoint in the final
+    // frame, so audit it directly (pre-checkpoint): decode must be the
+    // per-partition seam and the phash the native sign_sketch expression
+    val q133ph = graft.multimodal.Multimodal.mediaPhash(spark, dir)
+    q133ph.collect()
+    val q133phPlan = q133ph.queryExecution.executedPlan.toString
     val q133 = SparkEntry.queries("q133_media_neardup")(spark, dir)
     q133.collect()
     val q133plan = q133.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
-    val q133ok = q133plan.contains("MapPartitions") &&
-      q133plan.contains("sign_sketch") &&
+    val q133ok = q133phPlan.contains("MapPartitions") &&
+      q133phPlan.contains("sign_sketch") &&
       !q133plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("payload"))
     println(s"[audit] q133 decode-seam fingerprints " +
       (if (q133ok) "OK (MapPartitions decode + sign_sketch; no payload exchange)"
@@ -260,6 +266,22 @@ object PlanAudit {
     println(s"[audit] q130 map-side sketch buffers " +
       (if (q130ok) "OK (partial_kmvbuffer below the day exchange)"
        else "CHECK: no partial KMV buffer aggregation"))
+    // q137 source-overlap: the per-source KMV buffers must
+    // partial-aggregate map-side (≤ K longs per source per map partition
+    // reach the exchange — the q130 contract applied to the overlap
+    // sketches); the corpus-sized shingle stream must never reach the
+    // pairwise stage
+    val q137sk = graft.operators.Analytics.sourceSketchStage(spark, dir)
+    q137sk.collect()
+    val q137plan = q137sk.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q137ok = q137plan.contains("partial_kmvbuffer")
+    println(s"[audit] q137 map-side overlap sketches " +
+      (if (q137ok) "OK (partial_kmvbuffer below the source exchange)"
+       else "CHECK: no partial KMV buffer aggregation"))
+    // q135 BPE encode: the corpus-sized stage is ONE token explode feeding
+    // an equi-join on the word key plus a doc_id hash aggregate
+    audit("q135_bpe_encode", Seq("HashAggregate"))
     // q128 DSIR: the 4096-row model term table must BROADCAST to the token
     // stream and selection must plan as a distributed top-k
     audit("q128_dsir_select", Seq("BroadcastHashJoin", "TakeOrderedAndProject(limit=100"))

@@ -69,7 +69,8 @@ object ScaleBench {
     "q70_unpivot_events", "q08_revenue_by_brand", "q90_chunk_dedup",
     "q53_frame_sample",
     // round-9 additions
-    "q132_stream_kmv_update", "q133_media_neardup", "q134_bpe_train")
+    "q132_stream_kmv_update", "q133_media_neardup", "q134_bpe_train",
+    "q135_bpe_encode", "q136_media_dup_groups", "q137_source_overlap")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
@@ -448,7 +449,46 @@ object SlopeProbe {
         probe.toSeq
       }
 
-    val all = rows ++ scaledRow
+    // Band-width ∝ log2(n) lever measurement: q41's output-bound entry
+    // documents that production keeps band-bucket occupancy constant by
+    // widening bands as the corpus grows. Demonstrate it with DETERMINISTIC
+    // candidate COUNTS (no timing weather): candidates at bits=12/×10 vs
+    // bits=13/×20 must grow ≤2.6× (linear 2× plus the C(tiles,2) true-pair
+    // floor the tiling adds), while the un-levered bits=12/×20 run must
+    // exceed the levered ratio by ≥1.3× (the lever visibly bites).
+    // Round-9 measurements: 577k → 1.88M fixed (×3.27) vs → 1.21M levered
+    // (×2.10).
+    val scaledBits =
+      if (!ScaleBench.selectedQueries.contains("q41_lsh_neardup")) Seq.empty
+      else {
+        def cand(dir: String, bits: Int): Option[(Double, Long)] = {
+          spark.conf.set("graft.lsh.bandBits", bits.toString)
+          try {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime()
+            val n = graft.operators.SimilarityOps.lshCandidates(spark, dir).count()
+            Some(((System.nanoTime() - t0) / 1e9, n))
+          } catch { case e: Throwable =>
+            errors += s"q41_scaled_bits: ${e.getClass.getSimpleName}"; None }
+          finally spark.conf.unset("graft.lsh.bandBits")
+        }
+        val probe = for {
+          (t10b, c10)      <- cand(d10, 12)
+          (_, c20Fixed)    <- cand(d20, 12)
+          (t20b, c20Scaled) <- cand(d20, 13)
+        } yield {
+          val scaledRatio = c20Scaled.toDouble / math.max(c10, 1L)
+          val fixedRatio = c20Fixed.toDouble / math.max(c10, 1L)
+          val verdict =
+            if (scaledRatio <= 2.6 && fixedRatio > scaledRatio * 1.3) "pass" else "fail"
+          System.err.println(f"[slope] q41_scaled_bits (bits prop log n) cand_x_scaled=$scaledRatio%4.2f cand_x_fixed=$fixedRatio%4.2f  $verdict")
+          ("q41_scaled_bits", t10b, t20b, c10, c20Scaled, scaledRatio, verdict)
+        }
+        if (probe.isEmpty) System.err.println(s"[slope] q41_scaled_bits FAILED to run")
+        probe.toSeq
+      }
+
+    val all = rows ++ scaledRow ++ scaledBits
     val failed = all.filter(_._7 == "fail")
     val qs = all.map { case (n, t10, t20, n10, n20, s, v) =>
       s""""$n":{"t10":$t10,"t20":$t20,"rows10":$n10,"rows20":$n20,"slope":$s,"verdict":"$v"}"""

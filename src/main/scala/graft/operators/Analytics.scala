@@ -454,20 +454,35 @@ object Analytics {
     * harness SFs — at production scale only the sketch path runs (the
     * q130 audit-rider discipline).
     */
-  def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
+  /** q137's identity stream: (source, 3-gram-shingle hash). Shingles are
+    * the q35/q36 content identity — "how much n-gram mass do two crawls
+    * share" is the decontamination / crawl-overlap question, and shingle
+    * cardinality actually exercises the kth-min estimator (the fixture's
+    * unigram vocabulary is ~31 tokens — every sketch would degenerate to
+    * exact). */
+  private[graft] def sourceShingleHashes(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash.{h48, tokens, shingles}
+    val d = Tables.documents(spark, dir).transform(Tables.fanout)
+    d.select(col("source"),
+        explode(shingles(tokens(lower(col("text"))))).as("t"))
+      .select(col("source"), h48(col("t")).as("uh"))
+  }
+
+  /** q137's sketch stage, un-checkpointed — exposed so PlanAudit can
+    * assert the buffer aggregate partial-aggregates map-side (the
+    * [[dailyKmvBufs]] pattern). */
+  private[graft] def sourceSketchStage(spark: SparkSession, dir: String): DataFrame = {
+    val kmvBuf = udaf(graft.functions.KmvBuffer)
+    sourceShingleHashes(spark, dir).distinct()
+      .groupBy(col("source"))
+      .agg(kmvBuf(col("uh")).as("ks"))
+  }
+
+  def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
     val K = graft.functions.KmvSketch.K
     val numer = (K - 1).toLong * graft.functions.KmvSketch.Domain
     val kmvBuf = udaf(graft.functions.KmvBuffer)
-    val d = Tables.documents(spark, dir).transform(Tables.fanout)
-    // identity = 3-gram shingle hashes (the q35/q36 content identity):
-    // "how much n-gram mass do two crawls share" is the decontamination /
-    // crawl-overlap question, and shingle cardinality actually exercises
-    // the kth-min estimator (the fixture's unigram vocabulary is ~31
-    // tokens — every sketch would degenerate to exact)
-    def tok = d.select(col("source"),
-        explode(shingles(tokens(lower(col("text"))))).as("t"))
-      .select(col("source"), h48(col("t")).as("uh"))
+    def tok = sourceShingleHashes(spark, dir)
     // the audit's distinct (source, uh) set is materialized anyway at
     // harness SFs, and KMV insert has distinct-set semantics — so the
     // sketch aggregate rides the SAME exchange (bit-identical to sketching
