@@ -156,16 +156,26 @@ object PlanAudit {
     val q133ph = graft.multimodal.Multimodal.mediaPhash(spark, dir)
     q133ph.collect()
     val q133phPlan = q133ph.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
     val q133 = SparkEntry.queries("q133_media_neardup")(spark, dir)
     q133.collect()
     val q133plan = q133.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    // "payloads never shuffle" asserted as a KEY-SET property (the q129
+    // pattern): every hash exchange in the pair machinery must partition
+    // on fingerprint/band/pair/doc keys — a plain substring scan for
+    // "payload" was vacuous because Exchange nodes print only their
+    // partitioning expressions
+    val q133keys = """hashpartitioning\(([A-Za-z_]+)""".r
+      .findAllMatchIn(q133plan).map(_.group(1)).toSet
+    val q133allowed = Set("phash", "band_idx", "band_val", "pa", "pb",
+      "doc_a", "doc_b", "doc_id")
     val q133ok = q133phPlan.contains("MapPartitions") &&
       q133phPlan.contains("sign_sketch") &&
-      !q133plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("payload"))
+      q133keys.subsetOf(q133allowed)
     println(s"[audit] q133 decode-seam fingerprints " +
-      (if (q133ok) "OK (MapPartitions decode + sign_sketch; no payload exchange)"
-       else "CHECK: decode/banding shape changed"))
+      (if (q133ok) s"OK (MapPartitions decode + sign_sketch; hash exchanges only on ${q133keys.mkString("{", ",", "}")})"
+       else s"CHECK: decode shape or exchange keys changed (keys=${q133keys.mkString(",")})"))
     // rate anomalies: the z-score windows must run over the aggregated
     // (type, hour) rows — a hash aggregate below a PARTITIONed window, no
     // single-partition exchange of raw events
@@ -273,6 +283,10 @@ object PlanAudit {
     // pairwise stage
     val q137sk = graft.operators.Analytics.sourceSketchStage(spark, dir)
     q137sk.collect()
+    // NB no Initial-Plan truncation needed here: the stage is collected
+    // above, and partial_kmvbuffer appears only in aggregate nodes that
+    // survive into the final plan; keep the truncation anyway for
+    // consistency with every other block
     val q137plan = q137sk.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
     val q137ok = q137plan.contains("partial_kmvbuffer")

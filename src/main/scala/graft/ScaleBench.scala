@@ -326,7 +326,9 @@ object SlopeOne {
     }
     run(d10); val t10 = run(d10)
     run(d20); val t20 = run(d20)
-    println(f"""{"metric":"slope_one","query":"$name","t10":$t10%.3f,"t20":$t20%.3f,"slope":${t20 / t10}%.4f}""")
+    // s-interpolated raw doubles, NOT %f (locale-dependent decimal comma
+    // would break the parent's parse) — the repo-wide JSON-line rule
+    println(s"""{"metric":"slope_one","query":"$name","t10":$t10,"t20":$t20,"slope":${t20 / t10}}""")
     spark.stop()
   }
 }
@@ -354,7 +356,7 @@ object SlopeProbe {
     try {
       val rc = Process(cmd).!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
       if (rc != 0) None
-      else """"t10":([0-9.]+),"t20":([0-9.]+),"slope":([0-9.]+)""".r
+      else """"t10":([0-9.eE+-]+),"t20":([0-9.eE+-]+),"slope":([0-9.eE+-]+)""".r
         .findFirstMatchIn(out.toString)
         .map(m => (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble))
     } catch { case _: Throwable => None }

@@ -43,7 +43,13 @@ import org.apache.spark.sql.types._
   *    per-row fold the old plan evaluated;
   *  - candidates are scanned in ascending centroid-id order with a STRICT
   *    better-than test, so ties keep the lower id — the
-  *    `ORDER BY dist2, cent_id` (or `ccos DESC, cent_id`) tie rule;
+  *    `ORDER BY dist2, cent_id` (or `ccos DESC, cent_id`) tie rule —
+  *    including the NaN corner: Spark orders doubles nanSafely (NaN sorts
+  *    LARGEST), so ascending-dist2 ranks NaN last (a finite candidate
+  *    beats a NaN best) while descending-ccos ranks NaN FIRST (a NaN
+  *    candidate beats a finite best); both orderings are replicated
+  *    exactly rather than left to raw `<`/`>` (whose NaN comparisons are
+  *    always false and would freeze whatever candidate came first);
   *  - `byCosine = true` ranks by `v·c / (norm · √(c·c))` (q55's cell metric)
   *    with the same division/multiplication order as the old Column tree.
   *
@@ -124,7 +130,12 @@ case class NearestCentroid(vec: Expression, norm: Expression,
       val d2 = (vv - 2.0 * dvc) + selfDots(k)
       val ccos = dvc / (nv * selfNorms(k))
       val key = if (byCosine) ccos else d2
-      if (best < 0 || (if (byCosine) key > bestKey else key < bestKey)) {
+      // nanSafe better-than (see scaladoc): asc treats NaN as +inf-most,
+      // desc ranks NaN first — identical to the window ORDER BY
+      val better =
+        if (byCosine) key > bestKey || (key.isNaN && !bestKey.isNaN)
+        else key < bestKey || (bestKey.isNaN && !key.isNaN)
+      if (best < 0 || better) {
         best = k; bestKey = key; bestD2 = d2; bestDvc = dvc; bestCcos = ccos
       }
       k += 1
@@ -146,7 +157,11 @@ case class NearestCentroid(vec: Expression, norm: Expression,
       val best = ctx.freshName("best"); val bestKey = ctx.freshName("bestKey")
       val bestD2 = ctx.freshName("bestD2"); val bestDvc = ctx.freshName("bestDvc")
       val bestCcos = ctx.freshName("bestCcos")
-      val betterTest = if (byCosine) s"$key > $bestKey" else s"$key < $bestKey"
+      val betterTest =
+        if (byCosine)
+          s"($key > $bestKey || (Double.isNaN($key) && !Double.isNaN($bestKey)))"
+        else
+          s"($key < $bestKey || (Double.isNaN($bestKey) && !Double.isNaN($key)))"
       s"""
          |boolean $ok = $v.numElements() == $dim;
          |double $vv = 0.0;

@@ -1427,14 +1427,6 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
-  private[graft] def bpeTrainOf(spark: SparkSession, d: DataFrame): DataFrame = {
-    val (merges, vocab) = bpeLearnOf(spark, d)
-    freeMaterialized(vocab)
-    import spark.implicits._
-    merges.toDF("rank", "left_sym", "right_sym", "pair_count")
-      .orderBy(col("rank"))
-  }
-
   /** The q134 training loop, returning BOTH artifacts: the learned merge
     * list and the final segmented vocabulary `(word, freq, syms)` —
     * localCheckpointed |V|-row state — so q135's encode step consumes the
@@ -1471,9 +1463,14 @@ object TextOps {
       // separator makes "last symbol == l" an ends_with test, and a freshly
       // merged tail (l||r) can never equal l again, so no within-round
       // cascade — bit-identical to the oracle's list_reduce
+      // NB the strip length counts CODE POINTS (Spark length() semantics,
+      // = DuckDB length()), not Java UTF-16 units — String.length would cut
+      // one char too many when a merged symbol carries a supplementary
+      // character
+      val lChars = l.codePointCount(0, l.length)
       val folded = aggregate(col("syms"), lit(""), (acc, x) =>
         when(acc.endsWith(lit(BpeSep + l)) && x === lit(r),
-          concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
+          concat(acc.substr(lit(1), length(acc) - lit(lChars + 1)),
             lit(BpeSep + l + r)))
         .otherwise(concat(acc, lit(BpeSep), x)))
       val next = vs.select(col("word"), col("freq"),

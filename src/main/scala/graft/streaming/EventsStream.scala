@@ -352,26 +352,45 @@ object EventsStream {
     * the batch latest-per-key plan (q23); not oracle-declared (side-effecting
     * sink, not a query).
     */
-  def foreachBatchUpsert(spark: SparkSession, dir: String, targetDir: String): DataFrame = {
+  /** Keyed newest-wins merge of one micro-batch into a parquet target —
+    * the ONE upsert implementation q23's archive sink, q132's sketch sink,
+    * and the replay specs all share. `newestFirst` orders candidates per
+    * key (rank 1 survives); the merge reads the live target, so the write
+    * goes through a staging dir (an in-place overwrite would clobber its
+    * own input mid-scan).
+    *
+    * A missing/empty target seeds an empty archive — but ONLY via the
+    * analysis-time "no data there yet" failure (`AnalysisException`). Any
+    * other exception must fail the batch loudly: swallowing, say, a
+    * transient IO error as "empty" would let the subsequent overwrite
+    * erase every previously-closed key (the silent-archive-reset bug the
+    * round-9 review caught).
+    */
+  private[graft] def upsertBatch(target: String, keys: Seq[String],
+      newestFirst: Seq[org.apache.spark.sql.Column])(batch: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val sp = batch.sparkSession
+    val existing =
+      try sp.read.parquet(target)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          batch.schema) }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(newestFirst: _*)
+    val merged = existing.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val staging = target + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    sp.read.parquet(staging).write.mode("overwrite").parquet(target)
+  }
+
+  def foreachBatchUpsert(spark: SparkSession, dir: String, targetDir: String): DataFrame = {
     val stream = Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        val existing =
-          try sp.read.parquet(targetDir)
-          catch { case _: Throwable => sp.emptyDataFrame.to(batch.schema) }
-        val w = Window.partitionBy(col("user_id"), col("event_type"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val merged = existing.unionByName(batch)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        // write via a staging dir: the merge reads the live target, so an
-        // in-place overwrite would clobber its own input mid-scan
-        val staging = targetDir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(targetDir)
+        upsertBatch(targetDir, Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))(batch)
       }
     withStatePartitions(spark) {
       val q = stream.start()
@@ -475,10 +494,24 @@ object EventsStream {
     * without the audit column.
     */
   def streamingKmvUpdate(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.PortableHash
     val kmv = udaf(graft.functions.KmvSketch)
-    val target = java.nio.file.Files.createTempDirectory("graft_kmv_upsert").toString
+    // self-cleaning managed parent: a slope-guard sweep runs this query
+    // many times, and each run's target must outlive its own session (the
+    // returned frame reads it lazily) — so instead of leaking a temp dir
+    // per invocation, stale sibling runs older than 2h are removed here
+    val parent = java.nio.file.Paths.get("/tmp/graft_kmv_upsert")
+    java.nio.file.Files.createDirectories(parent)
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.lastModified() < cutoff)
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(d)
+      }
+    val target = java.nio.file.Files.createTempDirectory(parent, "run").toString
     val stream = Tables.eventsStream(spark, dir)
       // watermarks require TIMESTAMP event time (UTC session: same instant)
       .withColumn("ts", col("ts").cast("timestamp"))
@@ -492,23 +525,10 @@ object EventsStream {
     withStatePartitions(spark) {
       val q = stream.writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val sp = batch.sparkSession
-          val withSeq = batch.withColumn("batch_seq", lit(batchId))
-          val existing =
-            try sp.read.parquet(target)
-            catch { case _: Throwable =>
-              sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                withSeq.schema) }
           // newest emission per day wins (batch_seq is monotonic); ties
           // impossible — update mode emits a changed group once per batch
-          val w = Window.partitionBy(col("day")).orderBy(col("batch_seq").desc)
-          val merged = existing.unionByName(withSeq)
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-          // staging dir: the merge reads the live target (q23 upsert rule)
-          val staging = target + ".staging"
-          merged.write.mode("overwrite").parquet(staging)
-          sp.read.parquet(staging).write.mode("overwrite").parquet(target)
+          upsertBatch(target, Seq("day"), Seq(col("batch_seq").desc))(
+            batch.withColumn("batch_seq", lit(batchId)))
         }
         .start()
       try q.processAllAvailable() finally q.stop()

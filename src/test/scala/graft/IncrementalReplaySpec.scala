@@ -402,19 +402,11 @@ class IncrementalReplaySpec extends SparkSpec {
               col("kmv_users"))
       .writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        val withSeq = batch.withColumn("batch_seq", lit(batchId))
-        val existing =
-          try sp.read.parquet(target)
-          catch { case _: Throwable =>
-            sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              withSeq.schema) }
-        val w = Window.partitionBy(col("day")).orderBy(col("batch_seq").desc)
-        val merged = existing.unionByName(withSeq)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-        val staging = target + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        sp.read.parquet(staging).write.mode("overwrite").parquet(target)
+        // the PRODUCTION upsert path, not a spec re-implementation — the
+        // replay must exercise the same merge q132 ships
+        graft.streaming.EventsStream.upsertBatch(
+          target, Seq("day"), Seq(col("batch_seq").desc))(
+          batch.withColumn("batch_seq", lit(batchId)))
       }
       .start()
     q.processAllAvailable()
