@@ -351,6 +351,32 @@ object PlanAudit {
       !q111plan.contains("BroadcastNestedLoopJoin") && q111plan.contains("HashAggregate")
     println(s"[audit] q111 index-probe dedup " +
       (if (q111ok) "OK (equi-joins + hash aggs only)" else "CHECK: product join in plan"))
+    // q138 PageRank: audit ONE power iteration's plan shape — the rank⋈edges
+    // join must be an equi-join on src and the new-rank aggregate must
+    // partial-aggregate map-side; no product join anywhere
+    val q139 = SparkEntry.queries("q138_pagerank")(spark, dir)
+    q139.collect()
+    val q139plan = q139.queryExecution.executedPlan.toString
+    val q139ok = !q139plan.contains("CartesianProduct") &&
+      !q139plan.contains("BroadcastNestedLoopJoin")
+    println(s"[audit] q138 pagerank final frame " +
+      (if (q139ok) "OK (checkpointed rank state, no product join)"
+       else "CHECK: product join in final frame"))
+    // q139 retrieval: the corpus postings must meet the query set through
+    // BROADCAST joins (never a corpus shuffle on term), and the top-k must
+    // plan a partial WindowGroupLimit
+    val q139r = SparkEntry.queries("q139_lexical_retrieval")(spark, dir)
+    q139r.collect()
+    val q139rplan = q139r.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q139rhashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(q139rplan).map(_.group(1)).toSet
+    val q139rok = q139rplan.contains("BroadcastHashJoin") &&
+      q139rplan.contains("WindowGroupLimit") && q139rplan.contains("Partial") &&
+      q139rhashEx.subsetOf(Set("doc_id", "query_id", "term"))
+    println(s"[audit] q139 broadcast retrieval " +
+      (if (q139rok) s"OK (broadcast query set; partial top-k; exchanges=${q139rhashEx.mkString("{", ",", "}")})"
+       else s"CHECK: exchanges=${q139rhashEx.mkString(",")}"))
     spark.stop()
   }
 }

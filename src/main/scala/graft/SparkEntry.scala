@@ -112,6 +112,8 @@ object SparkEntry {
     "q135_bpe_encode"        -> (TextOps.bpeEncode _),
     "q136_media_dup_groups"  -> (Multimodal.mediaDupGroups _),
     "q137_source_overlap"    -> (Analytics.sourceOverlapKmv _),
+    "q138_pagerank"          -> (Analytics.pageRank _),
+    "q139_lexical_retrieval" -> (TextOps.lexicalRetrieval _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1603,6 +1605,8 @@ object SparkEntry {
          |LEFT JOIN xi ON xi.source_a = e.source_a AND xi.source_b = e.source_b
          |ORDER BY e.source_a, e.source_b""".stripMargin
     },
+    "q138_pagerank" -> Analytics.pageRankSql,
+    "q139_lexical_retrieval" -> TextOps.lexicalRetrievalSql,
     "q130_sketch_rollup" -> {
       val k = graft.functions.KmvSketch.K
       val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain

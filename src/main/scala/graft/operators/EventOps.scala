@@ -178,4 +178,5 @@ object EventOps {
            pround(max_by(col("value"), struct(col("ts"), col("event_id"))), 2).as("last_value"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
 }

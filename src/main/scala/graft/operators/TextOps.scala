@@ -1832,4 +1832,86 @@ object TextOps {
         pround(col("n_kept") * lit(1.0) / col("n_passages"), 4).as("kept_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** q139 retrieval constants — shared with the oracle SQL. */
+  val RetrTopK = 5          // results kept per query
+  val RetrQueryMod = 97L    // doc_id % mod == 0 selects the query set
+  val RetrQueryLen = 8      // first N tokens of a query doc form the query
+  val RetrIdfC = 1000000L   // integer rarity weight numerator: w(t) = C div df(t)
+
+  /** q139: lexical retrieval — inverted-index top-k document search for a
+    * query batch (the RAG/eval-retrieval shape: "for each of these queries,
+    * the K most relevant corpus documents"). Queries are a deterministic
+    * corpus slice (doc_id ≡ 0 mod [[RetrQueryMod]], first [[RetrQueryLen]]
+    * distinct tokens); score(q,d) = Σ_{t∈q} tf(t,d)·⌊C/df(t)⌋ — the
+    * inverse-document-frequency family in EXACT integer arithmetic (q87's
+    * integer-exact-ranking discipline), so ranking is reproducible bit-for-
+    * bit in the oracle with no float-sum order hazard.
+    *
+    * Scale plan — the corpus NEVER shuffles:
+    *  1. the tiny query-term set BROADCASTs against the exploded token
+    *     stream at the scan (a narrow filter), so the (doc, term) tf
+    *     aggregate exchanges only query-term occurrences — never the corpus
+    *     vocabulary;
+    *  2. document frequency for query terms is a count over those filtered
+    *     postings (full-corpus df for the terms that matter, computed
+    *     without touching any other term);
+    *  3. per-(query, doc) score aggregate over candidates only, then
+    *     rank ≤ K via row_number — Catalyst plans WindowGroupLimit, so each
+    *     partition forwards at most K rows per query before the final sort.
+    */
+  def lexicalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // checkpoint the (query_id, term) rows — tens of rows — so the corpus
+    // text column is scanned exactly once (by the postings path below), not
+    // re-scanned for the query set and again for its distinct terms
+    val queries = d.filter(col("doc_id") % RetrQueryMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(tokens(lower(col("text"))), 1, RetrQueryLen))).as("term"))
+      .localCheckpoint()
+    val qterms = queries.select(col("term")).distinct()
+    // broadcast-filter the exploded token stream BEFORE aggregating: the
+    // (doc_id, term) tf exchange then carries only query-term occurrences,
+    // never the whole corpus vocabulary
+    val post = d.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = post
+      .join(broadcast(dfq), Seq("term"))
+      .join(broadcast(queries), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * expr(s"$RetrIdfC div df")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RetrTopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The q139 oracle — same constants, same integer weighting. */
+  def lexicalRetrievalSql: String = {
+    val tok = tokensSql("lower(text)")
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest($tok) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |q AS (SELECT doc_id AS query_id, unnest(list_distinct(tw[1:$RetrQueryLen])) AS term
+       |      FROM (SELECT doc_id, $tok AS tw FROM documents)
+       |      WHERE doc_id % $RetrQueryMod = 0),
+       |qt AS (SELECT DISTINCT term FROM q),
+       |post AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+       |sc AS (SELECT q.query_id, p.doc_id,
+       |         CAST(sum(p.tf * ($RetrIdfC // d.df)) AS BIGINT) AS score
+       |       FROM post p JOIN dfq d USING (term) JOIN q ON q.term = p.term
+       |       GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+       |FROM r WHERE rank <= $RetrTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }
