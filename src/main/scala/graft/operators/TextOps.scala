@@ -1835,15 +1835,21 @@ object TextOps {
 
   /** q139 retrieval constants — shared with the oracle SQL. */
   val RetrTopK = 5          // results kept per query
-  val RetrQueryMod = 97L    // doc_id % mod == 0 selects the query set
+  val RetrQueryMod = 97L    // doc_id % mod == 0 pre-selects query candidates
+  val RetrQueryCap = 32     // BOUNDED query batch: first cap candidates by id
   val RetrQueryLen = 8      // first N tokens of a query doc form the query
   val RetrIdfC = 1000000L   // integer rarity weight numerator: w(t) = C div df(t)
 
   /** q139: lexical retrieval — inverted-index top-k document search for a
     * query batch (the RAG/eval-retrieval shape: "for each of these queries,
     * the K most relevant corpus documents"). Queries are a deterministic
-    * corpus slice (doc_id ≡ 0 mod [[RetrQueryMod]], first [[RetrQueryLen]]
-    * distinct tokens); score(q,d) = Σ_{t∈q} tf(t,d)·⌊C/df(t)⌋ — the
+    * corpus slice (doc_id ≡ 0 mod [[RetrQueryMod]]) CAPPED at the first
+    * [[RetrQueryCap]] candidates by id — batch size is a property of the
+    * CALLER, not the corpus: the slope probe measured the uncapped form
+    * genuinely quadratic (slope 2.33 at ×2 tiles — the %-rule grew the
+    * batch with the corpus, so candidate volume grew as queries × corpus).
+    * Each query is its doc's first [[RetrQueryLen]] distinct tokens;
+    * score(q,d) = Σ_{t∈q} tf(t,d)·⌊C/df(t)⌋ — the
     * inverse-document-frequency family in EXACT integer arithmetic (q87's
     * integer-exact-ranking discipline), so ranking is reproducible bit-for-
     * bit in the oracle with no float-sum order hazard.
@@ -1864,8 +1870,12 @@ object TextOps {
     val d = Tables.documents(spark, dir)
     // checkpoint the (query_id, term) rows — tens of rows — so the corpus
     // text column is scanned exactly once (by the postings path below), not
-    // re-scanned for the query set and again for its distinct terms
+    // re-scanned for the query set and again for its distinct terms. The
+    // cap plans as a distributed top-k (TakeOrderedAndProject), never a
+    // global sort.
     val queries = d.filter(col("doc_id") % RetrQueryMod === 0)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(RetrQueryCap)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(tokens(lower(col("text"))), 1, RetrQueryLen))).as("term"))
       .localCheckpoint()
@@ -1899,8 +1909,9 @@ object TextOps {
        |  FROM (SELECT doc_id, unnest($tok) AS term FROM documents)
        |  GROUP BY 1, 2),
        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(tw[1:$RetrQueryLen])) AS term
-       |      FROM (SELECT doc_id, $tok AS tw FROM documents)
-       |      WHERE doc_id % $RetrQueryMod = 0),
+       |      FROM (SELECT doc_id, $tok AS tw FROM documents
+       |            WHERE doc_id % $RetrQueryMod = 0
+       |            ORDER BY doc_id LIMIT $RetrQueryCap)),
        |qt AS (SELECT DISTINCT term FROM q),
        |post AS (SELECT tf.* FROM tf JOIN qt USING (term)),
        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),

@@ -58,6 +58,7 @@ class GraphRetrievalSpec extends SparkSpec {
     val tf = docs.flatMap { case (id, t) => tok(t).map(w => (id, w)) }
       .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
     val queries = docs.filter(_._1 % TextOps.RetrQueryMod == 0)
+      .sortBy(_._1).take(TextOps.RetrQueryCap)
       .map { case (id, t) => (id, tok(t).take(TextOps.RetrQueryLen).distinct.toSet) }
     val qterms = queries.flatMap(_._2).toSet
     val df = tf.keys.filter(k => qterms(k._2)).toSeq
