@@ -362,6 +362,18 @@ object PlanAudit {
     println(s"[audit] q138 pagerank final frame " +
       (if (q139ok) "OK (checkpointed rank state, no product join)"
        else "CHECK: product join in final frame"))
+    // q140 Holt forecast: the raw stream collapses through ONE corpus-sized
+    // hash aggregate (event_type, day) with map-side partials; the fold runs
+    // over per-type day arrays — no Window, no join anywhere in the plan
+    val q140f = SparkEntry.queries("q140_holt_forecast")(spark, dir)
+    q140f.collect()
+    val q140fplan = q140f.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q140fok = q140fplan.contains("HashAggregate") &&
+      !q140fplan.contains("Window") && !q140fplan.contains("Join")
+    println(s"[audit] q140 fold-after-aggregate " +
+      (if (q140fok) "OK (hash agg to day grain; join-free, window-free fold)"
+       else "CHECK: unexpected Window/Join in plan"))
     // q139 retrieval: the corpus postings must meet the query set through
     // BROADCAST joins (never a corpus shuffle on term), and the top-k must
     // plan a partial WindowGroupLimit

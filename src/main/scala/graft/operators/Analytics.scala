@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -570,6 +570,99 @@ object Analytics {
        |SELECT node, CAST(rank AS BIGINT) AS rank_fp,
        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
        |FROM r$PrIters ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
+  /** q140 fixed-point scale and smoothing constants (α = 2/10, β = 1/10) —
+    * shared with the oracle SQL. Scale 1e4 keeps every intermediate below
+    * 2^52 for daily counts up to ~1e9/type, so the double-division-then-cast
+    * truncation is exact (see the numerics note on [[holtForecast]]). */
+  val HoltScale = 10000L
+
+  /** q140: Holt linear-trend forecasting over each event type's daily
+    * series — the capacity-planning operator ("given this stream's history,
+    * what arrives tomorrow / next week") that the anomaly tier (q120 flags
+    * the past) does not answer. Level/trend double exponential smoothing,
+    * α = 0.2, β = 0.1, initialized l₀ = y₀, b₀ = y₁ − y₀; gaps in the
+    * calendar are treated as consecutive observations (the series is the
+    * observed days in order).
+    *
+    * Numerics: the recurrence lives in [[HoltScale]]-scaled longs and every
+    * smoothing step is truncating integer division — Spark's long division
+    * and DuckDB's `//` BOTH truncate toward zero (verified, including
+    * negatives: -7//10 = 0), so the oracle's `list_reduce` twin reproduces
+    * a possibly-negative trend bit-for-bit. The Spark-side `/10` is double
+    * division + cast-to-long: exact truncation while |numerator| < 2^52,
+    * i.e. daily counts to ~1e9 per type at scale 1e4.
+    *
+    * Scale plan: ONE corpus-sized hash aggregate (event_type, day) with
+    * map-side partials — the raw stream never shuffles anything wider; the
+    * recurrence folds over per-type day arrays (365 entries/type/year —
+    * KB-sized groups), a driver-free `aggregate()` over data that has
+    * already collapsed 9+ orders of magnitude. The sequential fold is
+    * inherent to exponential smoothing (each step needs the previous), so
+    * the right distribution is exactly this: distribute the reduction TO
+    * day grain, fold the tiny remainder per key. */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val S = HoltScale
+    val e = Tables.events(spark, dir)
+    val daily = e.groupBy(col("event_type"),
+        datediff(to_date(date_trunc("day", col("ts"))), lit("1970-01-01")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(transform(sort_array(collect_list(struct(col("day"), col("y")))),
+        x => x.getField("y")).as("ys"))
+      .filter(size(col("ys")) >= 2)
+    def tdiv(x: Column, d: Long): Column = (x / d).cast("long")
+    val lvl0 = (element_at(col("ys"), 1) * S).as("l")
+    val tr0 = ((element_at(col("ys"), 2) - element_at(col("ys"), 1)) * S).as("t")
+    val rest = slice(col("ys"), lit(3), greatest(size(col("ys")) - 2, lit(0)))
+    val fold = aggregate(rest, struct(lvl0, tr0), (acc, y) => {
+      val lPrev = acc.getField("l")
+      val tPrev = acc.getField("t")
+      val lNew = tdiv(y * S * 2 + (lPrev + tPrev) * 8, 10)
+      val tNew = tdiv(lNew - lPrev + tPrev * 9, 10)
+      struct(lNew.as("l"), tNew.as("t"))
+    })
+    series
+      .select(col("event_type"), size(col("ys")).cast("long").as("n_obs"), fold.as("ft"))
+      .select(col("event_type"), col("n_obs"),
+        col("ft.l").as("level_fp"), col("ft.t").as("trend_fp"),
+        (col("ft.l") + col("ft.t")).as("forecast_1_fp"),
+        (col("ft.l") + col("ft.t") * 7).as("forecast_7_fp"),
+        pround((col("ft.l") + col("ft.t")).cast("double") / S, 4).as("forecast_1"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The q140 oracle — the same fold as a RECURSIVE CTE (one materialized
+    * row per smoothing step). NOT `list_reduce`: DuckDB 1.0.0 miscomputes a
+    * lambda whose struct fields SHARE a subexpression across fold iterations
+    * (the t-field's re-derived l-expression read stale state from step 2 on
+    * — minimal repro: a 3-element fold of this exact lambda returns
+    * t = -22171 where both the step-by-step evaluation and the same lambda
+    * applied once to step-1's output return -22584). The recursive form
+    * evaluates each step against materialized rows and matches Spark's
+    * `aggregate()` bit-for-bit. */
+  def holtForecastSql: String = {
+    import graft.functions.PortableHash.proundSql
+    val s = HoltScale
+    val lNew = s"(s.ys[i + 1] * $s * 2 + (l + t) * 8) // 10"
+    s"""WITH RECURSIVE e AS (SELECT event_type,
+       |        CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+       |      FROM events),
+       |g AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY 1, 2),
+       |s AS (SELECT event_type, list(y ORDER BY day) AS ys FROM g
+       |      GROUP BY 1 HAVING count(*) >= 2),
+       |r(event_type, i, l, t) AS (
+       |  SELECT event_type, 2, ys[1] * $s, (ys[2] - ys[1]) * $s FROM s
+       |  UNION ALL
+       |  SELECT r.event_type, i + 1, $lNew, (($lNew) - l + t * 9) // 10
+       |  FROM r JOIN s USING (event_type) WHERE i < len(s.ys))
+       |SELECT r.event_type, CAST(len(s.ys) AS BIGINT) AS n_obs,
+       |  l AS level_fp, t AS trend_fp,
+       |  l + t AS forecast_1_fp, l + t * 7 AS forecast_7_fp,
+       |  ${proundSql(s"(l + t) * 1.0 / $s", 4)} AS forecast_1
+       |FROM r JOIN s USING (event_type) WHERE i = len(s.ys)
+       |ORDER BY r.event_type""".stripMargin
   }
 
   def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {

@@ -461,4 +461,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(expected.exists(_._6 > K), "fixture unions too small to estimate")
     assert(expected.exists(_._7 > 0), "fixture should have real cross-source overlap")
   }
+
+  test("q140 holtForecast: equals a sequential fixed-point Holt recurrence") {
+    val S = Analytics.HoltScale
+    val got = Analytics.holtForecast(spark, sf001).collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_obs"),
+       r.getAs[Long]("level_fp"), r.getAs[Long]("trend_fp"),
+       r.getAs[Long]("forecast_1_fp"), r.getAs[Long]("forecast_7_fp"))
+    }.toSeq
+
+    val raw = Tables.events(spark, sf001)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = raw.groupBy(_._1).toSeq.map { case (et, evs) =>
+      val ys = evs.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.size.toLong)
+      (et, ys)
+    }.filter(_._2.size >= 2).map { case (et, ys) =>
+      var l = ys.head * S
+      var t = (ys(1) - ys.head) * S
+      ys.drop(2).foreach { y =>
+        val lNew = (2 * y * S + 8 * (l + t)) / 10 // JVM long div = truncation,
+        val tNew = (lNew - l + 9 * t) / 10        // same as DuckDB `//`
+        l = lNew; t = tNew
+      }
+      (et, ys.size.toLong, l, t, l + t, l + 7 * t)
+    }.sortBy(_._1)
+
+    assert(got == expected)
+    assert(got.nonEmpty, "the fixture has multi-day event series")
+    // forecast columns are pure affine reads of the final state
+    got.foreach { case (_, _, l, t, f1, f7) =>
+      assert(f1 == l + t); assert(f7 == l + 7 * t)
+    }
+  }
 }
