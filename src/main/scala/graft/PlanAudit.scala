@@ -374,6 +374,23 @@ object PlanAudit {
     println(s"[audit] q140 fold-after-aggregate " +
       (if (q140fok) "OK (hash agg to day grain; join-free, window-free fold)"
        else "CHECK: unexpected Window/Join in plan"))
+    // q141 table profile: fixed-width columns profile through ONE scan's
+    // Expand + HashAggregate; each string column adds a column-pruned scan
+    // with a hash distinct-collapse. The ONLY Sort in the plan must be the
+    // 8-row presentation sort — a second Sort means a string min/max buffer
+    // demoted a corpus-sized aggregate to sort-based again
+    val q141p = SparkEntry.queries("q141_table_profile")(spark, dir)
+    q141p.collect()
+    val q141plan = q141p.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q141scans = "Scan parquet".r.findAllIn(q141plan).size
+    val q141sorts = "Sort \\[".r.findAllIn(q141plan).size
+    val q141strCols = graft.operators.Analytics.ProfileCols.count(_._2 == "str")
+    val q141ok = q141plan.contains("Expand") && q141plan.contains("HashAggregate") &&
+      q141scans == 1 + q141strCols && q141sorts <= 1
+    println(s"[audit] q141 profile plan " +
+      (if (q141ok) s"OK ($q141scans column-pruned scans; Expand+hash; $q141sorts sort = presentation only)"
+       else s"CHECK: scans=$q141scans sorts=$q141sorts"))
     // q139 retrieval: the corpus postings must meet the query set through
     // BROADCAST joins (never a corpus shuffle on term), and the top-k must
     // plan a partial WindowGroupLimit

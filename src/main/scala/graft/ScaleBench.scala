@@ -71,7 +71,8 @@ object ScaleBench {
     // round-9 additions
     "q132_stream_kmv_update", "q133_media_neardup", "q134_bpe_train",
     "q135_bpe_encode", "q136_media_dup_groups", "q137_source_overlap",
-    "q138_pagerank", "q139_lexical_retrieval", "q140_holt_forecast")
+    "q138_pagerank", "q139_lexical_retrieval", "q140_holt_forecast",
+    "q141_table_profile")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

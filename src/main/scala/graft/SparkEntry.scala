@@ -115,6 +115,7 @@ object SparkEntry {
     "q138_pagerank"          -> (Analytics.pageRank _),
     "q139_lexical_retrieval" -> (TextOps.lexicalRetrieval _),
     "q140_holt_forecast"     -> (Analytics.holtForecast _),
+    "q141_table_profile"     -> (Analytics.tableProfile _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1609,6 +1610,7 @@ object SparkEntry {
     "q138_pagerank" -> Analytics.pageRankSql,
     "q139_lexical_retrieval" -> TextOps.lexicalRetrievalSql,
     "q140_holt_forecast" -> Analytics.holtForecastSql,
+    "q141_table_profile" -> Analytics.tableProfileSql,
     "q130_sketch_rollup" -> {
       val k = graft.functions.KmvSketch.K
       val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain

@@ -665,6 +665,98 @@ object Analytics {
        |ORDER BY r.event_type""".stripMargin
   }
 
+  /** q141's profiled columns and their presentation kind — ONE list drives
+    * both the Spark aggregate and the generated oracle SQL. */
+  val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_quantity" -> "num", "l_extendedprice" -> "num",
+    "l_discount" -> "num", "l_tax" -> "num", "l_returnflag" -> "str",
+    "l_linestatus" -> "str", "l_shipdate" -> "date")
+
+  /** q141: whole-table column profile — the ANALYZE/stats-collection
+    * operator (null count, exact distinct count, min/max per column) every
+    * warehouse runs before choosing join strategies and for data-quality
+    * monitoring; q82 computes moments of chosen measures, this profiles the
+    * TABLE. One row per profiled column: numerics surface min/max as
+    * doubles, strings/dates as strings (dates render identically as
+    * ISO-8601 in both engines).
+    *
+    * Scale plan, split by BUFFER representability (measured, not assumed):
+    *  - FIXED-WIDTH columns (numerics, timestamps) profile in ONE pass —
+    *    the multiple exact `count(DISTINCT)`s compile into a single scan
+    *    whose Expand stage multiplies rows by the column count with
+    *    map-side hash partials (all buffers mutable ⇒ HashAggregate).
+    *  - STRING columns must NOT ride that plan: a var-length min/max
+    *    buffer demotes EVERY phase to SortAggregate, and the partial phase
+    *    then sorts (cols+1)·n rows map-side — the first cut did exactly
+    *    that. Instead each string column gets its own column-pruned scan:
+    *    a hash distinct-collapse (count buffer only ⇒ HashAggregate), then
+    *    min/max/NDV fold over the collapsed values in a GLOBAL SortAggregate
+    *    — grouping keys empty, so no sort is performed anywhere.
+    *    Columnar storage makes the extra scans column-disjoint reads.
+    * Exact NDV is the oracle-checkable form; at 100 TB the same plan swaps
+    * `approx_count_distinct` (HLL sketch, no Expand) per column — the
+    * q19/q79 seam — trading the hash-distinct exchange for a constant-size
+    * sketch merge. */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val (strCols, fixedCols) = ProfileCols.partition(_._2 == "str")
+    val aggs = count(lit(1)).as("n_rows") +: fixedCols.flatMap { case (c, _) =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          count_distinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).as(s"${c}_mn"),
+          max(col(c)).as(s"${c}_mx"))
+    }
+    val one = l.agg(aggs.head, aggs.tail: _*)
+    val fixedRows = fixedCols.map { case (c, kind) =>
+      val (mnN, mxN, mnS, mxS) = kind match {
+        case "num" => (col(s"${c}_mn").cast("double"), col(s"${c}_mx").cast("double"),
+                       lit(null).cast("string"), lit(null).cast("string"))
+        case _     => (lit(null).cast("double"), lit(null).cast("double"),
+                       col(s"${c}_mn").cast("string"), col(s"${c}_mx").cast("string"))
+      }
+      struct(lit(c).as("column_name"), col("n_rows").as("n_rows"),
+        col(s"${c}_nn").as("n_null"), col(s"${c}_nd").as("n_distinct"),
+        mnN.as("min_num"), mxN.as("max_num"), mnS.as("min_str"), mxS.as("max_str"))
+    }
+    val fixedDf = one.select(explode(array(fixedRows: _*)).as("p")).select(col("p.*"))
+    val strDfs = strCols.map { case (c, _) =>
+      l.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+             sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+             count(col("v")).as("n_distinct"),
+             min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"),
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          col("mn").cast("string").as("min_str"), col("mx").cast("string").as("max_str"))
+    }
+    (fixedDf +: strDfs).reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
+  /** The q141 oracle — generated from the SAME [[ProfileCols]] list. */
+  def tableProfileSql: String = {
+    val aggs = ProfileCols.flatMap { case (c, _) =>
+      Seq(s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nn",
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_nd",
+          s"min($c) AS ${c}_mn", s"max($c) AS ${c}_mx")
+    }.mkString(",\n  ")
+    val rows = ProfileCols.map { case (c, kind) =>
+      val (mnN, mxN, mnS, mxS) = kind match {
+        case "num" => (s"CAST(${c}_mn AS DOUBLE)", s"CAST(${c}_mx AS DOUBLE)",
+                       "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case _     => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+                       s"CAST(${c}_mn AS VARCHAR)", s"CAST(${c}_mx AS VARCHAR)")
+      }
+      s"SELECT '$c' AS column_name, n_rows, ${c}_nn AS n_null, ${c}_nd AS n_distinct, " +
+        s"$mnN AS min_num, $mxN AS max_num, $mnS AS min_str, $mxS AS max_str FROM a"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  $aggs
+       |FROM lineitem)
+       |$rows
+       |ORDER BY column_name""".stripMargin
+  }
+
   def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
     val K = graft.functions.KmvSketch.K
     val numer = (K - 1).toLong * graft.functions.KmvSketch.Domain

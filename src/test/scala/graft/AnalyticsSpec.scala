@@ -495,4 +495,45 @@ class AnalyticsSpec extends SparkSpec {
       assert(f1 == l + t); assert(f7 == l + 7 * t)
     }
   }
+
+  test("q141 tableProfile: equals a sequential per-column profile") {
+    val got = Analytics.tableProfile(spark, sf001).collect().map { r =>
+      (r.getAs[String]("column_name"), r.getAs[Long]("n_rows"),
+       r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+       Option(r.getAs[java.lang.Double]("min_num")).map(_.toDouble),
+       Option(r.getAs[java.lang.Double]("max_num")).map(_.toDouble),
+       Option(r.getAs[String]("min_str")), Option(r.getAs[String]("max_str")))
+    }.toSeq
+
+    val cols = Analytics.ProfileCols.map(_._1)
+    val rows = Tables.lineitem(spark, sf001)
+      .select(cols.map(col): _*).collect()
+    val n = rows.length.toLong
+    val expected = Analytics.ProfileCols.map { case (c, kind) =>
+      val idx = cols.indexOf(c)
+      val vs = rows.map(_.get(idx)).filter(_ != null)
+      val nNull = n - vs.length
+      val nd = vs.distinct.length.toLong
+      kind match {
+        case "num" =>
+          val ds = vs.map {
+            case l: java.lang.Long => l.toDouble
+            case d: java.lang.Double => d.toDouble
+            case i: java.lang.Integer => i.toDouble
+          }
+          (c, n, nNull, nd, Some(ds.min), Some(ds.max), None, None)
+        case _ =>
+          // render temporals the way Spark's string cast does (JDBC style,
+          // "1995-01-02 00:00:00"), not LocalDateTime's ISO "T" form
+          val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+          val ss = vs.map {
+            case t: java.time.LocalDateTime => t.format(fmt)
+            case v => v.toString
+          }
+          (c, n, nNull, nd, None, None, Some(ss.min), Some(ss.max))
+      }
+    }.sortBy(_._1)
+    assert(got == expected)
+    assert(got.map(_._1) == cols.sorted)
+  }
 }
