@@ -406,6 +406,23 @@ object PlanAudit {
     println(s"[audit] q139 broadcast retrieval " +
       (if (q139rok) s"OK (broadcast query set; partial top-k; exchanges=${q139rhashEx.mkString("{", ",", "}")})"
        else s"CHECK: exchanges=${q139rhashEx.mkString(",")}"))
+    // q142 hybrid fusion: both retriever sides must meet the corpus through
+    // BROADCAST joins (the corpus/vector scans never shuffle on data keys),
+    // both top-K windows plan partial WindowGroupLimits, and the only hash
+    // exchanges carry candidate/rank rows
+    val q142h = SparkEntry.queries("q142_hybrid_retrieval")(spark, dir)
+    q142h.collect()
+    val q142plan = q142h.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q142hashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(q142plan).map(_.group(1)).toSet
+    val q142wgl = "WindowGroupLimit".r.findAllIn(q142plan).size
+    val q142ok = q142plan.contains("BroadcastHashJoin") && q142wgl >= 2 &&
+      !q142plan.contains("CartesianProduct") &&
+      q142hashEx.subsetOf(Set("doc_id", "query_id", "term", "vec_id"))
+    println(s"[audit] q142 hybrid retrieval " +
+      (if (q142ok) s"OK (broadcast both sides; $q142wgl group-limit windows; exchanges=${q142hashEx.mkString("{", ",", "}")})"
+       else s"CHECK: wgl=$q142wgl exchanges=${q142hashEx.mkString(",")}"))
     spark.stop()
   }
 }

@@ -116,6 +116,8 @@ object SparkEntry {
     "q139_lexical_retrieval" -> (TextOps.lexicalRetrieval _),
     "q140_holt_forecast"     -> (Analytics.holtForecast _),
     "q141_table_profile"     -> (Analytics.tableProfile _),
+    "q142_hybrid_retrieval"  -> (SimilarityOps.hybridRetrieval _),
+    "q143_neardup_decontaminate" -> (TextOps.neardupDecontaminate _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1611,6 +1613,7 @@ object SparkEntry {
     "q139_lexical_retrieval" -> TextOps.lexicalRetrievalSql,
     "q140_holt_forecast" -> Analytics.holtForecastSql,
     "q141_table_profile" -> Analytics.tableProfileSql,
+    "q142_hybrid_retrieval" -> SimilarityOps.hybridRetrievalSql,
     "q130_sketch_rollup" -> {
       val k = graft.functions.KmvSketch.K
       val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain
@@ -1911,6 +1914,21 @@ object SparkEntry {
          |LEFT JOIN shared sh ON d.doc_id = sh.doc_id
          |WHERE d.source <> 'src0'
          |ORDER BY d.doc_id""".stripMargin,
+    "q143_neardup_decontaminate" ->
+      s"""$MinhashBandsCtes,
+         |src AS (SELECT doc_id, source FROM documents),
+         |xc AS (SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+         |       FROM bands c JOIN bands e ON c.bi = e.bi AND c.band_sig = e.band_sig
+         |       JOIN src sc ON sc.doc_id = c.doc_id AND sc.source <> 'src0'
+         |       JOIN src se ON se.doc_id = e.doc_id AND se.source = 'src0'),
+         |xp AS (SELECT xc.doc_id, xc.eval_id,
+         |  CAST(len(list_filter(hc.hs, h -> list_contains(he.hs, h))) AS BIGINT) AS n_inter,
+         |  CAST(len(hc.hs) AS BIGINT) AS sz_c, CAST(len(he.hs) AS BIGINT) AS sz_e
+         |  FROM xc JOIN hsl hc ON xc.doc_id = hc.doc_id JOIN hsl he ON xc.eval_id = he.doc_id),
+         |v AS (SELECT * FROM xp WHERE n_inter * 2 >= sz_c + sz_e - n_inter)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  min(eval_id) AS eval_match, max(n_inter) AS top_inter
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q105_passage_dedup" ->
       s"""WITH tok AS (SELECT doc_id, ${PortableHash.tokensSql("text")} AS w FROM documents),
          |pas AS (SELECT doc_id, i - 1 AS pidx,

@@ -899,4 +899,126 @@ object SimilarityOps {
         col("n_vecs"))
       .orderBy(col("label"), col("dim_idx"))
   }
+
+  /** q142 fusion constants — shared with the oracle SQL. */
+  val HybridPoolK = 10          // candidate-list depth per retriever
+  val HybridTopK = 5            // fused results kept per query
+  val RrfRankK = 60L            // the standard RRF rank-damping constant
+  val RrfScale = 1000000000L    // integer contribution: Scale div (K + rank)
+
+  /** q142: hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    * of the surface's two retrievers: q139's lexical tf·⌊C/df⌋ scorer and
+    * q40's exact-cosine dense scorer. This is the lexical+embedding hybrid
+    * search every production RAG stack runs: each retriever contributes its
+    * top-[[HybridPoolK]] list per query, a document's fused score is
+    * Σ ⌊[[RrfScale]] / ([[RrfRankK]] + rank)⌋ over the lists that contain
+    * it (integer arithmetic — rank fusion needs no float sums, so the
+    * ranking is bit-reproducible in the oracle), and the top-[[HybridTopK]]
+    * fused results are kept.
+    *
+    * The query batch is q139's bounded slice RESTRICTED to queries that
+    * have an embedding (a dense retriever needs an embedded query; at
+    * sf0.1 the documents table outruns the embeddings table, so the batch
+    * deterministically shrinks to the embedded prefix). The self-match is
+    * dropped from BOTH lists — the retrieval-eval convention that the query
+    * document is not a result — which q139 deliberately keeps; the fusion
+    * would otherwise just reward the trivial hit twice.
+    *
+    * Scale shape: both retrievers already never shuffle the corpus — the
+    * lexical side broadcasts query terms against the token stream at the
+    * scan ([[graft.operators.TextOps.lexicalScored]]), the dense side
+    * broadcasts the ≤[[graft.operators.TextOps.RetrQueryCap]]-row embedded
+    * query table against the vector scan — and the fusion itself touches
+    * only the two rank lists (≤ 2·batch·[[HybridPoolK]] rows), a
+    * full-outer join on (query_id, doc_id) that AQE plans from
+    * KB-sized inputs. Both top-K windows plan partial WindowGroupLimits.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(spark, dir)
+    val scored = graft.operators.TextOps.lexicalScored(spark, dir)
+    // the ≤batch-row embedded query table: (query_id, qv, qn), materialized
+    // once (localCheckpoint) so neither side re-runs the slice
+    val qids = scored.select(col("query_id")).distinct()
+    val qv = e.join(broadcast(qids), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("v").as("qv"), col("norm").as("qn"))
+      .localCheckpoint()
+    val wl = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    val lex = scored
+      .join(broadcast(qv.select(col("query_id"))), Seq("query_id"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rank_lex", row_number().over(wl).cast("long"))
+      .filter(col("rank_lex") <= HybridPoolK)
+      .select(col("query_id"), col("doc_id"), col("rank_lex"))
+    val wd = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))
+    val den = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        pround(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
+      .withColumn("rank_dense", row_number().over(wd).cast("long"))
+      .filter(col("rank_dense") <= HybridPoolK)
+      .select(col("query_id"), col("doc_id"), col("rank_dense"))
+    rrfFuse(lex, den)
+  }
+
+  /** The fusion stage of q142 over any two (query_id, doc_id, rank_*) lists
+    * — split out so the spec can drive the dual-membership path (a document
+    * present in BOTH lists sums both contributions) on synthetic lists; the
+    * harness fixture's embeddings are uncorrelated with its text, so the
+    * real corpus never exercises it. */
+  private[graft] def rrfFuse(lex: DataFrame, den: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // absent-from-list is encoded as rank 0 (not NULL): both engines then
+    // emit non-nullable BIGINTs and the comparison never meets NaN-boxed
+    // nullable-int columns
+    val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"))
+      .withColumn("rrf_score",
+        when(col("rank_lex") > 0, expr(s"$RrfScale div ($RrfRankK + rank_lex)"))
+          .otherwise(lit(0L)) +
+        when(col("rank_dense") > 0, expr(s"$RrfScale div ($RrfRankK + rank_dense)"))
+          .otherwise(lit(0L)))
+    val wf = Window.partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("rank_lex"), col("rank_dense"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The q142 oracle — the vectors CTE, q139's scoring CTEs, and the same
+    * integer RRF fusion. */
+  def hybridRetrievalSql: String = {
+    import graft.functions.PortableHash.proundSql
+    s"""$vectorsCteSql,
+       |${graft.operators.TextOps.lexicalScoredCteBody},
+       |qid AS (SELECT DISTINCT query_id FROM sc),
+       |qv AS (SELECT query_id, v AS qv, norm AS qn FROM vecs JOIN qid ON vec_id = query_id),
+       |lr AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+       |       FROM sc JOIN qv USING (query_id) WHERE doc_id <> query_id),
+       |lk AS (SELECT query_id, doc_id, rank_lex FROM lr WHERE rank_lex <= $HybridPoolK),
+       |dj AS (SELECT query_id, vec_id AS doc_id,
+       |         ${proundSql(s"${dotSql("v", "qv")} / (norm * qn)", 6)} AS cosine
+       |       FROM vecs CROSS JOIN qv WHERE vec_id <> query_id),
+       |dr AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_dense FROM dj),
+       |dk AS (SELECT query_id, doc_id, rank_dense FROM dr WHERE rank_dense <= $HybridPoolK),
+       |f AS (SELECT query_id, doc_id,
+       |        coalesce(rank_lex, CAST(0 AS BIGINT)) AS rank_lex,
+       |        coalesce(rank_dense, CAST(0 AS BIGINT)) AS rank_dense
+       |      FROM lk FULL OUTER JOIN dk USING (query_id, doc_id)),
+       |g AS (SELECT query_id, doc_id, rank_lex, rank_dense,
+       |        (CASE WHEN rank_lex > 0 THEN $RrfScale // ($RrfRankK + rank_lex)
+       |              ELSE CAST(0 AS BIGINT) END)
+       |      + (CASE WHEN rank_dense > 0 THEN $RrfScale // ($RrfRankK + rank_dense)
+       |              ELSE CAST(0 AS BIGINT) END) AS rrf_score
+       |      FROM f),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM g)
+       |SELECT query_id, rank, doc_id, rrf_score, rank_lex, rank_dense
+       |FROM r WHERE rank <= $HybridTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

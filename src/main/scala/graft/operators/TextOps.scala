@@ -1778,6 +1778,60 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q143: NEAR-duplicate decontamination — the tier above q104's exact
+    * 8-gram containment test: a training document that is a light REWRITE
+    * of an eval item (reordered boilerplate, small edits) shares few exact
+    * 8-grams but has high shingle Jaccard, and the GPT-4/Llama-style
+    * decontamination reports run exactly this MinHash screen against their
+    * benchmark suites. Eval set = `source = 'src0'` (q104's split); a
+    * corpus document is flagged when its exact-verified 3-shingle Jaccard
+    * against ANY eval document reaches 0.5 (2·|∩| ≥ |∪|, integer-exact —
+    * the q36 LSH band layout's own ~0.5 collision threshold, so the
+    * candidate generator and the verifier agree about what they're looking
+    * for). Emits one row per contaminated document: how many eval items it
+    * matches, the lowest matching eval id, and the largest shared-shingle
+    * count.
+    *
+    * Scale shape (q104's argument, lifted to the near tier): signatures are
+    * the zero-shuffle native [[graft.functions.MinHashSig]] projection; the
+    * eval side's band rows BROADCAST (benchmark suites are MBs — bounded by
+    * construction, like q104's gram set), so the 100 TB corpus side never
+    * shuffles for candidate generation; only candidate pairs and their
+    * shingle hashes reach the exact-verify join (q36's verification
+    * machinery on a far smaller pair set).
+    */
+  def neardupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).transform(Tables.fanout)
+    val sig = d.select(col("doc_id"), col("source"),
+        graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
+      .filter(size(col("sg")) > 0)
+    val bands = sig.select(col("doc_id"), col("source"),
+        posexplode(array(bandSigCols(col("sg")): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
+    val evalBands = bands.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"), col("band_idx"), col("band_sig"))
+    val cand = bands.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("band_idx"), col("band_sig"))
+      .join(broadcast(evalBands), Seq("band_idx", "band_sig"))
+      .select(col("doc_id"), col("eval_id"))
+      .dropDuplicates("doc_id", "eval_id")
+    val sh = shingleRows(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh, Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("eval_id"), col("shash")), Seq("eval_id", "shash"))
+      .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes, Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("eval_id"), col("sz").as("sz_e")), Seq("eval_id"))
+      .filter(col("n_inter") * 2 >= col("sz") + col("sz_e") - col("n_inter"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+           min(col("eval_id")).as("eval_match"),
+           max(col("n_inter")).as("top_inter"))
+      .orderBy(col("doc_id"))
+  }
+
   val PassageLen = 8   // tokens per non-overlapping passage
 
   /** Collision-free owner composite: doc_id occupies the high 32 bits, the
@@ -1867,6 +1921,19 @@ object TextOps {
     *     partition forwards at most K rows per query before the final sort.
     */
   def lexicalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lexicalScored(spark, dir)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RetrTopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The (query_id, doc_id, score) stage of q139, shared with q142's hybrid
+    * fusion — same bounded query batch, same integer tf·⌊C/df⌋ weighting,
+    * same corpus-never-shuffles plan. */
+  private[graft] def lexicalScored(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     // checkpoint the (query_id, term) rows — tens of rows — so the corpus
     // text column is scanned exactly once (by the postings path below), not
@@ -1888,23 +1955,19 @@ object TextOps {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = post
+    post
       .join(broadcast(dfq), Seq("term"))
       .join(broadcast(queries), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("tf") * expr(s"$RetrIdfC div df")).as("score"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= RetrTopK)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("doc_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
-  /** The q139 oracle — same constants, same integer weighting. */
-  def lexicalRetrievalSql: String = {
+  /** The q139 scoring CTEs (tf → q → qt → post → dfq → sc) as a CTE body
+    * without the WITH keyword, so q142's hybrid oracle can splice them after
+    * its vectors CTE — the DuckDB twin of [[lexicalScored]]. */
+  def lexicalScoredCteBody: String = {
     val tok = tokensSql("lower(text)")
-    s"""WITH tf AS (
+    s"""tf AS (
        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id, unnest($tok) AS term FROM documents)
        |  GROUP BY 1, 2),
@@ -1918,11 +1981,15 @@ object TextOps {
        |sc AS (SELECT q.query_id, p.doc_id,
        |         CAST(sum(p.tf * ($RetrIdfC // d.df)) AS BIGINT) AS score
        |       FROM post p JOIN dfq d USING (term) JOIN q ON q.term = p.term
-       |       GROUP BY 1, 2),
+       |       GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The q139 oracle — same constants, same integer weighting. */
+  def lexicalRetrievalSql: String =
+    s"""WITH $lexicalScoredCteBody,
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY score DESC, doc_id) AS rank FROM sc)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
        |FROM r WHERE rank <= $RetrTopK
        |ORDER BY query_id, rank""".stripMargin
-  }
 }
