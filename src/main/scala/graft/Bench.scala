@@ -1,7 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Machine-weather evidence stamped into every benchmark artifact: the
+  * round-9 driver run was distorted by co-resident load and nothing in the
+  * artifact could prove it (the tell — "isolated" heavy re-runs measuring
+  * SLOWER than in-sequence — had to be argued from physics). A before/after
+  * `/proc/loadavg` pair plus the JVM's own GC totals make the next weather
+  * dispute decidable from the artifact alone: loadavg ≫ the bench's own
+  * CPU count means a co-resident process, and outsized gc_ms means the
+  * timings include collector pauses the code didn't cause.
+  */
+private[graft] object LoadEvidence {
+  /** `[1m, 5m, 15m]` from /proc/loadavg as a JSON array ("[]" off-Linux). */
+  def loadavg: String =
+    try {
+      val f = scala.io.Source.fromFile("/proc/loadavg")
+      try f.mkString.trim.split("\\s+").take(3).mkString("[", ",", "]")
+      finally f.close()
+    } catch { case _: Throwable => "[]" }
+  /** Cumulative collections and collector milliseconds across all GC beans. */
+  def gc: (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
+  }
+  /** The full evidence object for a run that started at `before` loadavg. */
+  def json(before: String): String = {
+    val (gcN, gcMs) = gc
+    s""""load":{"loadavg_before":$before,"loadavg_after":$loadavg,"gc_count":$gcN,"gc_ms":$gcMs}"""
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
+    val loadBefore = LoadEvidence.loadavg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -98,7 +130,7 @@ object Bench {
       s"\"$k\":{\"in_sequence\":$a,\"isolated\":$b}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"heavies":$hv,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"heavies":$hv,"errors":$errs,${LoadEvidence.json(loadBefore)},"sf":"$sfDir"}""")
     // The driver's artifact keeps only the TAIL of stdout, which truncates
     // the front-loaded total off the big line above (every r2–r7 BENCH
     // artifact has `parsed: null`). A second, tiny trailing line survives
@@ -107,7 +139,7 @@ object Bench {
     // keyed on it (renaming risks parsed:null again); `"tail":true` is the
     // discriminator for consumers that need to tell the twins apart — the
     // value is identical on both lines by construction either way.
-    println(s"""{"metric":"total","tail":true,"value":$total,"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","tail":true,"value":$total,"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},${LoadEvidence.json(loadBefore)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -423,6 +423,25 @@ object PlanAudit {
     println(s"[audit] q142 hybrid retrieval " +
       (if (q142ok) s"OK (broadcast both sides; $q142wgl group-limit windows; exchanges=${q142hashEx.mkString("{", ",", "}")})"
        else s"CHECK: wgl=$q142wgl exchanges=${q142hashEx.mkString(",")}"))
+    // q143 near-dup decontamination: the eval side must BROADCAST at both
+    // stages (band rows for candidate generation, the candidate-id set back
+    // against the corpus scan for verification) — the corpus never shuffles
+    // on a data key; hash exchanges carry only candidate/eval-bounded rows
+    // keyed by doc ids / shingle hashes
+    val q143 = SparkEntry.queries("q143_neardup_decontaminate")(spark, dir)
+    q143.collect()
+    val q143plan = q143.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q143hashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(q143plan).map(_.group(1)).toSet
+    val q143bhj = "BroadcastHashJoin".r.findAllIn(q143plan).size
+    val q143ok = q143bhj >= 2 &&
+      !q143plan.contains("CartesianProduct") &&
+      !q143plan.contains("BroadcastNestedLoopJoin") &&
+      q143hashEx.subsetOf(Set("doc_id", "eval_id", "shash", "band_idx"))
+    println(s"[audit] q143 neardup decontaminate " +
+      (if (q143ok) s"OK ($q143bhj broadcast joins; exchanges=${q143hashEx.mkString("{", ",", "}")})"
+       else s"CHECK: bhj=$q143bhj exchanges=${q143hashEx.mkString(",")}"))
     spark.stop()
   }
 }

@@ -72,7 +72,9 @@ object ScaleBench {
     "q132_stream_kmv_update", "q133_media_neardup", "q134_bpe_train",
     "q135_bpe_encode", "q136_media_dup_groups", "q137_source_overlap",
     "q138_pagerank", "q139_lexical_retrieval", "q140_holt_forecast",
-    "q141_table_profile")
+    "q141_table_profile",
+    // round-10 additions
+    "q142_hybrid_retrieval", "q143_neardup_decontaminate")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
@@ -204,6 +206,7 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
+    val loadBefore = LoadEvidence.loadavg
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
     val tiles = sys.env.getOrElse("SPARK_GRAFT_TILES", "10").toInt
@@ -266,10 +269,10 @@ object ScaleBench {
     val hv = heavies.map { case (k, (a, b)) =>
       s"\"$k\":{\"in_sequence\":$a,\"isolated\":$b}" }.mkString("{", ",", "}")
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"extras":$ex,"heavies":$hv,"errors":$errs,"sf":"$src x$tiles","tiles":$tiles}""")
+    println(s"""{"metric":"scale_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"extras":$ex,"heavies":$hv,"errors":$errs,${LoadEvidence.json(loadBefore)},"sf":"$src x$tiles","tiles":$tiles}""")
     // tiny trailing twin of the total: the driver keeps only the tail of
     // stdout, which truncates the front-loaded total off the big line
-    println(s"""{"metric":"scale_total","tail":true,"value":${results.map(_._2).sum},"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},"tiles":$tiles}""")
+    println(s"""{"metric":"scale_total","tail":true,"value":${results.map(_._2).sum},"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},${LoadEvidence.json(loadBefore)},"tiles":$tiles}""")
     spark.stop()
   }
 }
@@ -414,6 +417,7 @@ object SlopeProbe {
   val OutputBoundTolerance = 1.15
 
   def main(args: Array[String]): Unit = {
+    val loadBefore = LoadEvidence.loadavg
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
     val d10 = "/tmp/graft_sf1"
@@ -595,9 +599,9 @@ object SlopeProbe {
       OutputGrowthAllowlist.map { case (k, v) => s""""$k (output)":"$v"""" })
       .mkString("{", ",", "}")
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"slope_probe","threshold":$SlopeThreshold,"queries":$qs,"allowlist":$al,"fail_n":${failed.size},"errors":$errs,"src":"$src"}""")
+    println(s"""{"metric":"slope_probe","threshold":$SlopeThreshold,"queries":$qs,"allowlist":$al,"fail_n":${failed.size},"errors":$errs,${LoadEvidence.json(loadBefore)},"src":"$src"}""")
     // tiny trailing twin — survives the driver's tail truncation
-    println(s"""{"metric":"slope_probe","tail":true,"fail_n":${failed.size},"n_queries":${all.size},"errors_n":${errors.size}}""")
+    println(s"""{"metric":"slope_probe","tail":true,"fail_n":${failed.size},"n_queries":${all.size},"errors_n":${errors.size},${LoadEvidence.json(loadBefore)}}""")
     spark.stop()
     // a probed query that CRASHED at scale is the worst possible scale
     // regression, not a skippable row — errors gate the exit exactly like

@@ -1796,9 +1796,13 @@ object TextOps {
     * the zero-shuffle native [[graft.functions.MinHashSig]] projection; the
     * eval side's band rows BROADCAST (benchmark suites are MBs — bounded by
     * construction, like q104's gram set), so the 100 TB corpus side never
-    * shuffles for candidate generation; only candidate pairs and their
-    * shingle hashes reach the exact-verify join (q36's verification
-    * machinery on a far smaller pair set).
+    * shuffles for candidate generation. The exact-verify stage is bounded
+    * the same way on BOTH sides: eval shingles are computed from the eval
+    * slice only (same MB bound as the bands), and corpus shingles are
+    * computed only for candidate documents (the candidate-id set broadcasts
+    * against the corpus scan), so the verify join's inputs are
+    * candidate-pair-sized, never corpus-sized — and the only caches pinned
+    * are those two bounded slices.
     */
   def neardupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).transform(Tables.fanout)
@@ -1815,15 +1819,32 @@ object TextOps {
       .join(broadcast(evalBands), Seq("band_idx", "band_sig"))
       .select(col("doc_id"), col("eval_id"))
       .dropDuplicates("doc_id", "eval_id")
-    val sh = shingleRows(spark, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .cache()
+    // eval-side shingles: derived from the eval slice ONLY (MB-bounded by
+    // the same argument as the bands) — never from the corpus-wide set
+    val evalSh = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
+      .distinct()
+      .cache()
+    // corpus-side shingles: computed only for candidate documents — the
+    // candidate-id set is small (band collisions), so it broadcasts against
+    // the corpus scan and the corpus never shuffles for verification either
+    val candSh = d.filter(col("source") =!= "src0")
+      .join(broadcast(cand.select(col("doc_id")).distinct()), Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
+      .distinct()
+      .cache()
+    val sizes  = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizesE = evalSh.groupBy(col("eval_id")).agg(count(lit(1)).as("sz_e"))
     val inter = cand
-      .join(sh, Seq("doc_id"))
-      .join(sh.select(col("doc_id").as("eval_id"), col("shash")), Seq("eval_id", "shash"))
+      .join(candSh, Seq("doc_id"))
+      .join(evalSh, Seq("eval_id", "shash"))
       .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes, Seq("doc_id"))
-      .join(sizes.select(col("doc_id").as("eval_id"), col("sz").as("sz_e")), Seq("eval_id"))
+      .join(sizesE, Seq("eval_id"))
       .filter(col("n_inter") * 2 >= col("sz") + col("sz_e") - col("n_inter"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"),

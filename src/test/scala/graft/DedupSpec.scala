@@ -351,4 +351,53 @@ class DedupSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException] { chunks("café " + base) }
     assert(ex.getMessage.contains("ASCII"))
   }
+
+  test("q143 near-dup decontamination equals driver brute force (bands ∩ Jaccard ≥ 0.5)") {
+    // The law: a corpus doc is flagged for eval doc e iff (a) at least one
+    // of its 16 LSH bands collides with e's (the candidate screen — q36's
+    // band layout) AND (b) the exact 3-shingle Jaccard is ≥ 0.5
+    // (2·|∩| ≥ |∪|, integer arithmetic). Driver twin recomputes BOTH
+    // predicates independently: signatures via MinHashSig.compute (the same
+    // native kernel, called directly), shingle sets via H48 (the q102
+    // pattern), then compares the full output frame — n_matches, min
+    // eval_id, max intersection — not just the flagged-id set.
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perms = TextOps.MinHashPerms
+    val sigs = docs.map { case (id, src, t) =>
+      val arr = graft.functions.MinHashSig.compute(
+        UTF8String.fromString(t), 3, graft.functions.PortableHash.M31, perms)
+      (id, src, (0 until arr.numElements()).map(arr.getLong).toArray)
+    }.filter(_._3.nonEmpty)
+    def bandsOf(sig: Array[Long]): Seq[(Int, String)] =
+      (0 until TextOps.Bands).map(bi =>
+        bi -> (0 until TextOps.RowsPerBand)
+          .map(k => sig(bi * TextOps.RowsPerBand + k)).mkString(":"))
+    def shingleSet(t: String): Set[Long] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(w =>
+        graft.functions.H48.hash(w.mkString(" ").getBytes("UTF-8")) % graft.functions.PortableHash.M31).toSet
+    }
+    val evalSide   = sigs.filter(_._2 == "src0")
+    val corpusSide = sigs.filter(_._2 != "src0")
+    val sh = docs.map { case (id, _, t) => id -> shingleSet(t) }.toMap
+    val verified = for {
+      (c, _, cs) <- corpusSide.toSeq
+      cb = bandsOf(cs).toSet
+      (e, _, es) <- evalSide.toSeq
+      if bandsOf(es).exists(cb.contains)                  // (a) band collision
+      inter = (sh(c) & sh(e)).size
+      if inter * 2 >= sh(c).size + sh(e).size - inter     // (b) J ≥ 0.5 exact
+    } yield (c, e, inter.toLong)
+    val expected = verified.groupBy(_._1).map { case (c, hits) =>
+      (c, hits.size.toLong, hits.map(_._2).min, hits.map(_._3).max)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.neardupDecontaminate(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    assert(expected.nonEmpty, "fixture should plant cross-source near-dups")
+  }
 }
