@@ -938,8 +938,18 @@ object SimilarityOps {
     val e = vectors(spark, dir)
     val scored = graft.operators.TextOps.lexicalScored(spark, dir)
     // the ≤batch-row embedded query table: (query_id, qv, qn), materialized
-    // once (localCheckpoint) so neither side re-runs the slice
-    val qids = scored.select(col("query_id")).distinct()
+    // once (localCheckpoint) so neither side re-runs the slice. Query ids
+    // come from the batch DEFINITION (a top-k id scan), not from the scored
+    // lists — deriving them from `scored` re-ran the whole lexical pipeline
+    // a second time (measured ~2.5 s of q142's 6.9 s warm cost), and a
+    // query's batch membership is a property of the id slice, not of
+    // whether any corpus document shares its terms (the dense retriever
+    // needs no term overlap).
+    val qids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % graft.operators.TextOps.RetrQueryMod === 0)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(graft.operators.TextOps.RetrQueryCap)
+      .select(col("doc_id").as("query_id"))
     val qv = e.join(broadcast(qids), col("vec_id") === col("query_id"))
       .select(col("query_id"), col("v").as("qv"), col("norm").as("qn"))
       .localCheckpoint()
@@ -993,7 +1003,9 @@ object SimilarityOps {
     import graft.functions.PortableHash.proundSql
     s"""$vectorsCteSql,
        |${graft.operators.TextOps.lexicalScoredCteBody},
-       |qid AS (SELECT DISTINCT query_id FROM sc),
+       |qid AS (SELECT doc_id AS query_id FROM documents
+       |        WHERE doc_id % ${graft.operators.TextOps.RetrQueryMod} = 0
+       |        ORDER BY doc_id LIMIT ${graft.operators.TextOps.RetrQueryCap}),
        |qv AS (SELECT query_id, v AS qv, norm AS qn FROM vecs JOIN qid ON vec_id = query_id),
        |lr AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
        |         ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
