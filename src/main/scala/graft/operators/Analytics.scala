@@ -503,7 +503,12 @@ object Analytics {
     * shuffles, state checkpointed per iteration so the plan stays
     * iteration-shallow (q118's Lloyd-loop pattern). Nothing driver-sized:
     * the only driver scalar is the node count. At 100 TB the edge list is
-    * bucketed by src once and every iteration's join co-locates against it.
+    * bucketed by src once and every iteration's join co-locates against it —
+    * DEMONSTRATED, not just named: BucketingSpec's q138 test runs one
+    * iteration against a src-bucketed edge table with broadcast disabled
+    * (the at-scale regime) and asserts zero src exchanges, the src exchange
+    * reappearing in the unbucketed control, and bit-identical rank values
+    * through both layouts.
     */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
