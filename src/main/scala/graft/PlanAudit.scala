@@ -442,6 +442,24 @@ object PlanAudit {
     println(s"[audit] q143 neardup decontaminate " +
       (if (q143ok) s"OK ($q143bhj broadcast joins; exchanges=${q143hashEx.mkString("{", ",", "}")})"
        else s"CHECK: bhj=$q143bhj exchanges=${q143hashEx.mkString(",")}"))
+    // q144 IVF-PQ: the corpus must never hash-exchange on a data key — the
+    // ADC stage meets the probes through a BROADCAST join on cell, the
+    // exact stage re-fetches by BROADCAST id join, and the only hash
+    // exchanges carry per-query candidate rows (query_id); both top-k
+    // windows plan partial WindowGroupLimits
+    val q144 = SparkEntry.queries("q144_ivfpq_ann")(spark, dir)
+    q144.collect()
+    val q144plan = q144.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q144hashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(q144plan).map(_.group(1)).toSet
+    val q144wgl = "WindowGroupLimit".r.findAllIn(q144plan).size
+    val q144ok = q144plan.contains("BroadcastHashJoin") &&
+      !q144plan.contains("CartesianProduct") &&
+      q144wgl >= 2 && q144hashEx.subsetOf(Set("query_id", "vec_id"))
+    println(s"[audit] q144 ivf-pq ann " +
+      (if (q144ok) s"OK (broadcast probe+fetch; $q144wgl group-limit windows; exchanges=${q144hashEx.mkString("{", ",", "}")})"
+       else s"CHECK: wgl=$q144wgl exchanges=${q144hashEx.mkString(",")}"))
     spark.stop()
   }
 }

@@ -118,6 +118,7 @@ object SparkEntry {
     "q141_table_profile"     -> (Analytics.tableProfile _),
     "q142_hybrid_retrieval"  -> (SimilarityOps.hybridRetrieval _),
     "q143_neardup_decontaminate" -> (TextOps.neardupDecontaminate _),
+    "q144_ivfpq_ann"         -> (SimilarityOps.ivfPqAnn _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1614,6 +1615,7 @@ object SparkEntry {
     "q140_holt_forecast" -> Analytics.holtForecastSql,
     "q141_table_profile" -> Analytics.tableProfileSql,
     "q142_hybrid_retrieval" -> SimilarityOps.hybridRetrievalSql,
+    "q144_ivfpq_ann" -> SimilarityOps.ivfPqAnnSql,
     "q130_sketch_rollup" -> {
       val k = graft.functions.KmvSketch.K
       val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain

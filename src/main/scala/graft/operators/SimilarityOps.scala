@@ -405,6 +405,157 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
+  /** q144 re-rank depth: ADC candidates kept per query before the exact
+    * pass. 3× the final K — the standard IVF-PQ refinement ratio: wide
+    * enough that ADC's quantization error cannot push a true top-10
+    * neighbor out of the pool, narrow enough that the exact pass touches
+    * a constant-sized candidate set per query. */
+  val IvfPqReRank = 30
+
+  /** q144: IVF-PQ ANN with exact re-rank — the composition a 100 TB vector
+    * store actually serves (Jégou et al. 2011; the FAISS IVFPQ + refine
+    * index): q55's coarse quantizer restricts each query to its
+    * [[IvfProbes]] nearest cells, q125's product quantizer ranks the
+    * in-cell candidates by integer ADC dot against 6-byte codes (no float
+    * payloads touched), and only the top-[[IvfPqReRank]] ids come back for
+    * an exact-cosine re-rank to the final top-[[RecallK]].
+    *
+    * Determinism: both codebooks are the deterministic constructions their
+    * parent queries use (first-[[IvfK]] centroids; every-[[PqTrainMod]]-th
+    * int8 training rows), ADC dots are exact int64 with id tie-breaks, and
+    * the final cosine is 6-dp-rounded — both engines rank identically.
+    *
+    * Scale shape, stage by stage: the index build (cell + codes) is ONE
+    * narrow codegen'd projection ([[graft.functions.NearestCentroid]]
+    * argmax + [[graft.functions.PqEncode]]) — zero shuffle; the ADC stage
+    * joins broadcast(query probes) into the probed cells and emits only
+    * (query_id, neighbor_id, pqdot) integer rows, so per-query work is
+    * ~nprobe/K of the corpus READ FROM 6-BYTE CODES — float vectors never
+    * enter stage 1; the per-query top-C window plans a partial
+    * WindowGroupLimit; the exact stage re-fetches AT MOST C·batch vectors
+    * by broadcast id join (the corpus never exchanges at any stage). At
+    * 100 TB the cell id is the partition key (partition-pruned probes) and
+    * the codes column is the only thing the ADC scan reads.
+    */
+  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // drop the sign-sketch bucket BEFORE the cache: q144 never probes by
+    // sketch, and column pruning then elides the 8-plane projection per
+    // vector (q125 pays it too, but its cache is shared with q91's path)
+    val e = vectors(spark, dir).drop("bucket", "label")
+      .withColumn("qv", transform(col("v"),
+        x => floor(x / col("norm") * QuantScale + 0.5).cast("long")))
+      .cache()
+    // PQ codebook: q125's deterministic training slice (64 int8 rows)
+    val trainRows = e.filter(col("vec_id") % PqTrainMod === 0)
+      .orderBy(col("vec_id")).limit(PqCodes)
+      .select(col("qv")).collect()
+    val codebook: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
+      trainRows.map(_.getSeq[Long](0).slice(m * PqL, (m + 1) * PqL).toArray)
+    }
+    // IVF coarse codebook: q55's first-K centroids
+    val cents = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
+    val (cids, cvs) = collectCodebook(cents, "cent_id", "cv")
+    val nc = graft.functions.NearestCentroid(col("v"), col("norm"), cids, cvs,
+      byCosine = true)
+    // the index: (cell, 6-byte codes) per vector — one narrow projection
+    val indexed = e.select(col("vec_id"), col("qv"), nc.as("nc"))
+      .select(col("vec_id"), col("qv"), col("nc.cluster").as("cell"))
+      .withColumn("codes", graft.functions.PqEncode(col("qv"), codebook))
+      .drop("qv")
+    // query probes: 2nd-best cells via the 10×K windowed frame (q55's form)
+    val scoredQ = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("qv"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val probes = scoredQ.withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("fqv"), col("norm").as("qn"),
+        col("qv").as("qqv"), col("cent_id").as("cell"))
+    // stage 1 — ADC inside probed cells: integer dots from codes only;
+    // nothing wider than (query_id, neighbor_id, cell, pqdot) leaves it
+    val adc = indexed
+      .join(broadcast(probes.select(col("query_id"), col("qqv"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        graft.functions.PqAdcDot(col("qqv"), col("codes"), codebook).as("pqdot"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("pqdot").desc, col("neighbor_id"))
+    val candTop = adc.withColumn("crn2", row_number().over(wAdc))
+      .filter(col("crn2") <= IvfPqReRank)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("pqdot"))
+    // stage 2 — exact re-rank: fetch ≤ C·batch float vectors by broadcast
+    // id join and rank the refined pool by 6-dp cosine
+    val fetched = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("norm").as("nn"))
+      .join(broadcast(candTop), Seq("neighbor_id"))
+      .join(broadcast(probes.select(col("query_id"), col("fqv"), col("qn"))
+        .dropDuplicates("query_id")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("pqdot"),
+        pround(dot(col("nv"), col("fqv")) / (col("nn") * col("qn")), 6).as("cosine"))
+    val wf = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    fetched.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= RecallK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+        col("pqdot"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The q144 oracle: q55's cell CTEs + q125's codebook/encode CTEs + the
+    * ADC-then-refine ranking, generated from the same constants. */
+  def ivfPqAnnSql: String = {
+    s"""$vectorsCteSql,
+       |qz AS (SELECT vec_id, v, norm,
+       |         [CAST(floor(v[i] / norm * $QuantScale + 0.5) AS BIGINT)
+       |          for i in generate_series(1, $Dim)] AS qv
+       |       FROM vecs),
+       |tr AS (SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+       |       FROM (SELECT vec_id, qv FROM qz WHERE vec_id % $PqTrainMod = 0
+       |             ORDER BY vec_id LIMIT $PqCodes)),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |cb AS (SELECT m, cid, qv[m*$PqL+1 : m*$PqL+$PqL] AS c
+       |       FROM tr CROSS JOIN ms),
+       |enc AS (SELECT vec_id, m, cid FROM (
+       |    SELECT z.vec_id, cb.m, cb.cid,
+       |      row_number() OVER (PARTITION BY z.vec_id, cb.m ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          [(z.qv[cb.m*$PqL+i] - cb.c[i]) * (z.qv[cb.m*$PqL+i] - cb.c[i])
+       |           for i in generate_series(1, $PqL)]), (a, b) -> a + b),
+       |        cb.cid) AS rn
+       |    FROM qz z CROSS JOIN cb) WHERE rn = 1),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM vecs WHERE vec_id < $IvfK),
+       |csc AS (SELECT vec_id, cent_id, ${dotSql("v", "cv")} / (norm * cn) AS ccos
+       |        FROM vecs CROSS JOIN cents),
+       |crk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+       |        FROM csc),
+       |assigned AS (SELECT vec_id, cent_id AS cell FROM crk WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS cell
+       |           FROM crk WHERE vec_id < 10 AND crn <= $IvfProbes),
+       |q AS (SELECT vec_id AS query_id, v AS fqv, norm AS qn, qv AS qqv FROM qz WHERE vec_id < 10),
+       |pool AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+       |         FROM assigned a JOIN probes p ON a.cell = p.cell
+       |         WHERE a.vec_id <> p.query_id),
+       |ad AS (SELECT pl.query_id, pl.neighbor_id, pl.cell,
+       |         CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           [q.qqv[e.m*$PqL+i] * cb.c[i] for i in generate_series(1, $PqL)]),
+       |           (a, b) -> a + b)) AS BIGINT) AS pqdot
+       |       FROM pool pl JOIN enc e ON e.vec_id = pl.neighbor_id
+       |       JOIN cb ON e.m = cb.m AND e.cid = cb.cid
+       |       JOIN q ON q.query_id = pl.query_id
+       |       GROUP BY 1, 2, 3),
+       |ct AS (SELECT query_id, neighbor_id, cell, pqdot FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY pqdot DESC, neighbor_id) AS crn2 FROM ad)
+       |       WHERE crn2 <= $IvfPqReRank),
+       |rr AS (SELECT ct.query_id, ct.neighbor_id, ct.cell, ct.pqdot,
+       |         floor((${dotSql("z.v", "q.fqv")} / (z.norm * q.qn)) * 1e6 + 0.5) / 1e6 AS cosine
+       |       FROM ct JOIN qz z ON z.vec_id = ct.neighbor_id
+       |       JOIN q ON q.query_id = ct.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM rr)
+       |SELECT query_id, rank, neighbor_id, cell, pqdot, cosine FROM r
+       |WHERE rank <= $RecallK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Fixed-point scale for q96's centroid arithmetic: components are
     * quantized to 2^-24 (≈6e-8, far below the 6dp/4dp output rounding) so
     * every aggregate — component sums, dot products, squared norms — is

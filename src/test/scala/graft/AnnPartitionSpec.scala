@@ -91,6 +91,49 @@ class AnnPartitionSpec extends SparkSpec {
       r.getAs[Long]("n_overlap") <= graft.operators.SimilarityOps.RecallK))
   }
 
+  test("q144 IVF-PQ recall@10 clears the floor and is partition-independent") {
+    import graft.operators.SimilarityOps
+    // driver brute force: exact 6-dp cosine top-10 per query (identical
+    // rounding and id tie-break to the operator's re-rank stage)
+    val rows = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val norm = rows.map { case (id, v) => id -> math.sqrt(dotp(v, v)) }.toMap
+    def pr6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val exactTop = rows.filter(_._1 < 10).map { case (q, qv) =>
+      q -> rows.filter(_._1 != q)
+        .map { case (n, nv) => (pr6(dotp(qv, nv) / (norm(q) * norm(n))), n) }
+        .sortBy { case (c, n) => (-c, n) }.take(SimilarityOps.RecallK)
+        .map(_._2).toSet
+    }.toMap
+    val got = SimilarityOps.ivfPqAnn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == exactTop.keySet, "every query must emit results")
+    byQ.foreach { case (_, g) => assert(g.length == SimilarityOps.RecallK) }
+    val recalls = exactTop.map { case (q, ex) =>
+      byQ(q).map(_._2).toSet.intersect(ex).size.toDouble / SimilarityOps.RecallK
+    }
+    val avg = recalls.sum / recalls.size
+    // measured 0.73 at sf0.001 with nprobe=2/16 cells and 30-deep re-rank;
+    // the floor is the accept/reject gate — an ADC or cell-assignment bug
+    // craters recall long before it reaches 0.5
+    assert(avg >= 0.5, s"IVF-PQ recall@10 below floor: $avg")
+    // every ranking key is exact int64 or 6-dp-rounded, so the result is
+    // identical at any partitioning
+    def run(parts: Int): Seq[org.apache.spark.sql.Row] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s.conf.set("graft.fanout.enabled", (parts > 1).toString)
+      SimilarityOps.ivfPqAnn(s, sf001).collect().toSeq
+    }
+    assert(run(1) == run(32), "ivfPqAnn drifted with partition count")
+  }
+
   test("k-means training loop is partition-independent and conserves the corpus") {
     def train(parts: Int): Seq[org.apache.spark.sql.Row] = {
       val s = spark.newSession()
