@@ -74,7 +74,8 @@ object ScaleBench {
     "q138_pagerank", "q139_lexical_retrieval", "q140_holt_forecast",
     "q141_table_profile",
     // round-10 additions
-    "q142_hybrid_retrieval", "q143_neardup_decontaminate", "q144_ivfpq_ann")
+    "q142_hybrid_retrieval", "q143_neardup_decontaminate", "q144_ivfpq_ann",
+    "q145_stream_topk")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

@@ -119,6 +119,7 @@ object SparkEntry {
     "q142_hybrid_retrieval"  -> (SimilarityOps.hybridRetrieval _),
     "q143_neardup_decontaminate" -> (TextOps.neardupDecontaminate _),
     "q144_ivfpq_ann"         -> (SimilarityOps.ivfPqAnn _),
+    "q145_stream_topk"       -> (EventsStream.streamingTopK _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1616,6 +1617,14 @@ object SparkEntry {
     "q141_table_profile" -> Analytics.tableProfileSql,
     "q142_hybrid_retrieval" -> SimilarityOps.hybridRetrievalSql,
     "q144_ivfpq_ann" -> SimilarityOps.ivfPqAnnSql,
+    "q145_stream_topk" ->
+      s"""SELECT event_type, rank, event_id, user_id, value FROM (
+         |  SELECT event_type, event_id, user_id, value,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
+         |  FROM events)
+         |WHERE rank <= ${graft.streaming.EventsStream.TopkK}
+         |ORDER BY event_type, rank""".stripMargin,
     "q130_sketch_rollup" -> {
       val k = graft.functions.KmvSketch.K
       val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain

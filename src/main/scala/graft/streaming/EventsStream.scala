@@ -537,4 +537,96 @@ object EventsStream {
       .select(col("day"), col("kmv_users"))
       .orderBy(col("day"))
   }
+
+  /** q145 leaderboard depth. */
+  val TopkK = 10
+
+  /** Merge one micro-batch into the per-event_type top-[[TopkK]] leaderboard
+    * target — the incremental form of q15's batch top-k. Correctness rests
+    * on top-k's exact decomposability: topk(A ∪ B) = topk(topk(A) ∪ topk(B))
+    * (row-selection by a total order — (value desc, event_id) is total, so
+    * no tie can make the reduced merge diverge from the full one;
+    * IncrementalReplaySpec pins the law directly). The batch is therefore
+    * pre-reduced to ITS OWN top-k per group before touching the target: the
+    * merge reads ≤ 2k rows per group no matter how large the batch or how
+    * long the stream has run. `dropDuplicates(event_id)` makes a replayed
+    * micro-batch a no-op (idempotent under at-least-once redelivery, the
+    * same contract as [[upsertBatch]]'s newest-wins).
+    */
+  private[graft] def topkMergeBatch(target: String, k: Int)(batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = batch.sparkSession
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val batchTop = batch.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val existing =
+      try sp.read.parquet(target)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          batchTop.schema) }
+    val merged = existing.unionByName(batchTop).drop("rank")
+      .dropDuplicates("event_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val staging = target + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    sp.read.parquet(staging).write.mode("overwrite").parquet(target)
+  }
+
+  /** q145: streaming top-k — the per-event_type top-[[TopkK]] events by
+    * value as a continuously-maintained leaderboard (q15's batch top-k /
+    * q139's per-query rank lists, kept current over a stream — the
+    * "trending now" materialization every event pipeline serves). Each
+    * micro-batch pre-reduces to its own top-k (a partial WindowGroupLimit
+    * batch-side) and merges into the keyed parquet target through
+    * [[topkMergeBatch]] — the q132 foreachBatch-upsert machinery with
+    * top-k's decomposability supplying exactness.
+    *
+    * Why NO aggregation-state watermark: top-k over all history is exactly
+    * decomposable, so the TARGET is the only state the operator needs —
+    * per-batch work is (batch top-k) + (≤2k-row merge per group),
+    * independent of stream length. The watermark here guards the one thing
+    * that does need engine state: `dropDuplicatesWithinWatermark(event_id)`
+    * protects the leaderboard from at-least-once redelivery (a duplicate
+    * event would occupy two of the k slots), and its dedup state is
+    * evicted past the horizon — bounded, unlike an unwatermarked
+    * `dropDuplicates` whose key set grows with the stream.
+    *
+    * Determinism: ranking is by (value desc, event_id) — a total order on
+    * immutable event rows — so the final target equals the batch top-k
+    * bit-for-bit however the stream is sliced (the oracle is q15's shape
+    * over events).
+    */
+  def streamingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val parent = java.nio.file.Paths.get("/tmp/graft_topk_upsert")
+    java.nio.file.Files.createDirectories(parent)
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.lastModified() < cutoff)
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(d)
+      }
+    val target = java.nio.file.Files.createTempDirectory(parent, "run").toString
+    val stream = Tables.eventsStream(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", AppendDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+    withStatePartitions(spark) {
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          topkMergeBatch(target, TopkK)(batch)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(target)
+      .select(col("event_type"), col("rank").cast("long").as("rank"),
+        col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
 }

@@ -440,6 +440,66 @@ class IncrementalReplaySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("q145 top-k leaderboard merges across batches to the batch top-k, idempotently") {
+    // q145's claim, all three parts: (1) the 4-slice foreachBatch merge
+    // through the PRODUCTION topkMergeBatch converges to the batch top-k
+    // bit-for-bit (top-k decomposability: topk(A ∪ B) = topk(topk(A) ∪
+    // topk(B)) under the (value desc, event_id) total order); (2) a
+    // REPLAYED micro-batch is a no-op (at-least-once redelivery safety —
+    // the event_id dedup inside the merge); (3) the leaderboard was
+    // genuinely built incrementally, not in one batch.
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.DataFrame
+    val target = java.nio.file.Files.createTempDirectory("inc_topk").toString
+    // materialize each batch's rows OUTSIDE the query's lifetime (a lazily
+    // persisted batch frame references stream-temp state that dies with
+    // q.stop()) so the redelivery replay below reads real data
+    val lastDir = java.nio.file.Files.createTempDirectory("inc_topk_last").toString
+    var sawBatch = false
+    val q = streamEvents
+      .withWatermark("ts", EventsStream.AppendDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        EventsStream.topkMergeBatch(target, EventsStream.TopkK)(batch)
+        if (!batch.isEmpty) {
+          batch.write.mode("overwrite").parquet(lastDir)
+          sawBatch = true
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 4, s"expected >=4 non-empty micro-batches, saw $nBatches")
+    def snap(): Seq[(String, Long, Long, Long, Double)] =
+      spark.read.parquet(target)
+        .select(col("event_type"), col("rank").cast("long"), col("event_id"),
+          col("user_id"), col("value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq.sortBy(t => (t._1, t._2))
+    val streamed = snap()
+    // the batch truth: q15's shape over the whole events table
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    val batchTop = Tables.events(spark, sf001)
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= EventsStream.TopkK)
+      .select(col("event_type"), col("rank"), col("event_id"), col("user_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sortBy(t => (t._1, t._2))
+    assert(streamed == batchTop, "incremental leaderboard must equal batch top-k")
+    // redelivery: merging the final micro-batch AGAIN must not move the board
+    assert(sawBatch, "no non-empty batch captured for the redelivery replay")
+    EventsStream.topkMergeBatch(target, EventsStream.TopkK)(
+      spark.read.parquet(lastDir))
+    assert(snap() == batchTop, "a replayed micro-batch must be a merge no-op")
+  }
+
   test("flatMapGroupsWithState user state is bit-identical under RocksDBStateStoreProvider") {
     // completes the state-tier trilogy: windowed aggregate (r7), stream-
     // stream interval join (this round), and now ENCODER-SERIALIZED custom
