@@ -1578,38 +1578,52 @@ object SparkEntry {
     "q137_source_overlap" -> {
       val k = graft.functions.KmvSketch.K
       val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain
-      s"""WITH tw AS (SELECT source, ${PortableHash.tokensSql("lower(text)")} AS w FROM documents),
-         |t AS (SELECT source, unnest(${PortableHash.shinglesSql("w")}) AS s3 FROM tw),
-         |h AS (SELECT source, ${PortableHash.h48Sql("s3")} AS uh FROM t),
-         |d AS (SELECT DISTINCT source, uh FROM h),
-         |sk AS (SELECT source, list_sort(list_distinct(list(uh)))[1:$k] AS ks FROM d GROUP BY source),
-         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
-         |pr AS (SELECT a.source AS source_a, b.source AS source_b, a.ks AS ka, b.ks AS kb
-         |       FROM sk a JOIN sk b ON a.source < b.source),
-         |m AS (SELECT source_a, source_b, ka, kb,
-         |        list_sort(list_distinct(list_concat(ka, kb))) AS mg FROM pr),
-         |e AS (SELECT source_a, source_b,
-         |        CAST(LEAST(len(mg), $k) AS BIGINT) AS keff,
-         |        CAST(len(list_filter(mg[1:$k],
-         |          v -> list_contains(ka, v) AND list_contains(kb, v))) AS BIGINT) AS k_overlap,
-         |        CASE WHEN len(mg) < $k THEN CAST(len(mg) AS BIGINT)
-         |             ELSE CAST($numer // mg[$k] AS BIGINT) END AS est_union
-         |      FROM m),
-         |xi AS (SELECT a.source AS source_a, b.source AS source_b,
-         |         CAST(count(*) AS BIGINT) AS xinter
-         |       FROM d a JOIN d b ON a.uh = b.uh AND a.source < b.source GROUP BY 1, 2)
-         |SELECT e.source_a, e.source_b, e.k_overlap, e.est_union,
-         |  CAST((e.k_overlap * e.est_union) // e.keff AS BIGINT) AS est_intersection,
-         |  CAST(za.n + zb.n - coalesce(xi.xinter, 0) AS BIGINT) AS exact_union,
-         |  CAST(coalesce(xi.xinter, 0) AS BIGINT) AS exact_intersection,
-         |  ${PortableHash.proundSql("e.k_overlap * 1.0 / e.keff", 6)} AS jaccard_est,
-         |  ${PortableHash.proundSql(
-             "coalesce(xi.xinter, 0) * 1.0 / (za.n + zb.n - coalesce(xi.xinter, 0))", 6)} AS jaccard_exact
-         |FROM e
-         |JOIN sz za ON za.source = e.source_a
-         |JOIN sz zb ON zb.source = e.source_b
-         |LEFT JOIN xi ON xi.source_a = e.source_a AND xi.source_b = e.source_b
-         |ORDER BY e.source_a, e.source_b""".stripMargin
+      // resolve the audit conf at render time (the q41 bandsCteSql pattern)
+      // so the oracle mirrors whichever form the session computes
+      val audit = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .exists(Analytics.overlapAuditOn)
+      val shared =
+        s"""WITH tw AS (SELECT source, ${PortableHash.tokensSql("lower(text)")} AS w FROM documents),
+           |t AS (SELECT source, unnest(${PortableHash.shinglesSql("w")}) AS s3 FROM tw),
+           |h AS (SELECT source, ${PortableHash.h48Sql("s3")} AS uh FROM t),
+           |d AS (SELECT DISTINCT source, uh FROM h),
+           |sk AS (SELECT source, list_sort(list_distinct(list(uh)))[1:$k] AS ks FROM d GROUP BY source),
+           |pr AS (SELECT a.source AS source_a, b.source AS source_b, a.ks AS ka, b.ks AS kb
+           |       FROM sk a JOIN sk b ON a.source < b.source),
+           |m AS (SELECT source_a, source_b, ka, kb,
+           |        list_sort(list_distinct(list_concat(ka, kb))) AS mg FROM pr),
+           |e AS (SELECT source_a, source_b,
+           |        CAST(LEAST(len(mg), $k) AS BIGINT) AS keff,
+           |        CAST(len(list_filter(mg[1:$k],
+           |          v -> list_contains(ka, v) AND list_contains(kb, v))) AS BIGINT) AS k_overlap,
+           |        CASE WHEN len(mg) < $k THEN CAST(len(mg) AS BIGINT)
+           |             ELSE CAST($numer // mg[$k] AS BIGINT) END AS est_union
+           |      FROM m)""".stripMargin
+      if (!audit)
+        s"""$shared
+           |SELECT e.source_a, e.source_b, e.k_overlap, e.est_union,
+           |  CAST((e.k_overlap * e.est_union) // e.keff AS BIGINT) AS est_intersection,
+           |  ${PortableHash.proundSql("e.k_overlap * 1.0 / e.keff", 6)} AS jaccard_est
+           |FROM e ORDER BY e.source_a, e.source_b""".stripMargin
+      else
+        s"""$shared,
+           |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+           |xi AS (SELECT a.source AS source_a, b.source AS source_b,
+           |         CAST(count(*) AS BIGINT) AS xinter
+           |       FROM d a JOIN d b ON a.uh = b.uh AND a.source < b.source GROUP BY 1, 2)
+           |SELECT e.source_a, e.source_b, e.k_overlap, e.est_union,
+           |  CAST((e.k_overlap * e.est_union) // e.keff AS BIGINT) AS est_intersection,
+           |  CAST(za.n + zb.n - coalesce(xi.xinter, 0) AS BIGINT) AS exact_union,
+           |  CAST(coalesce(xi.xinter, 0) AS BIGINT) AS exact_intersection,
+           |  ${PortableHash.proundSql("e.k_overlap * 1.0 / e.keff", 6)} AS jaccard_est,
+           |  ${PortableHash.proundSql(
+               "coalesce(xi.xinter, 0) * 1.0 / (za.n + zb.n - coalesce(xi.xinter, 0))", 6)} AS jaccard_exact
+           |FROM e
+           |JOIN sz za ON za.source = e.source_a
+           |JOIN sz zb ON zb.source = e.source_b
+           |LEFT JOIN xi ON xi.source_a = e.source_a AND xi.source_b = e.source_b
+           |ORDER BY e.source_a, e.source_b""".stripMargin
     },
     "q138_pagerank" -> Analytics.pageRankSql,
     "q139_lexical_retrieval" -> TextOps.lexicalRetrievalSql,

@@ -762,19 +762,36 @@ object Analytics {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** Whether q137 carries the exact-intersection audit columns. DEFAULT
+    * OFF: the estimator is the ship — at any real scale the exact
+    * cross-source intersection is precisely the corpus-sized
+    * distinct+self-join the sketch exists to avoid, so the default plan is
+    * one exchange of ≤K-long partial buffers straight off the token
+    * stream. The audit form (conf `true`) materializes the distinct
+    * (source, uh) set, rides the sketch on that same exchange
+    * (bit-identical estimator values — KMV insert has distinct-set
+    * semantics; AnalyticsSpec asserts it), and appends
+    * exact_union/exact_intersection/jaccard_exact. The oracle resolves the
+    * same conf at render time (the q41 `bandsCteSql` pattern), so either
+    * form is hash-checked.
+    */
+  private[graft] def overlapAuditOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.overlap.exactAudit").exists(_.toBoolean)
+
   def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
     val K = graft.functions.KmvSketch.K
     val numer = (K - 1).toLong * graft.functions.KmvSketch.Domain
     val kmvBuf = udaf(graft.functions.KmvBuffer)
     def tok = sourceShingleHashes(spark, dir)
-    // the audit's distinct (source, uh) set is materialized anyway at
-    // harness SFs, and KMV insert has distinct-set semantics — so the
-    // sketch aggregate rides the SAME exchange (bit-identical to sketching
-    // the raw stream; at production scale, where the audit is dropped, the
-    // sketch runs straight off `tok` with its map-side partial buffers)
-    val dd = tok.distinct().localCheckpoint()
+    val audit = overlapAuditOn(spark)
+    // audit mode: the distinct (source, uh) set is materialized for the
+    // exact intersection anyway, so the sketch rides ITS exchange;
+    // default: the sketch aggregates the raw token stream directly —
+    // map-side ≤K-long partial buffers are all that ever shuffles
+    val ddOpt = if (audit) Some(tok.distinct().localCheckpoint()) else None
     // S rows of ≤K longs — the only state the pairwise stage touches
-    val sk = dd.groupBy(col("source")).agg(kmvBuf(col("uh")).as("ks"))
+    val sk = ddOpt.getOrElse(tok)
+      .groupBy(col("source")).agg(kmvBuf(col("uh")).as("ks"))
       .localCheckpoint()
     val ska = sk.select(col("source").as("source_a"), col("ks").as("ka"))
     val skb = sk.select(col("source").as("source_b"), col("ks").as("kb"))
@@ -787,25 +804,32 @@ object Analytics {
       .withColumn("est_union", when(size(col("mg")) < K, size(col("mg")).cast("long"))
         .otherwise(expr(s"${numer}L div element_at(mg, $K)")))
       .withColumn("est_intersection", expr("(k_overlap * est_union) div keff"))
-    // exact audit (dropped at production scale; the estimator is the ship)
-    val sizes = dd.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val xinter = dd.select(col("source").as("source_a"), col("uh"))
-      .join(dd.select(col("source").as("source_b"), col("uh")), "uh")
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("xi"))
-    est
-      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
-      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
-      .join(xinter, Seq("source_a", "source_b"), "left")
-      .withColumn("exact_intersection", coalesce(col("xi"), lit(0L)))
-      .withColumn("exact_union", col("na") + col("nb") - col("exact_intersection"))
-      .select(col("source_a"), col("source_b"), col("k_overlap"),
-        col("est_union"), col("est_intersection"),
-        col("exact_union"), col("exact_intersection"),
-        pround(col("k_overlap") * lit(1.0) / col("keff"), 6).as("jaccard_est"),
-        pround(col("exact_intersection") * lit(1.0) / col("exact_union"), 6)
-          .as("jaccard_exact"))
-      .orderBy(col("source_a"), col("source_b"))
+    ddOpt match {
+      case None =>
+        est.select(col("source_a"), col("source_b"), col("k_overlap"),
+            col("est_union"), col("est_intersection"),
+            pround(col("k_overlap") * lit(1.0) / col("keff"), 6).as("jaccard_est"))
+          .orderBy(col("source_a"), col("source_b"))
+      case Some(dd) =>
+        val sizes = dd.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val xinter = dd.select(col("source").as("source_a"), col("uh"))
+          .join(dd.select(col("source").as("source_b"), col("uh")), "uh")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("xi"))
+        est
+          .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+          .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+          .join(xinter, Seq("source_a", "source_b"), "left")
+          .withColumn("exact_intersection", coalesce(col("xi"), lit(0L)))
+          .withColumn("exact_union", col("na") + col("nb") - col("exact_intersection"))
+          .select(col("source_a"), col("source_b"), col("k_overlap"),
+            col("est_union"), col("est_intersection"),
+            col("exact_union"), col("exact_intersection"),
+            pround(col("k_overlap") * lit(1.0) / col("keff"), 6).as("jaccard_est"),
+            pround(col("exact_intersection") * lit(1.0) / col("exact_union"), 6)
+              .as("jaccard_exact"))
+          .orderBy(col("source_a"), col("source_b"))
+    }
   }
 }

@@ -450,11 +450,22 @@ class AnalyticsSpec extends SparkSpec {
       (sa, sb, kOverlap, estUnion, estInter, xUnion, xInter,
         p6(kOverlap * 1.0 / keff), p6(xInter * 1.0 / xUnion))
     }).sortBy(t => (t._1, t._2))
-    val got = Analytics.sourceOverlapKmv(spark, sf001).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8)))
-      .toSeq
+    spark.conf.set("graft.overlap.exactAudit", "true")
+    val got =
+      try Analytics.sourceOverlapKmv(spark, sf001).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8)))
+        .toSeq
+      finally spark.conf.unset("graft.overlap.exactAudit")
     assert(got == expected, s"first diff: ${got.zip(expected).find(x => x._1 != x._2)}")
+    // the DEFAULT (no-audit) form sketches the raw token stream instead of
+    // the materialized distinct set — KMV insert has distinct-set
+    // semantics, so its estimator columns must be BIT-IDENTICAL
+    val ship = Analytics.sourceOverlapKmv(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(ship == got.map(t => (t._1, t._2, t._3, t._4, t._5, t._8)),
+      "default estimator diverged from the audit form's estimator columns")
     // the fixture must exercise the ESTIMATOR branch (union > K), not just
     // the degenerate exact branch — otherwise this law proves nothing about
     // the kth-min arithmetic
