@@ -460,6 +460,20 @@ object PlanAudit {
     println(s"[audit] q144 ivf-pq ann " +
       (if (q144ok) s"OK (broadcast probe+fetch; $q144wgl group-limit windows; exchanges=${q144hashEx.mkString("{", ",", "}")})"
        else s"CHECK: wgl=$q144wgl exchanges=${q144hashEx.mkString(",")}"))
+    // q146 drift: the corpus contributes COUNTING ONLY — one partial-
+    // aggregated (dim, bin) hash cube; every hash exchange carries cube or
+    // grid keys, never a corpus row key
+    val q146 = SparkEntry.queries("q146_embedding_drift")(spark, dir)
+    q146.collect()
+    val q146plan = q146.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q146hashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(q146plan).map(_.group(1)).toSet
+    val q146ok = q146plan.contains("HashAggregate") && q146plan.contains("partial_sum") &&
+      q146hashEx.subsetOf(Set("dim_idx", "bin"))
+    println(s"[audit] q146 embedding drift " +
+      (if (q146ok) s"OK (partial-agg count cube; exchanges=${q146hashEx.mkString("{", ",", "}")})"
+       else s"CHECK: exchanges=${q146hashEx.mkString(",")}"))
     spark.stop()
   }
 }

@@ -75,7 +75,7 @@ object ScaleBench {
     "q141_table_profile",
     // round-10 additions
     "q142_hybrid_retrieval", "q143_neardup_decontaminate", "q144_ivfpq_ann",
-    "q145_stream_topk")
+    "q145_stream_topk", "q146_embedding_drift")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

@@ -120,6 +120,7 @@ object SparkEntry {
     "q143_neardup_decontaminate" -> (TextOps.neardupDecontaminate _),
     "q144_ivfpq_ann"         -> (SimilarityOps.ivfPqAnn _),
     "q145_stream_topk"       -> (EventsStream.streamingTopK _),
+    "q146_embedding_drift"   -> (SimilarityOps.embeddingDrift _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1631,6 +1632,7 @@ object SparkEntry {
     "q141_table_profile" -> Analytics.tableProfileSql,
     "q142_hybrid_retrieval" -> SimilarityOps.hybridRetrievalSql,
     "q144_ivfpq_ann" -> SimilarityOps.ivfPqAnnSql,
+    "q146_embedding_drift" -> SimilarityOps.embeddingDriftSql,
     "q145_stream_topk" ->
       s"""SELECT event_type, rank, event_id, user_id, value FROM (
          |  SELECT event_type, event_id, user_id, value,

@@ -556,6 +556,118 @@ object SimilarityOps {
        |WHERE rank <= $RecallK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q146 drift geometry: fixed-width bins over the embedding component
+    * range, Laplace-smoothed PSI with the industry 0.1 moderate-shift
+    * threshold. Fixed bins (not per-slice quantiles) keep the statistic a
+    * pure counting aggregate — deterministic, mergeable, and identical in
+    * the oracle. */
+  val DriftBins = 8
+  val DriftBinWidth = 0.25 // bins tile [-1, 1]; components clamp into [0, 7]
+  val DriftPsiThreshold = 0.1
+
+  /** q146: embedding drift detection — per-dimension population stability
+    * index (PSI) plus exact total-variation distance between a REFERENCE
+    * corpus slice and a CANDIDATE slice (here: even vs odd labels — two
+    * different topical mixes, the shape of comparing last month's crawl
+    * snapshot against this month's). This is the distribution-shift
+    * monitor every production training pipeline runs before admitting a
+    * new data batch: a dimension whose PSI crosses
+    * [[DriftPsiThreshold]] means the new slice's embedding geometry moved
+    * and downstream ANN/cluster assignments trained on the reference are
+    * stale.
+    *
+    * Determinism: binning is exact double arithmetic (floor of a linear
+    * map, clamped — identical FP ops both engines); counts are integers;
+    * PSI folds its 8 Laplace-smoothed bin terms IN BIN ORDER through a
+    * sequential left-fold (same add sequence both engines, the q140
+    * discipline), and the TV numerator is EXACT integer arithmetic
+    * (Σ|ca·n_cand − cb·n_ref|) divided once at the end.
+    *
+    * Scale shape: one narrow posexplode projection → ONE hash aggregate on
+    * (dim, bin) — 512 groups with map-side partials, so the corpus
+    * contributes counting only and nothing wider than (dim, bin) ever
+    * shuffles; the grid join, per-dim folds and threshold verdicts touch
+    * 512/64 rows. At 100 TB this is the cheapest possible full-corpus
+    * statistic (a pure count cube), and the reference slice's histogram
+    * would be a precomputed 512-row table.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(spark,
+      Tables.embeddings(spark, dir)
+        .transform(Tables.fanout)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("slice", when(col("label") % 2 === 0, lit("ref")).otherwise(lit("cand"))))
+
+  /** Core of q146 over any (slice, v) frame — split out so the spec can
+    * drive the drifted=true verdict on a planted-shift fixture (the
+    * harness corpus's even/odd-label mix tops out at PSI ≈ 0.067, below
+    * the 0.1 threshold). */
+  private[graft] def embeddingDriftOf(spark: SparkSession, e: DataFrame): DataFrame = {
+    val binned = e.select(col("slice"), posexplode(col("v")))
+      .select(col("slice"), col("pos").cast("long").as("dim_idx"),
+        least(greatest(floor((col("col") + 1.0) / DriftBinWidth), lit(0.0)),
+          lit((DriftBins - 1).toDouble)).cast("long").as("bin"))
+    val counts = binned.groupBy(col("dim_idx"), col("bin"))
+      .agg(sum(when(col("slice") === "ref", 1L).otherwise(0L)).as("ca"),
+           sum(when(col("slice") =!= "ref", 1L).otherwise(0L)).as("cb"))
+    // full (dim × bin) grid: unoccupied bins still carry a Laplace term
+    // when the slice sizes differ, so they must exist as zero rows
+    val grid = spark.range(Dim).select(col("id").as("dim_idx"))
+      .crossJoin(spark.range(DriftBins).select(col("id").as("bin")))
+      .join(counts, Seq("dim_idx", "bin"), "left")
+      .select(col("dim_idx"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+    val perDim = grid.groupBy(col("dim_idx"))
+      .agg(sort_array(collect_list(struct(col("bin"), col("ca"), col("cb")))).as("bins"),
+           sum(col("ca")).as("n_ref"), sum(col("cb")).as("n_cand"))
+    val pa = (x: Column) => (x.getField("ca") + 1.0) / (col("n_ref") + DriftBins)
+    val pb = (x: Column) => (x.getField("cb") + 1.0) / (col("n_cand") + DriftBins)
+    perDim
+      .withColumn("psi", pround(aggregate(col("bins"), lit(0.0),
+        (acc, x) => acc + (pa(x) - pb(x)) * log(pa(x) / pb(x))), 6))
+      .withColumn("tv_num", aggregate(col("bins"), lit(0L),
+        (acc, x) => acc + abs(x.getField("ca") * col("n_cand") - x.getField("cb") * col("n_ref"))))
+      .select(col("dim_idx"), col("n_ref"), col("n_cand"), col("psi"),
+        pround(col("tv_num") * lit(1.0) / (col("n_ref") * col("n_cand") * 2.0), 6).as("tv"),
+        (col("psi") >= DriftPsiThreshold).as("drifted"))
+      .orderBy(col("dim_idx"))
+  }
+
+  /** The q146 oracle: the same count cube, grid, and in-order folds. */
+  def embeddingDriftSql: String = {
+    val bMax = DriftBins - 1
+    s"""WITH e AS (SELECT CASE WHEN label % 2 = 0 THEN 'ref' ELSE 'cand' END AS slice,
+       |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(0, ${Dim - 1})) AS dim_idx),
+       |bs AS (SELECT unnest(generate_series(0, $bMax)) AS bin),
+       |bn AS (SELECT slice, d.dim_idx,
+       |         LEAST(GREATEST(CAST(floor((v[CAST(d.dim_idx AS INT) + 1] + 1.0) / $DriftBinWidth) AS BIGINT), 0), $bMax) AS bin
+       |       FROM e CROSS JOIN dims d),
+       |ct AS (SELECT dim_idx, bin,
+       |         CAST(sum(CASE WHEN slice = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |         CAST(sum(CASE WHEN slice = 'cand' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |       FROM bn GROUP BY 1, 2),
+       |grid AS (SELECT d.dim_idx, b.bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |         FROM dims d CROSS JOIN bs b LEFT JOIN ct USING (dim_idx, bin)),
+       |pd AS (SELECT dim_idx,
+       |         list([ca, cb] ORDER BY bin) AS bins,
+       |         CAST(sum(ca) AS BIGINT) AS n_ref, CAST(sum(cb) AS BIGINT) AS n_cand
+       |       FROM grid GROUP BY 1),
+       |ps AS (SELECT dim_idx, n_ref, n_cand,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           [((x[1] + 1.0) / (n_ref + $DriftBins) - (x[2] + 1.0) / (n_cand + $DriftBins))
+       |              * ln(((x[1] + 1.0) / (n_ref + $DriftBins)) / ((x[2] + 1.0) / (n_cand + $DriftBins)))
+       |            for x in bins]), (a, b) -> a + b) AS psi_raw,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           [abs(x[1] * n_cand - x[2] * n_ref) for x in bins]), (a, b) -> a + b) AS tv_num
+       |       FROM pd)
+       |SELECT dim_idx, n_ref, n_cand,
+       |  ${graft.functions.PortableHash.proundSql("psi_raw", 6)} AS psi,
+       |  ${graft.functions.PortableHash.proundSql("tv_num * 1.0 / (n_ref * n_cand * 2.0)", 6)} AS tv,
+       |  ${graft.functions.PortableHash.proundSql("psi_raw", 6)} >= $DriftPsiThreshold AS drifted
+       |FROM ps ORDER BY dim_idx""".stripMargin
+  }
+
   /** Fixed-point scale for q96's centroid arithmetic: components are
     * quantized to 2^-24 (≈6e-8, far below the 6dp/4dp output rounding) so
     * every aggregate — component sums, dot products, squared norms — is

@@ -547,4 +547,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.map(_._1) == cols.sorted)
   }
+
+  test("q146 embedding drift equals a driver PSI/TV twin; planted shift trips the verdict") {
+    import graft.operators.SimilarityOps
+    import SimilarityOps.{DriftBins, DriftBinWidth, DriftPsiThreshold}
+    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // driver twin over any (slice -> vectors) split, folding bin terms in
+    // bin order exactly like the operator
+    def twin(slices: Map[String, Seq[Array[Double]]]): Seq[(Long, Long, Long, Double, Double, Boolean)] = {
+      val ref = slices("ref"); val cand = slices("cand")
+      def bin(x: Double): Int =
+        math.min(math.max(math.floor((x + 1.0) / DriftBinWidth), 0.0), (DriftBins - 1).toDouble).toInt
+      (0 until SimilarityOps.Dim).map { d =>
+        val ca = Array.fill(DriftBins)(0L); val cb = Array.fill(DriftBins)(0L)
+        ref.foreach(v => ca(bin(v(d))) += 1)
+        cand.foreach(v => cb(bin(v(d))) += 1)
+        val nA = ref.size.toLong; val nB = cand.size.toLong
+        var psi = 0.0; var tvNum = 0L
+        for (b <- 0 until DriftBins) {
+          val pa = (ca(b) + 1.0) / (nA + DriftBins)
+          val pb = (cb(b) + 1.0) / (nB + DriftBins)
+          psi += (pa - pb) * math.log(pa / pb)
+          tvNum += math.abs(ca(b) * nB - cb(b) * nA)
+        }
+        (d.toLong, nA, nB, p6(psi), p6(tvNum * 1.0 / (nA * nB * 2.0)), p6(psi) >= DriftPsiThreshold)
+      }
+    }
+    // law 1: the shipped query equals the twin on the real corpus split
+    val rows = Tables.embeddings(spark, sf001)
+      .select(col("label").cast("long"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val corpus = Map(
+      "ref" -> rows.filter(_._1 % 2 == 0).map(_._2).toSeq,
+      "cand" -> rows.filter(_._1 % 2 != 0).map(_._2).toSeq)
+    val got = SimilarityOps.embeddingDrift(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == twin(corpus), "drift table must equal the driver twin")
+    // law 2: a planted mean shift on dims 0-3 must trip drifted=true there
+    // and ONLY there (unshifted dims share one distribution)
+    import spark.implicits._
+    val base = (0 until 400).map { i =>
+      Array.tabulate(SimilarityOps.Dim)(d => ((i * 31 + d * 7) % 16) / 16.0 * 0.4 - 0.2)
+    }
+    val shifted = base.map { v =>
+      val w = v.clone(); for (d <- 0 until 4) w(d) = w(d) + 0.6; w
+    }
+    val planted = Map("ref" -> base, "cand" -> shifted.toSeq)
+    val df = (base.map(("ref", _)) ++ shifted.map(("cand", _))).toDF("slice", "v")
+    val gotP = SimilarityOps.embeddingDriftOf(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(gotP == twin(planted), "planted-shift drift table must equal the twin")
+    val flagged = gotP.filter(_._6).map(_._1).toSet
+    assert(flagged == Set(0L, 1L, 2L, 3L),
+      s"exactly the shifted dims must trip the PSI threshold: $flagged")
+  }
 }
