@@ -24,10 +24,16 @@ private[graft] object LoadEvidence {
     val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
   }
-  /** The full evidence object for a run that started at `before` loadavg. */
-  def json(before: String): String = {
+  /** The full evidence object for a run that started at `before` loadavg.
+    * `gcAtStart` is the (count, ms) snapshot taken when the MEASURED phase
+    * began (after data load + JIT warm-up): the cumulative totals alone
+    * overstate bench-phase collector time by the warm-up's share, which is
+    * exactly the number a weather dispute needs to be clean. Cumulative
+    * totals are kept alongside for continuity with earlier artifacts. */
+  def json(before: String, gcAtStart: (Long, Long) = (0L, 0L)): String = {
     val (gcN, gcMs) = gc
-    s""""load":{"loadavg_before":$before,"loadavg_after":$loadavg,"gc_count":$gcN,"gc_ms":$gcMs}"""
+    val (gcN0, gcMs0) = gcAtStart
+    s""""load":{"loadavg_before":$before,"loadavg_after":$loadavg,"gc_count":$gcN,"gc_ms":$gcMs,"gc_count_bench":${gcN - gcN0},"gc_ms_bench":${gcMs - gcMs0}}"""
   }
 }
 
@@ -53,6 +59,10 @@ object Bench {
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+    // GC baseline at the top of the MEASURED phase: warm-up collections
+    // (data load + JIT) must not count against the bench-phase gc_ms the
+    // load stamp exists to report
+    val gcAtBenchStart = LoadEvidence.gc
     // Two timed passes, per-query MINIMUM: single-pass numbers swing ±10-30%
     // (GC/JIT-deopt/page-cache luck), and the min of two cold-cache runs is
     // a steadier estimate of steady-state cost (each pass still pays its
@@ -130,7 +140,7 @@ object Bench {
       s"\"$k\":{\"in_sequence\":$a,\"isolated\":$b}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"heavies":$hv,"errors":$errs,${LoadEvidence.json(loadBefore)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"heavies":$hv,"errors":$errs,${LoadEvidence.json(loadBefore, gcAtBenchStart)},"sf":"$sfDir"}""")
     // The driver's artifact keeps only the TAIL of stdout, which truncates
     // the front-loaded total off the big line above (every r2–r7 BENCH
     // artifact has `parsed: null`). A second, tiny trailing line survives
@@ -139,7 +149,7 @@ object Bench {
     // keyed on it (renaming risks parsed:null again); `"tail":true` is the
     // discriminator for consumers that need to tell the twins apart — the
     // value is identical on both lines by construction either way.
-    println(s"""{"metric":"total","tail":true,"value":$total,"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},${LoadEvidence.json(loadBefore)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","tail":true,"value":$total,"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},${LoadEvidence.json(loadBefore, gcAtBenchStart)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1579,11 +1579,14 @@ object SparkEntry {
     "q137_source_overlap" -> {
       val k = graft.functions.KmvSketch.K
       val numer = (k - 1).toLong * graft.functions.KmvSketch.Domain
-      // resolve the audit conf at render time (the q41 bandsCteSql pattern)
-      // so the oracle mirrors whichever form the session computes
-      val audit = org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .exists(Analytics.overlapAuditOn)
+      // mirror the form the query EXECUTION actually used (recorded at
+      // plan-build time), not the ambient session's conf at render time —
+      // rendering in a JVM/session whose conf differs from the one that
+      // produced the parquet must not flip the oracle's schema
+      val audit = Analytics.overlapAuditUsed.getOrElse(
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .exists(Analytics.overlapAuditOn))
       val shared =
         s"""WITH tw AS (SELECT source, ${PortableHash.tokensSql("lower(text)")} AS w FROM documents),
            |t AS (SELECT source, unnest(${PortableHash.shinglesSql("w")}) AS s3 FROM tw),

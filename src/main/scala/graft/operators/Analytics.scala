@@ -778,12 +778,20 @@ object Analytics {
   private[graft] def overlapAuditOn(spark: SparkSession): Boolean =
     spark.conf.getOption("graft.overlap.exactAudit").exists(_.toBoolean)
 
+  /** The audit mode the LAST [[sourceOverlapKmv]] plan built in this JVM
+    * actually used. The oracle renders against THIS record (falling back to
+    * the ambient session conf only when the query never ran), so a result
+    * computed under one conf and an oracle rendered later — possibly from a
+    * session whose conf differs — cannot silently diverge in schema. */
+  @volatile private[graft] var overlapAuditUsed: Option[Boolean] = None
+
   def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
     val K = graft.functions.KmvSketch.K
     val numer = (K - 1).toLong * graft.functions.KmvSketch.Domain
     val kmvBuf = udaf(graft.functions.KmvBuffer)
     def tok = sourceShingleHashes(spark, dir)
     val audit = overlapAuditOn(spark)
+    overlapAuditUsed = Some(audit)
     // audit mode: the distinct (source, uh) set is materialized for the
     // exact intersection anyway, so the sketch rides ITS exchange;
     // default: the sketch aggregates the raw token stream directly —

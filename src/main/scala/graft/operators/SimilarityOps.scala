@@ -437,7 +437,18 @@ object SimilarityOps {
     * 100 TB the cell id is the partition key (partition-pruned probes) and
     * the codes column is the only thing the ADC scan reads.
     */
-  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopKOf(spark, dir, _.filter(col("vec_id") < 10))
+
+  /** The IVF-PQ machinery behind q144 AND q142's indexed dense arm, with
+    * the query batch abstracted: `querySel` picks the query rows out of the
+    * cached corpus frame (columns vec_id, v, norm, qv). Returns the ranked
+    * (query_id, rank, neighbor_id, cell, pqdot, cosine) frame, rank ≤
+    * [[RecallK]]. Everything scale-relevant in [[ivfPqAnn]]'s scaladoc —
+    * zero-shuffle index build, codes-only ADC, broadcast-bounded exact
+    * re-rank — holds for ANY query batch small enough to broadcast. */
+  private[graft] def ivfPqTopKOf(spark: SparkSession, dir: String,
+      querySel: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // drop the sign-sketch bucket BEFORE the cache: q144 never probes by
     // sketch, and column pruning then elides the 8-plane projection per
@@ -464,8 +475,8 @@ object SimilarityOps {
       .select(col("vec_id"), col("qv"), col("nc.cluster").as("cell"))
       .withColumn("codes", graft.functions.PqEncode(col("qv"), codebook))
       .drop("qv")
-    // query probes: 2nd-best cells via the 10×K windowed frame (q55's form)
-    val scoredQ = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+    // query probes: nearest cells via the batch×K windowed frame (q55's form)
+    val scoredQ = querySel(e).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("norm"), col("qv"), col("cent_id"),
         (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
@@ -500,59 +511,71 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The IVF-PQ oracle CTE chain (quantize → codebooks → index → probe →
+    * ADC → exact re-rank), parameterized on an `iqsel(vec_id)` CTE that
+    * must precede it, so q142's indexed-mode oracle splices the exact same
+    * text q144 hash-checks. Expects `vecs` in scope; CTE names are
+    * i-prefixed to avoid colliding with the lexical body's `q`. Ends with
+    * `ir` = ranked (query_id, rank, neighbor_id, cell, pqdot, cosine). */
+  private[graft] def ivfPqCteChainSql: String = {
+    s"""iqz AS (SELECT vec_id, v, norm,
+       |         [CAST(floor(v[i] / norm * $QuantScale + 0.5) AS BIGINT)
+       |          for i in generate_series(1, $Dim)] AS qv
+       |       FROM vecs),
+       |itr AS (SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+       |       FROM (SELECT vec_id, qv FROM iqz WHERE vec_id % $PqTrainMod = 0
+       |             ORDER BY vec_id LIMIT $PqCodes)),
+       |ims AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |icb AS (SELECT m, cid, qv[m*$PqL+1 : m*$PqL+$PqL] AS c
+       |       FROM itr CROSS JOIN ims),
+       |ienc AS (SELECT vec_id, m, cid FROM (
+       |    SELECT z.vec_id, icb.m, icb.cid,
+       |      row_number() OVER (PARTITION BY z.vec_id, icb.m ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          [(z.qv[icb.m*$PqL+i] - icb.c[i]) * (z.qv[icb.m*$PqL+i] - icb.c[i])
+       |           for i in generate_series(1, $PqL)]), (a, b) -> a + b),
+       |        icb.cid) AS rn
+       |    FROM iqz z CROSS JOIN icb) WHERE rn = 1),
+       |icents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM vecs WHERE vec_id < $IvfK),
+       |icsc AS (SELECT vec_id, cent_id, ${dotSql("v", "cv")} / (norm * cn) AS ccos
+       |        FROM vecs CROSS JOIN icents),
+       |icrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+       |        FROM icsc),
+       |iassigned AS (SELECT vec_id, cent_id AS cell FROM icrk WHERE crn = 1),
+       |iprobes AS (SELECT c.vec_id AS query_id, c.cent_id AS cell
+       |           FROM icrk c JOIN iqsel s ON c.vec_id = s.vec_id WHERE c.crn <= $IvfProbes),
+       |iq AS (SELECT z.vec_id AS query_id, z.v AS fqv, z.norm AS qn, z.qv AS qqv
+       |       FROM iqz z JOIN iqsel s ON z.vec_id = s.vec_id),
+       |ipool AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+       |         FROM iassigned a JOIN iprobes p ON a.cell = p.cell
+       |         WHERE a.vec_id <> p.query_id),
+       |iad AS (SELECT pl.query_id, pl.neighbor_id, pl.cell,
+       |         CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           [q.qqv[e.m*$PqL+i] * icb.c[i] for i in generate_series(1, $PqL)]),
+       |           (a, b) -> a + b)) AS BIGINT) AS pqdot
+       |       FROM ipool pl JOIN ienc e ON e.vec_id = pl.neighbor_id
+       |       JOIN icb ON e.m = icb.m AND e.cid = icb.cid
+       |       JOIN iq q ON q.query_id = pl.query_id
+       |       GROUP BY 1, 2, 3),
+       |ict AS (SELECT query_id, neighbor_id, cell, pqdot FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY pqdot DESC, neighbor_id) AS crn2 FROM iad)
+       |       WHERE crn2 <= $IvfPqReRank),
+       |irr AS (SELECT ct.query_id, ct.neighbor_id, ct.cell, ct.pqdot,
+       |         floor((${dotSql("z.v", "q.fqv")} / (z.norm * q.qn)) * 1e6 + 0.5) / 1e6 AS cosine
+       |       FROM ict ct JOIN iqz z ON z.vec_id = ct.neighbor_id
+       |       JOIN iq q ON q.query_id = ct.query_id),
+       |ir AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM irr)""".stripMargin
+  }
+
   /** The q144 oracle: q55's cell CTEs + q125's codebook/encode CTEs + the
     * ADC-then-refine ranking, generated from the same constants. */
   def ivfPqAnnSql: String = {
     s"""$vectorsCteSql,
-       |qz AS (SELECT vec_id, v, norm,
-       |         [CAST(floor(v[i] / norm * $QuantScale + 0.5) AS BIGINT)
-       |          for i in generate_series(1, $Dim)] AS qv
-       |       FROM vecs),
-       |tr AS (SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-       |       FROM (SELECT vec_id, qv FROM qz WHERE vec_id % $PqTrainMod = 0
-       |             ORDER BY vec_id LIMIT $PqCodes)),
-       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
-       |cb AS (SELECT m, cid, qv[m*$PqL+1 : m*$PqL+$PqL] AS c
-       |       FROM tr CROSS JOIN ms),
-       |enc AS (SELECT vec_id, m, cid FROM (
-       |    SELECT z.vec_id, cb.m, cb.cid,
-       |      row_number() OVER (PARTITION BY z.vec_id, cb.m ORDER BY
-       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |          [(z.qv[cb.m*$PqL+i] - cb.c[i]) * (z.qv[cb.m*$PqL+i] - cb.c[i])
-       |           for i in generate_series(1, $PqL)]), (a, b) -> a + b),
-       |        cb.cid) AS rn
-       |    FROM qz z CROSS JOIN cb) WHERE rn = 1),
-       |cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM vecs WHERE vec_id < $IvfK),
-       |csc AS (SELECT vec_id, cent_id, ${dotSql("v", "cv")} / (norm * cn) AS ccos
-       |        FROM vecs CROSS JOIN cents),
-       |crk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
-       |        FROM csc),
-       |assigned AS (SELECT vec_id, cent_id AS cell FROM crk WHERE crn = 1),
-       |probes AS (SELECT vec_id AS query_id, cent_id AS cell
-       |           FROM crk WHERE vec_id < 10 AND crn <= $IvfProbes),
-       |q AS (SELECT vec_id AS query_id, v AS fqv, norm AS qn, qv AS qqv FROM qz WHERE vec_id < 10),
-       |pool AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
-       |         FROM assigned a JOIN probes p ON a.cell = p.cell
-       |         WHERE a.vec_id <> p.query_id),
-       |ad AS (SELECT pl.query_id, pl.neighbor_id, pl.cell,
-       |         CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |           [q.qqv[e.m*$PqL+i] * cb.c[i] for i in generate_series(1, $PqL)]),
-       |           (a, b) -> a + b)) AS BIGINT) AS pqdot
-       |       FROM pool pl JOIN enc e ON e.vec_id = pl.neighbor_id
-       |       JOIN cb ON e.m = cb.m AND e.cid = cb.cid
-       |       JOIN q ON q.query_id = pl.query_id
-       |       GROUP BY 1, 2, 3),
-       |ct AS (SELECT query_id, neighbor_id, cell, pqdot FROM (
-       |         SELECT *, row_number() OVER (PARTITION BY query_id
-       |           ORDER BY pqdot DESC, neighbor_id) AS crn2 FROM ad)
-       |       WHERE crn2 <= $IvfPqReRank),
-       |rr AS (SELECT ct.query_id, ct.neighbor_id, ct.cell, ct.pqdot,
-       |         floor((${dotSql("z.v", "q.fqv")} / (z.norm * q.qn)) * 1e6 + 0.5) / 1e6 AS cosine
-       |       FROM ct JOIN qz z ON z.vec_id = ct.neighbor_id
-       |       JOIN q ON q.query_id = ct.query_id),
-       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM rr)
-       |SELECT query_id, rank, neighbor_id, cell, pqdot, cosine FROM r
+       |iqsel AS (SELECT vec_id FROM vecs WHERE vec_id < 10),
+       |$ivfPqCteChainSql
+       |SELECT query_id, rank, neighbor_id, cell, pqdot, cosine FROM ir
        |WHERE rank <= $RecallK ORDER BY query_id, rank""".stripMargin
   }
 
@@ -625,8 +648,14 @@ object SimilarityOps {
     perDim
       .withColumn("psi", pround(aggregate(col("bins"), lit(0.0),
         (acc, x) => acc + (pa(x) - pb(x)) * log(pa(x) / pb(x))), 6))
-      .withColumn("tv_num", aggregate(col("bins"), lit(0L),
-        (acc, x) => acc + abs(x.getField("ca") * col("n_cand") - x.getField("cb") * col("n_ref"))))
+      // the |ca*n_cand - cb*n_ref| cross-products are folded in
+      // DECIMAL(38,0), not int64: at the ~1e10+ vectors-per-slice scale the
+      // scaladoc targets, a long product wraps silently and corrupts tv —
+      // decimal addition/multiplication is exact in both engines and the
+      // single final cast to double happens in the tv division below
+      .withColumn("tv_num", aggregate(col("bins"), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+        (acc, x) => acc + abs(x.getField("ca").cast("decimal(38,0)") * col("n_cand")
+          - x.getField("cb").cast("decimal(38,0)") * col("n_ref"))))
       .select(col("dim_idx"), col("n_ref"), col("n_cand"), col("psi"),
         pround(col("tv_num") * lit(1.0) / (col("n_ref") * col("n_cand") * 2.0), 6).as("tv"),
         (col("psi") >= DriftPsiThreshold).as("drifted"))
@@ -658,8 +687,8 @@ object SimilarityOps {
        |           [((x[1] + 1.0) / (n_ref + $DriftBins) - (x[2] + 1.0) / (n_cand + $DriftBins))
        |              * ln(((x[1] + 1.0) / (n_ref + $DriftBins)) / ((x[2] + 1.0) / (n_cand + $DriftBins)))
        |            for x in bins]), (a, b) -> a + b) AS psi_raw,
-       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |           [abs(x[1] * n_cand - x[2] * n_ref) for x in bins]), (a, b) -> a + b) AS tv_num
+       |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |           [abs(CAST(x[1] AS HUGEINT) * n_cand - CAST(x[2] AS HUGEINT) * n_ref) for x in bins]), (a, b) -> a + b) AS tv_num
        |       FROM pd)
        |SELECT dim_idx, n_ref, n_cand,
        |  ${graft.functions.PortableHash.proundSql("psi_raw", 6)} AS psi,
@@ -1169,6 +1198,25 @@ object SimilarityOps {
   val RrfRankK = 60L            // the standard RRF rank-damping constant
   val RrfScale = 1000000000L    // integer contribution: Scale div (K + rank)
 
+  /** q142's 100 TB lever: `graft.hybrid.denseIndex=true` routes the dense
+    * arm through q144's IVF-PQ candidate machinery (probe [[IvfProbes]]
+    * cells → integer ADC over 6-byte codes → exact re-rank) instead of the
+    * exhaustive exact-cosine scan. Default OFF at harness SFs so the
+    * contractual oracle keeps the exact form (the q137/q41 conf-gate
+    * pattern) — but the indexed form is ALSO fully deterministic, so the
+    * oracle mirrors whichever form actually ran (see
+    * [[hybridDenseIndexUsed]]): either mode is hash-checked, not
+    * rows-only. At 100 TB the indexed arm reads ~nprobe/[[IvfK]] of the
+    * corpus from codes instead of scoring every float vector per query. */
+  private[graft] def hybridDenseIndexOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.hybrid.denseIndex").exists(_.toBoolean)
+
+  /** The dense-arm mode the LAST [[hybridRetrieval]] plan built in this JVM
+    * actually used — the oracle renders against THIS record (falling back
+    * to the ambient session conf only when the query never ran), the same
+    * explicit-threading discipline as `Analytics.overlapAuditUsed`. */
+  @volatile private[graft] var hybridDenseIndexUsed: Option[Boolean] = None
+
   /** q142: hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
     * of the surface's two retrievers: q139's lexical tf·⌊C/df⌋ scorer and
     * q40's exact-cosine dense scorer. This is the lexical+embedding hybrid
@@ -1223,13 +1271,30 @@ object SimilarityOps {
       .withColumn("rank_lex", row_number().over(wl).cast("long"))
       .filter(col("rank_lex") <= HybridPoolK)
       .select(col("query_id"), col("doc_id"), col("rank_lex"))
-    val wd = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))
-    val den = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        pround(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
-      .withColumn("rank_dense", row_number().over(wd).cast("long"))
-      .filter(col("rank_dense") <= HybridPoolK)
-      .select(col("query_id"), col("doc_id"), col("rank_dense"))
+    val indexed = hybridDenseIndexOn(spark)
+    hybridDenseIndexUsed = Some(indexed)
+    val den =
+      if (indexed) {
+        // production path: the dense pool comes from q144's cell-probe +
+        // ADC + exact-re-rank candidates — the corpus is never
+        // exhaustively cosine-scored (PlanAudit asserts the full-corpus
+        // nested-loop join is absent; HybridIndexSpec measures the recall
+        // floor vs the exact arm). RecallK == HybridPoolK, so the
+        // re-ranked top list IS the dense candidate list.
+        ivfPqTopKOf(spark, dir,
+          ee => ee.join(broadcast(qids), ee("vec_id") === qids("query_id")).drop("query_id"))
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").as("rank_dense"))
+          .filter(col("rank_dense") <= HybridPoolK)
+      } else {
+        val wd = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))
+        e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            pround(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
+          .withColumn("rank_dense", row_number().over(wd).cast("long"))
+          .filter(col("rank_dense") <= HybridPoolK)
+          .select(col("query_id"), col("doc_id"), col("rank_dense"))
+      }
     rrfFuse(lex, den)
   }
 

@@ -599,18 +599,31 @@ object EventsStream {
     * over events).
     */
   def streamingTopK(spark: SparkSession, dir: String): DataFrame = {
+    // Run dirs are namespaced per-JVM (`pid_<pid>/run…`) and cleanup only
+    // sweeps namespaces whose OWNING PROCESS IS DEAD — never an age
+    // heuristic: a concurrent JVM whose run stalls past any mtime horizon
+    // (GC pause, suspended bench) must not lose its live leaderboard
+    // target mid-stream. ProcessHandle liveness is the ownership oracle;
+    // our own namespace is reused across calls in this JVM.
     val parent = java.nio.file.Paths.get("/tmp/graft_topk_upsert")
     java.nio.file.Files.createDirectories(parent)
-    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
     Option(parent.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.lastModified() < cutoff)
-      .foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-        }
-        rm(d)
+      .filter { d =>
+        d.getName.startsWith("pid_") &&
+          (d.getName.stripPrefix("pid_").toLongOption match {
+            case Some(pid) =>
+              val h = ProcessHandle.of(pid)
+              !(h.isPresent && h.get.isAlive)
+            case None => true   // malformed namespace: nobody owns it
+          })
       }
-    val target = java.nio.file.Files.createTempDirectory(parent, "run").toString
+      .foreach(rm)
+    val mine = parent.resolve(s"pid_${ProcessHandle.current.pid}")
+    java.nio.file.Files.createDirectories(mine)
+    val target = java.nio.file.Files.createTempDirectory(mine, "run").toString
     val stream = Tables.eventsStream(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", AppendDelay)

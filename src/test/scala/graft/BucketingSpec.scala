@@ -103,6 +103,10 @@ class BucketingSpec extends SparkSpec {
     val edgesDeg = edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
     edgesDeg.write.bucketBy(8, "src").sortBy("src")
       .mode("overwrite").saveAsTable("b_edges")
+    // restore the PRE-TEST value afterwards (not a hard-coded default):
+    // later suites share this session, and a literal would silently
+    // override any ambient conf the harness set
+    val prevThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -147,7 +151,10 @@ class BucketingSpec extends SparkSpec {
       val b = itU.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       assert(a.sameElements(b), "bucketed and unbucketed iterations must agree")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      prevThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS b_edges")
     }
