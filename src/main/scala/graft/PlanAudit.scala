@@ -423,6 +423,32 @@ object PlanAudit {
     println(s"[audit] q142 hybrid retrieval " +
       (if (q142ok) s"OK (broadcast both sides; $q142wgl group-limit windows; exchanges=${q142hashEx.mkString("{", ",", "}")})"
        else s"CHECK: wgl=$q142wgl exchanges=${q142hashEx.mkString(",")}"))
+    // q142 PRODUCTION path (graft.hybrid.denseIndex=true): the dense arm
+    // must come from the IVF-PQ candidate machinery — the full plan may
+    // contain NO conditioned nested-loop join (the exact arm's full-corpus
+    // `Inner, NOT (vec_id = query_id)` scorer), only the condition-free
+    // batch×IvfK codebook-probe cross joins; the ADC expression must be
+    // present (dense scoring reads 6-byte codes, not float vectors); hash
+    // exchanges stay on candidate/rank keys. HybridIndexSpec proves the
+    // same claim from join METRICS (output rows bounded by the batch).
+    spark.conf.set("graft.hybrid.denseIndex", "true")
+    try {
+      val q142i = SparkEntry.queries("q142_hybrid_retrieval")(spark, dir)
+      q142i.collect()
+      val q142iplan = q142i.queryExecution.executedPlan.toString
+      val q142ihashEx = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+        .findAllMatchIn(q142iplan).map(_.group(1)).toSet
+      val condBnlj = q142iplan.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin"))
+        .filter(l => l.contains("vec_id") || l.contains("query_id")).toSeq
+      val q142iok = condBnlj.isEmpty &&
+        !q142iplan.contains("CartesianProduct") &&
+        q142iplan.toLowerCase.contains("pq_adc") &&
+        q142ihashEx.subsetOf(Set("doc_id", "query_id", "term", "vec_id"))
+      println(s"[audit] q142 hybrid (denseIndex=true) " +
+        (if (q142iok) s"OK (no full-corpus dense join; ADC codes path; exchanges=${q142ihashEx.mkString("{", ",", "}")})"
+         else s"CHECK: condBnlj=${condBnlj.size} exchanges=${q142ihashEx.mkString(",")}"))
+    } finally spark.conf.unset("graft.hybrid.denseIndex")
     // q143 near-dup decontamination: the eval side must BROADCAST at both
     // stages (band rows for candidate generation, the candidate-id set back
     // against the corpus scan for verification) — the corpus never shuffles

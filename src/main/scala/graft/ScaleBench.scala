@@ -591,7 +591,49 @@ object SlopeProbe {
         probe.toSeq
       }
 
-    val all = rows ++ scaledRow ++ scaledBits
+    // Dense-index lever measurement: q142's production path
+    // (graft.hybrid.denseIndex=true) feeds the dense arm from IVF-PQ
+    // candidates instead of the exhaustive exact-cosine scan. Demonstrate
+    // the lever at scale: the indexed form must stay data-linear ×10→×20
+    // (its own slope row), AND at ×20 it must be measurably cheaper than
+    // the exact form it replaces (the lever visibly bites where it
+    // matters — the in-sweep q142 row times the exact/contractual form).
+    val scaledIndex =
+      if (!ScaleBench.selectedQueries.contains("q142_hybrid_retrieval")) Seq.empty
+      else {
+        def timeMode(dir: String, indexed: Boolean): Option[(Double, Long)] = {
+          spark.conf.set("graft.hybrid.denseIndex", indexed.toString)
+          try {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries("q142_hybrid_retrieval")(spark, dir).count()
+            Some(((System.nanoTime() - t0) / 1e9, n))
+          } catch { case e: Throwable =>
+            errors += s"q142_scaled_index: ${e.getClass.getSimpleName}"; None }
+          finally spark.conf.unset("graft.hybrid.denseIndex")
+        }
+        val probe = for {
+          (r1, n10)     <- timeMode(d10, indexed = true)
+          (t20i, n20)   <- timeMode(d20, indexed = true)
+          (t20e, _)     <- timeMode(d20, indexed = false)
+          (r3, _)       <- timeMode(d10, indexed = true)
+        } yield {
+          val t10i = math.min(r1, r3)
+          val slope = t20i / t10i
+          val exactRatio = t20e / t20i
+          // pass = indexed form linear AND not slower than exact at ×20
+          // (at harness scale the corpus fits one scan either way, so the
+          // honest bar is "no regression"; the asymptotic win is the
+          // nprobe/K code-read fraction the PlanAudit shape guarantees)
+          val verdict = if (slope <= SlopeThreshold && exactRatio >= 0.9) "pass" else "fail"
+          System.err.println(f"[slope] q142_scaled_index (IVF-PQ dense arm) t10=$t10i%7.2f t20=$t20i%7.2f slope=$slope%5.2f exact/indexed@x20=$exactRatio%4.2f  $verdict")
+          ("q142_scaled_index", t10i, t20i, n10, n20, slope, verdict)
+        }
+        if (probe.isEmpty) System.err.println(s"[slope] q142_scaled_index FAILED to run")
+        probe.toSeq
+      }
+
+    val all = rows ++ scaledRow ++ scaledBits ++ scaledIndex
     val failed = all.filter(_._7 == "fail")
     val qs = all.map { case (n, t10, t20, n10, n20, s, v) =>
       s""""$n":{"t10":$t10,"t20":$t20,"rows10":$n10,"rows20":$n20,"slope":$s,"verdict":"$v"}"""

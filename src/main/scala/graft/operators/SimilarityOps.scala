@@ -448,7 +448,8 @@ object SimilarityOps {
     * zero-shuffle index build, codes-only ADC, broadcast-bounded exact
     * re-rank — holds for ANY query batch small enough to broadcast. */
   private[graft] def ivfPqTopKOf(spark: SparkSession, dir: String,
-      querySel: DataFrame => DataFrame): DataFrame = {
+      querySel: DataFrame => DataFrame, nprobe: Int = IvfProbes,
+      rerank: Int = IvfPqReRank): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // drop the sign-sketch bucket BEFORE the cache: q144 never probes by
     // sketch, and column pruning then elides the 8-plane projection per
@@ -481,7 +482,7 @@ object SimilarityOps {
         (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("ccos"))
     val byVec = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
     val probes = scoredQ.withColumn("crn", row_number().over(byVec))
-      .filter(col("crn") <= IvfProbes)
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("fqv"), col("norm").as("qn"),
         col("qv").as("qqv"), col("cent_id").as("cell"))
     // stage 1 — ADC inside probed cells: integer dots from codes only;
@@ -493,7 +494,7 @@ object SimilarityOps {
         graft.functions.PqAdcDot(col("qqv"), col("codes"), codebook).as("pqdot"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("pqdot").desc, col("neighbor_id"))
     val candTop = adc.withColumn("crn2", row_number().over(wAdc))
-      .filter(col("crn2") <= IvfPqReRank)
+      .filter(col("crn2") <= rerank)
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("pqdot"))
     // stage 2 — exact re-rank: fetch ≤ C·batch float vectors by broadcast
     // id join and rank the refined pool by 6-dp cosine
@@ -517,7 +518,8 @@ object SimilarityOps {
     * text q144 hash-checks. Expects `vecs` in scope; CTE names are
     * i-prefixed to avoid colliding with the lexical body's `q`. Ends with
     * `ir` = ranked (query_id, rank, neighbor_id, cell, pqdot, cosine). */
-  private[graft] def ivfPqCteChainSql: String = {
+  private[graft] def ivfPqCteChainSql(nprobe: Int = IvfProbes,
+      rerank: Int = IvfPqReRank): String = {
     s"""iqz AS (SELECT vec_id, v, norm,
        |         [CAST(floor(v[i] / norm * $QuantScale + 0.5) AS BIGINT)
        |          for i in generate_series(1, $Dim)] AS qv
@@ -543,7 +545,7 @@ object SimilarityOps {
        |        FROM icsc),
        |iassigned AS (SELECT vec_id, cent_id AS cell FROM icrk WHERE crn = 1),
        |iprobes AS (SELECT c.vec_id AS query_id, c.cent_id AS cell
-       |           FROM icrk c JOIN iqsel s ON c.vec_id = s.vec_id WHERE c.crn <= $IvfProbes),
+       |           FROM icrk c JOIN iqsel s ON c.vec_id = s.vec_id WHERE c.crn <= $nprobe),
        |iq AS (SELECT z.vec_id AS query_id, z.v AS fqv, z.norm AS qn, z.qv AS qqv
        |       FROM iqz z JOIN iqsel s ON z.vec_id = s.vec_id),
        |ipool AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
@@ -560,7 +562,7 @@ object SimilarityOps {
        |ict AS (SELECT query_id, neighbor_id, cell, pqdot FROM (
        |         SELECT *, row_number() OVER (PARTITION BY query_id
        |           ORDER BY pqdot DESC, neighbor_id) AS crn2 FROM iad)
-       |       WHERE crn2 <= $IvfPqReRank),
+       |       WHERE crn2 <= $rerank),
        |irr AS (SELECT ct.query_id, ct.neighbor_id, ct.cell, ct.pqdot,
        |         floor((${dotSql("z.v", "q.fqv")} / (z.norm * q.qn)) * 1e6 + 0.5) / 1e6 AS cosine
        |       FROM ict ct JOIN iqz z ON z.vec_id = ct.neighbor_id
@@ -574,7 +576,7 @@ object SimilarityOps {
   def ivfPqAnnSql: String = {
     s"""$vectorsCteSql,
        |iqsel AS (SELECT vec_id FROM vecs WHERE vec_id < 10),
-       |$ivfPqCteChainSql
+       |${ivfPqCteChainSql()}
        |SELECT query_id, rank, neighbor_id, cell, pqdot, cosine FROM ir
        |WHERE rank <= $RecallK ORDER BY query_id, rank""".stripMargin
   }
@@ -1211,6 +1213,19 @@ object SimilarityOps {
   private[graft] def hybridDenseIndexOn(spark: SparkSession): Boolean =
     spark.conf.getOption("graft.hybrid.denseIndex").exists(_.toBoolean)
 
+  /** The hybrid dense arm's recall dials. q144's batch (vec_id < 10) sits
+    * next to the vec_id < [[IvfK]] centroids, so nprobe=2/rerank=30 already
+    * recall 0.73 there; the hybrid batch is ARBITRARY corpus vectors, where
+    * those dials measure only 0.48 at sf0.01 — nprobe=4 with a 60-deep ADC
+    * pool measures 0.633 (HybridIndexSpec floor 0.5) while still reading a
+    * fixed nprobe/K fraction of the CODES, never the float corpus. On the
+    * synthetic corpus the residual loss is PQ quantization noise on
+    * uncorrelated random vectors — the adversarial case for PQ; real
+    * embedding corpora cluster. At 100 TB K grows ∝√n and these two
+    * constants are the recall/latency dials every IVF deployment tunes. */
+  val HybridIvfProbes = 4
+  val HybridIvfReRank = 60
+
   /** The dense-arm mode the LAST [[hybridRetrieval]] plan built in this JVM
     * actually used — the oracle renders against THIS record (falling back
     * to the ambient session conf only when the query never ran), the same
@@ -1282,7 +1297,8 @@ object SimilarityOps {
         // floor vs the exact arm). RecallK == HybridPoolK, so the
         // re-ranked top list IS the dense candidate list.
         ivfPqTopKOf(spark, dir,
-          ee => ee.join(broadcast(qids), ee("vec_id") === qids("query_id")).drop("query_id"))
+          ee => ee.join(broadcast(qids), ee("vec_id") === qids("query_id")).drop("query_id"),
+          nprobe = HybridIvfProbes, rerank = HybridIvfReRank)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rank").as("rank_dense"))
           .filter(col("rank_dense") <= HybridPoolK)
@@ -1329,6 +1345,29 @@ object SimilarityOps {
     * integer RRF fusion. */
   def hybridRetrievalSql: String = {
     import graft.functions.PortableHash.proundSql
+    // mirror the dense-arm form the query EXECUTION actually used (recorded
+    // at plan-build time; ambient conf only if the query never ran) — both
+    // forms are deterministic, so BOTH are hash-checked, not rows-only
+    val indexed = hybridDenseIndexUsed.getOrElse(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .exists(hybridDenseIndexOn))
+    // the dense candidate list `dk(query_id, doc_id, rank_dense)`:
+    // exact = full-corpus cosine ranking; indexed = q144's IVF-PQ chain
+    // restricted to the embedded query batch
+    val denseCtes =
+      if (indexed)
+        s"""iqsel AS (SELECT query_id AS vec_id FROM qv),
+           |${ivfPqCteChainSql(HybridIvfProbes, HybridIvfReRank)},
+           |dk AS (SELECT query_id, neighbor_id AS doc_id, rank AS rank_dense
+           |       FROM ir WHERE rank <= $HybridPoolK)""".stripMargin
+      else
+        s"""dj AS (SELECT query_id, vec_id AS doc_id,
+           |         ${proundSql(s"${dotSql("v", "qv")} / (norm * qn)", 6)} AS cosine
+           |       FROM vecs CROSS JOIN qv WHERE vec_id <> query_id),
+           |dr AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+           |         ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_dense FROM dj),
+           |dk AS (SELECT query_id, doc_id, rank_dense FROM dr WHERE rank_dense <= $HybridPoolK)""".stripMargin
     s"""$vectorsCteSql,
        |${graft.operators.TextOps.lexicalScoredCteBody},
        |qid AS (SELECT doc_id AS query_id FROM documents
@@ -1339,12 +1378,7 @@ object SimilarityOps {
        |         ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
        |       FROM sc JOIN qv USING (query_id) WHERE doc_id <> query_id),
        |lk AS (SELECT query_id, doc_id, rank_lex FROM lr WHERE rank_lex <= $HybridPoolK),
-       |dj AS (SELECT query_id, vec_id AS doc_id,
-       |         ${proundSql(s"${dotSql("v", "qv")} / (norm * qn)", 6)} AS cosine
-       |       FROM vecs CROSS JOIN qv WHERE vec_id <> query_id),
-       |dr AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
-       |         ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_dense FROM dj),
-       |dk AS (SELECT query_id, doc_id, rank_dense FROM dr WHERE rank_dense <= $HybridPoolK),
+       |$denseCtes,
        |f AS (SELECT query_id, doc_id,
        |        coalesce(rank_lex, CAST(0 AS BIGINT)) AS rank_lex,
        |        coalesce(rank_dense, CAST(0 AS BIGINT)) AS rank_dense

@@ -10,6 +10,10 @@ object VerifyOne {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional 4th arg: comma-separated k=v session confs (conf-gated forms)
+    if (a.length > 3) a(3).split(",").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    }
     val sqls = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").parquet(s"$out/$n")
