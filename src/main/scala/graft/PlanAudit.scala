@@ -486,6 +486,23 @@ object PlanAudit {
     println(s"[audit] q144 ivf-pq ann " +
       (if (q144ok) s"OK (broadcast probe+fetch; $q144wgl group-limit windows; exchanges=${q144hashEx.mkString("{", ",", "}")})"
        else s"CHECK: wgl=$q144wgl exchanges=${q144hashEx.mkString(",")}"))
+    // q147 quality-classifier inference: a PURE NARROW projection — the
+    // model is a reference object inside one codegen'd expression, tokens
+    // never explode into rows, and the only exchange is the presentation
+    // sort (q59's shape); the scorer sits inside a whole-stage-codegen span
+    val q147 = SparkEntry.queries("q147_quality_classifier")(spark, dir)
+    q147.collect()
+    val q147plan = q147.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q147ex = "Exchange".r.findAllIn(q147plan).size
+    val q147scoreLines = q147plan.linesIterator
+      .filter(_.contains("hashed_linear_score(")).toSeq
+    val q147ok = q147ex <= 1 && !q147plan.contains("hashpartitioning") &&
+      !q147plan.contains("Join") && q147scoreLines.nonEmpty &&
+      q147scoreLines.forall(_.matches(""".*\*\(\d+\).*"""))
+    println(s"[audit] q147 quality classifier " +
+      (if (q147ok) "OK (narrow codegen'd inference; presentation sort is the only exchange)"
+       else s"CHECK: exchanges=$q147ex scoreLines=${q147scoreLines.size}"))
     // q146 drift: the corpus contributes COUNTING ONLY — one partial-
     // aggregated (dim, bin) hash cube; every hash exchange carries cube or
     // grid keys, never a corpus row key

@@ -75,7 +75,9 @@ object ScaleBench {
     "q141_table_profile",
     // round-10 additions
     "q142_hybrid_retrieval", "q143_neardup_decontaminate", "q144_ivfpq_ann",
-    "q145_stream_topk", "q146_embedding_drift")
+    "q145_stream_topk", "q146_embedding_drift",
+    // round-11 additions
+    "q147_quality_classifier", "q148_unicode_normalize")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

@@ -121,6 +121,7 @@ object SparkEntry {
     "q144_ivfpq_ann"         -> (SimilarityOps.ivfPqAnn _),
     "q145_stream_topk"       -> (EventsStream.streamingTopK _),
     "q146_embedding_drift"   -> (SimilarityOps.embeddingDrift _),
+    "q147_quality_classifier" -> (TextOps.qualityClassifier _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1636,6 +1637,7 @@ object SparkEntry {
     "q142_hybrid_retrieval" -> SimilarityOps.hybridRetrievalSql,
     "q144_ivfpq_ann" -> SimilarityOps.ivfPqAnnSql,
     "q146_embedding_drift" -> SimilarityOps.embeddingDriftSql,
+    "q147_quality_classifier" -> TextOps.qualityClassifierSql,
     "q145_stream_topk" ->
       s"""SELECT event_type, rank, event_id, user_id, value FROM (
          |  SELECT event_type, event_id, user_id, value,

@@ -58,6 +58,55 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q147 model dimensions: a 4096-bucket hashed-unigram feature space and
+    * a deterministic integer weight generator. Production loads TRAINED
+    * weights (fastText/DCLM lineage) into the same broadcast shape; the
+    * harness instantiates them from a formula so the DuckDB oracle can
+    * recompute the identical model without a side-channel file:
+    * w(j) = (j · 2654435761) mod 4093 − 2046, a Knuth-multiplicative
+    * scatter over [−2046, 2046] (mean ≈ 0, so the logit-0 operating point
+    * keeps roughly half the corpus — an informative gate, not a constant).
+    */
+  val QcDim = 4096
+  private val QcKnuth = 2654435761L
+  private val QcWMod = 4093L
+  private[graft] def qcWeights: Array[Long] =
+    Array.tabulate(QcDim)(j => (j * QcKnuth) % QcWMod - (QcWMod - 1) / 2)
+
+  /** q147: model-based quality filtering — the learned counterpart to q30's
+    * heuristic score and the main quality gate of the C4→CCNet→DCLM corpus
+    * lineage: hashed-unigram features → broadcast integer-quantized linear
+    * model → fixed-point logit → keep/drop at the logit-0 operating point
+    * (sigmoid is monotone, so logit ≥ 0 ⟺ p ≥ 0.5 with no transcendental
+    * computed; and Σw ≥ 0 ⟺ mean(w) ≥ 0, so the gate is equivalent over
+    * sum- and mean-pooled scores).
+    *
+    * Scale shape: ONE narrow codegen'd projection — the model rides
+    * [[graft.functions.HashedLinearScore]] as a reference object (KBs to
+    * each executor, like a broadcast), tokens never explode into rows,
+    * nothing shuffles but the presentation sort. At 100 TB this is a pure
+    * map over the corpus scan, the same plan as q59's PII scrub.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = tokens(lower(col("text")))
+    d.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        graft.functions.HashedLinearScore(toks, qcWeights).as("logit_fp"))
+      .withColumn("keep", col("logit_fp") >= 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q147 oracle: recompute the weight table from the generator formula
+    * inline — same hash, same buckets, same integer sum. */
+  def qualityClassifierSql: String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("lower(text)")} AS w FROM documents),
+       |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |        CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(w,
+       |          x -> (${graft.functions.PortableHash.h48Sql("x")} % $QcDim) * $QcKnuth % $QcWMod - ${(QcWMod - 1) / 2}))) AS BIGINT) AS logit_fp
+       |      FROM t)
+       |SELECT doc_id, n_tokens, logit_fp, logit_fp >= 0 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** q31: language ID — n-gram/stopword-hit heuristic with a deterministic
     * argmax tie-break (en > es > de > und).
     */

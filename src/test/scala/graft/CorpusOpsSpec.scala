@@ -493,4 +493,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(gotEnc.map(_._3).sum < initialSyms,
       "8 merges should compress the corpus below its char+terminal count")
   }
+
+  test("q147 quality classifier equals a driver-side model twin and gates at logit 0") {
+    // driver twin: same tokenizer, same h48 bucketing, same weight formula
+    val w = TextOps.qcWeights
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+        ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    }
+    val ref = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val toks = r.getString(1).toLowerCase.trim.split("\\s+", -1)
+        val logit = toks.map(t => w((h48(t) % w.length).toInt)).sum
+        (r.getLong(0), toks.length.toLong, logit, logit >= 0L)
+      }.sortBy(_._1).toSeq
+    val got = TextOps.qualityClassifier(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == ref, s"classifier mismatch: got ${got.take(3)} ref ${ref.take(3)}")
+    // the synthetic operating point must be an informative gate, not a
+    // constant verdict: both classes present
+    val kept = got.count(_._4)
+    assert(kept > 0 && kept < got.size, s"degenerate gate: $kept/${got.size} kept")
+  }
+
+  test("HashedLinearScore native expression equals the built-in h48 composition") {
+    import graft.functions.{HashedLinearScore, PortableHash}
+    val w = TextOps.qcWeights
+    val toks = PortableHash.tokens(lower(col("text")))
+    val both = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        HashedLinearScore(toks, w).as("native"),
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + element_at(lit(w), (PortableHash.h48Builtin(t) % w.length).cast("int") + 1))
+          .as("builtin"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: native ${r.getLong(1)} != builtin ${r.getLong(2)}"))
+  }
 }
