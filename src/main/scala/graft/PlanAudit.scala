@@ -503,6 +503,18 @@ object PlanAudit {
     println(s"[audit] q147 quality classifier " +
       (if (q147ok) "OK (narrow codegen'd inference; presentation sort is the only exchange)"
        else s"CHECK: exchanges=$q147ex scoreLines=${q147scoreLines.size}"))
+    // q148 unicode canonicalization: same narrow shape — one codegen'd
+    // projection, presentation sort is the only exchange
+    val q148 = SparkEntry.queries("q148_unicode_normalize")(spark, dir)
+    q148.collect()
+    val q148plan = q148.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q148ex = "Exchange".r.findAllIn(q148plan).size
+    val q148ok = q148ex <= 1 && !q148plan.contains("hashpartitioning") &&
+      !q148plan.contains("Join") && q148plan.contains("unicode_canon(")
+    println(s"[audit] q148 unicode canon " +
+      (if (q148ok) "OK (narrow codegen'd canonicalization; presentation sort only)"
+       else s"CHECK: exchanges=$q148ex"))
     // q146 drift: the corpus contributes COUNTING ONLY — one partial-
     // aggregated (dim, bin) hash cube; every hash exchange carries cube or
     // grid keys, never a corpus row key

@@ -122,6 +122,7 @@ object SparkEntry {
     "q145_stream_topk"       -> (EventsStream.streamingTopK _),
     "q146_embedding_drift"   -> (SimilarityOps.embeddingDrift _),
     "q147_quality_classifier" -> (TextOps.qualityClassifier _),
+    "q148_unicode_normalize" -> (TextOps.unicodeNormalize _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1638,6 +1639,7 @@ object SparkEntry {
     "q144_ivfpq_ann" -> SimilarityOps.ivfPqAnnSql,
     "q146_embedding_drift" -> SimilarityOps.embeddingDriftSql,
     "q147_quality_classifier" -> TextOps.qualityClassifierSql,
+    "q148_unicode_normalize" -> TextOps.unicodeNormalizeSql,
     "q145_stream_topk" ->
       s"""SELECT event_type, rank, event_id, user_id, value FROM (
          |  SELECT event_type, event_id, user_id, value,

@@ -107,6 +107,38 @@ object TextOps {
        |SELECT doc_id, n_tokens, logit_fp, logit_fp >= 0 AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q148: Unicode canonicalization tier — NFC + enumerated
+    * whitespace/control collapse ([[graft.functions.UnicodeCanon]]) with
+    * the canonical content hash that the dedup tier keys on. Two visually
+    * identical documents in NFC vs NFD forms (or differing only in exotic
+    * whitespace) previously fingerprinted as distinct (q33 normalizes case
+    * and ASCII whitespace only); after this tier they share `canon_h48`
+    * and collapse in any downstream exact/near dedup. Narrow per-row
+    * projection — no shuffle but the presentation sort.
+    */
+  def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val canon = graft.functions.UnicodeCanon(col("text"))
+    d.select(col("doc_id"), col("text"), canon.as("canon"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("canon")).cast("long").as("n_chars_canon"),
+        (col("canon") =!= col("text")).as("changed"),
+        graft.functions.PortableHash.h48(col("canon")).as("canon_h48"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q148 oracle: utf8proc NFC + the SAME enumerated collapse class. */
+  def unicodeNormalizeSql: String =
+    s"""WITH c AS (SELECT doc_id, text,
+       |  trim(regexp_replace(nfc_normalize(text), '${graft.functions.UnicodeCanon.canonSqlClass}', ' ', 'g')) AS canon
+       |  FROM documents)
+       |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+       |  CAST(length(canon) AS BIGINT) AS n_chars_canon,
+       |  canon <> text AS changed,
+       |  ${graft.functions.PortableHash.h48Sql("canon")} AS canon_h48
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** q31: language ID — n-gram/stopword-hit heuristic with a deterministic
     * argmax tie-break (en > es > de > und).
     */

@@ -214,4 +214,61 @@ class PropertySpec extends SparkSpec {
       assert(got.nonEmpty)
     }
   }
+
+  /** q148 canonicalization laws (all non-ASCII via explicit escapes so the
+    * fixtures survive any editor/terminal encoding). */
+  private val unicodeStrings: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.asciiPrintableStr,
+    Gen.const(""),
+    Gen.const("caf\u00e9"),                      // NFC e-acute
+    Gen.const("cafe\u0301"),                     // NFD e + combining acute
+    Gen.const("A\u030a"),                        // NFD A + combining ring
+    Gen.const("\u212b"),                         // ANGSTROM SIGN (NFC -> C5)
+    Gen.const("a\u00a0b\u2028c"),               // NBSP + line separator
+    Gen.const("x\u200by"),                       // zero-width space
+    Gen.const("\t mixed \r\n ws \u3000"),
+    Gen.const("ctrl\u0001\u0002chars"),
+    Gen.listOfN(12, Gen.oneOf('a', 'e', '\u0301', '\u030a', ' ', '\t',
+      '\u00a0', '\u200b', '\u00e9')).map(_.mkString))
+
+  test("unicodeCanon is idempotent and emits none of the collapse set") {
+    import graft.functions.UnicodeCanon
+    val df = samples(unicodeStrings, 300).toDF("s")
+      .select(col("s"), UnicodeCanon(col("s")).as("c1"))
+      .select(col("s"), col("c1"), UnicodeCanon(col("c1")).as("c2"))
+    df.collect().foreach { r =>
+      val (c1, c2) = (r.getString(1), r.getString(2))
+      assert(c1 == c2, s"not idempotent on ${r.getString(0).codePoints().toArray.mkString(",")}")
+      val collapseExtras = "\u00a0\u1680\u2000\u200b\u2028\u2029\u202f\u205f\u3000\ufeff"
+      assert(!c1.exists(ch => ch != ' ' && (ch.isControl || ch.isWhitespace ||
+        collapseExtras.contains(ch))),
+        s"collapse-set char survived in: " + c1.codePoints().toArray.mkString(","))
+      assert(!c1.startsWith(" ") && !c1.endsWith(" "))
+    }
+  }
+
+  test("NFC/NFD/whitespace twins share canon_h48 and dedup to one survivor") {
+    import graft.functions.{PortableHash, UnicodeCanon}
+    // four renderings of the same visible document
+    val twins = Seq(
+      (1L, "caf\u00e9 au lait"),                       // NFC
+      (2L, "cafe\u0301 au lait"),                      // NFD
+      (3L, "caf\u00e9\u00a0au\u2028lait"),           // exotic whitespace
+      (4L, " cafe\u0301  au\tlait ")                  // NFD + ragged ASCII ws
+    ).toDF("doc_id", "text")
+    val keyed = twins.select(col("doc_id"),
+      PortableHash.h48(UnicodeCanon(col("text"))).as("canon_h48"))
+    assert(keyed.select(col("canon_h48")).distinct().count() == 1L,
+      "all four renderings must share one canonical hash")
+    // the q34-style keep-first dedup collapses them to one survivor
+    val survivors = keyed.groupBy(col("canon_h48"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .collect()
+    assert(survivors.length == 1 && survivors.head.getLong(1) == 1L &&
+      survivors.head.getLong(2) == 4L)
+    // control: WITHOUT the canon tier the same four fingerprints are distinct
+    val rawKeys = twins.select(PortableHash.h48(col("text"))).distinct().count()
+    assert(rawKeys == 4L, s"control failed: raw hashes collapsed to $rawKeys")
+  }
 }
