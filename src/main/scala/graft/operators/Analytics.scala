@@ -519,7 +519,13 @@ object Analytics {
     val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
       .union(pairs.select(col("sn").as("src"), col("cn").as("dst")))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outdeg, Seq("src")).localCheckpoint()
+    // hash-distribute the edge state on the JOIN key before materializing:
+    // LogicalRDD preserves the partitioning, so every rank⋈edges iteration
+    // reads the edge side co-located (zero edge exchanges in ALL blocks,
+    // not one reused exchange per 4-iteration block) — the in-memory twin
+    // of the bucketed-table layout BucketingSpec proves
+    val edgesDeg = edges.join(outdeg, Seq("src"))
+      .repartition(col("src")).localCheckpoint()
     // every node has outdegree ≥ 1 (edges are symmetric), so distinct src IS
     // the node set; n is the one driver scalar (the mass denominator)
     val n = edgesDeg.select(col("src")).distinct().count()

@@ -257,6 +257,12 @@ object TextOps {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // NOTE (round 11): the q107 bounded-block rewrite (collect_list + double
+    // explode, one shash exchange) was MEASURED 2× slower here — unbounded
+    // posting lists make the nested Generate re-walk hot arrays per outer
+    // element, while this self-join stays in codegen'd join machinery. The
+    // block idiom needs the df cap that q107 has and q35's oracle-checked
+    // form deliberately lacks; keep the join.
     val a = sh.select(col("doc_id").as("doc_a"), col("shash"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shash"))
     val inter = a.join(b, Seq("shash"))
@@ -271,6 +277,34 @@ object TextOps {
         (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"),
         pround(col("n_inter") * lit(1.0) / (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The DETERMINISTIC work volume of q35's inverted-index pair expansion:
+    * Σ over shingles of C(df, 2) — exactly the row count the shash
+    * self-join emits before pair-dedup, computed from the df histogram
+    * alone (one aggregate, no pairs materialized). `dfCap` applies the
+    * production stop-shingle lever (drop shingles shared by more than cap
+    * documents — boilerplate shingles fund O(df²) pairs and no recall at
+    * J ≥ 0.5). The slope probe records this volume at ×10/×20 as
+    * weather-proof adjudication evidence next to q35's timing row: a
+    * timing flicker over the threshold while this volume grew ~linearly is
+    * machine weather by construction, not a plan regression. */
+  def ngramExpansionVolume(spark: SparkSession, dir: String,
+      dfCap: Long = Long.MaxValue): Long = {
+    val dfs = shingleRows(spark, dir)
+      .groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    dfs.select(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)).as("vol"))
+      .head().getLong(0)
+  }
+
+  /** The deterministic work volume of the q62→q117/q126/q136 family's
+    * upstream driver: the distinct near-dup fingerprint edge count feeding
+    * the connected-components pass. Same adjudication role as
+    * [[ngramExpansionVolume]], for the q117 timing row. */
+  def simhashEdgeVolume(spark: SparkSession, dir: String): Long = {
+    val s = simhashDocs(spark, dir).localCheckpoint()
+    simhashNearPairsDistinct(s).count()
   }
 
   // Shared across the batch LSH pipelines (q36/q38/q101/q102/q111) AND the
