@@ -515,6 +515,19 @@ object PlanAudit {
     println(s"[audit] q148 unicode canon " +
       (if (q148ok) "OK (narrow codegen'd canonicalization; presentation sort only)"
        else s"CHECK: exchanges=$q148ex"))
+    // q149 domain gate: the corpus meets the blocklist through a BROADCAST
+    // hash join — no data-key shuffle; presentation sort is the only
+    // exchange on the corpus path
+    val q149 = SparkEntry.queries("q149_domain_filter")(spark, dir)
+    q149.collect()
+    val q149plan = q149.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q149ok = q149plan.contains("BroadcastHashJoin") &&
+      !q149plan.contains("SortMergeJoin") &&
+      !"Exchange hashpartitioning\\(doc_id".r.findAllIn(q149plan).hasNext
+    println(s"[audit] q149 domain gate " +
+      (if (q149ok) "OK (broadcast blocklist; no corpus data-key exchange)"
+       else "CHECK: " + q149plan.linesIterator.filter(_.contains("Exchange")).mkString(" | ").take(200)))
     // q146 drift: the corpus contributes COUNTING ONLY — one partial-
     // aggregated (dim, bin) hash cube; every hash exchange carries cube or
     // grid keys, never a corpus row key

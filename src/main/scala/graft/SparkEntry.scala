@@ -123,6 +123,7 @@ object SparkEntry {
     "q146_embedding_drift"   -> (SimilarityOps.embeddingDrift _),
     "q147_quality_classifier" -> (TextOps.qualityClassifier _),
     "q148_unicode_normalize" -> (TextOps.unicodeNormalize _),
+    "q149_domain_filter" -> (TextOps.domainFilter _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1640,6 +1641,7 @@ object SparkEntry {
     "q146_embedding_drift" -> SimilarityOps.embeddingDriftSql,
     "q147_quality_classifier" -> TextOps.qualityClassifierSql,
     "q148_unicode_normalize" -> TextOps.unicodeNormalizeSql,
+    "q149_domain_filter" -> TextOps.domainFilterSql,
     "q145_stream_topk" ->
       s"""SELECT event_type, rank, event_id, user_id, value FROM (
          |  SELECT event_type, event_id, user_id, value,

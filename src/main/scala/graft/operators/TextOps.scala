@@ -620,6 +620,66 @@ object TextOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** q149: URL-domain blocklist filtering — the C4-lineage provenance gate
+    * that runs before any content filter: extract the document's source
+    * URL, reduce its host to the registrable domain (subdomains stripped),
+    * and gate against a blocklist by BROADCAST join. The test corpus
+    * carries no URL column, so the fixture synthesizes one
+    * deterministically from doc_id (the q59 contact-note trick) with real
+    * subdomain/TLD variety; the blocklist is likewise a deterministic
+    * corpus-derived subset (h48(domain) mod 5 = 0 — a stand-in for the
+    * curated list a production pipeline broadcasts, same relation shape).
+    *
+    * Registrable-domain reduction here is last-two-labels — the honest
+    * approximation for a fixture whose TLDs are all single-label;
+    * production swaps in the public-suffix list as a second broadcast
+    * table (co.uk et al.), the plan unchanged. Scale shape: one narrow
+    * projection over the scan + one broadcast hash join against a KB-sized
+    * list; nothing shuffles but the presentation sort.
+    */
+  def domainFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sub = element_at(array(lit(""), lit("www."), lit("cdn."), lit("m.")),
+      (col("doc_id") % 4).cast("int") + 1)
+    val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+      (col("doc_id") % 3).cast("int") + 1)
+    val url = concat(lit("https://"), sub,
+      lit("site"), (col("doc_id") % 37).cast("string"), lit("."), tld,
+      lit("/d/"), col("doc_id").cast("string"))
+    val withDom = d.select(col("doc_id"), url.as("url"))
+      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+      .withColumn("parts", split(col("host"), "\\."))
+      .withColumn("domain", concat(
+        element_at(col("parts"), -2), lit("."), element_at(col("parts"), -1)))
+      .drop("host", "parts")
+    val blocklist = withDom.select(col("domain")).distinct()
+      .filter(h48(col("domain")) % 5 === 0)
+      .withColumn("hit", lit(true))
+    withDom.join(broadcast(blocklist), Seq("domain"), "left")
+      .select(col("doc_id"), col("url"), col("domain"),
+        coalesce(col("hit"), lit(false)).as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q149 oracle: same synthesis, host split, and blocklist rule. */
+  def domainFilterSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  'https://' || (['','www.','cdn.','m.'])[CAST(doc_id % 4 AS INT) + 1]
+       |    || 'site' || CAST(doc_id % 37 AS VARCHAR)
+       |    || '.' || (['com','org','net'])[CAST(doc_id % 3 AS INT) + 1]
+       |    || '/d/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |h AS (SELECT doc_id, url,
+       |        string_split(regexp_extract(url, 'https://([^/]+)/', 1), '.') AS p
+       |      FROM d),
+       |dom AS (SELECT doc_id, url, p[-2] || '.' || p[-1] AS domain FROM h),
+       |bl AS (SELECT DISTINCT domain FROM dom
+       |       WHERE ${graft.functions.PortableHash.h48Sql("domain")} % 5 = 0)
+       |SELECT dom.doc_id, dom.url, dom.domain,
+       |  (bl.domain IS NOT NULL) AS blocked
+       |FROM dom LEFT JOIN bl ON dom.domain = bl.domain
+       |ORDER BY dom.doc_id""".stripMargin
+
   /** q60: repetition statistics (the Gopher-style "most common n-gram
     * coverage" quality signal): per document, total / distinct bigram counts
     * and the share of the single most frequent bigram, with an integer-exact

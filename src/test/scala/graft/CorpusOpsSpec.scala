@@ -519,6 +519,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept > 0 && kept < got.size, s"degenerate gate: $kept/${got.size} kept")
   }
 
+  test("q149 domain gate: subdomains collapse to one registrable domain; blocklist is deterministic with both classes") {
+    val rows = TextOps.domainFilter(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // subdomain variants (%4 prefix) of the same (site, tld) pair must
+    // share the registrable domain — the whole point of the reduction
+    rows.groupBy { case (id, _, _, _) => (id % 37, id % 3) }.foreach {
+      case (key, grp) =>
+        assert(grp.map(_._3).distinct.length == 1,
+          s"group $key split across domains: ${grp.map(_._3).distinct.toSeq}")
+    }
+    // the domain is the url's host minus any subdomain prefix
+    rows.foreach { case (_, url, domain, _) =>
+      val host = url.stripPrefix("https://").takeWhile(_ != '/')
+      assert(host == domain || host.endsWith("." + domain),
+        s"$domain is not a suffix-domain of $host")
+    }
+    // blocklist verdict is a pure function of the domain, and informative
+    val byDomain = rows.groupBy(_._3).view.mapValues(_.map(_._4).distinct).toMap
+    byDomain.foreach { case (d, vs) =>
+      assert(vs.length == 1, s"domain $d has mixed verdicts") }
+    val blockedDomains = byDomain.count(_._2.head)
+    assert(blockedDomains > 0 && blockedDomains < byDomain.size,
+      s"degenerate blocklist: $blockedDomains/${byDomain.size} domains blocked")
+    // and matches the h48-mod rule (the curated-list stand-in)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long = {
+      md.reset(); val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+        ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    }
+    rows.foreach { case (_, _, domain, blocked) =>
+      assert(blocked == (h48(domain) % 5 == 0), s"verdict mismatch for $domain")
+    }
+  }
+
   test("HashedLinearScore native expression equals the built-in h48 composition") {
     import graft.functions.{HashedLinearScore, PortableHash}
     val w = TextOps.qcWeights
