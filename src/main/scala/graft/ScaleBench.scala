@@ -672,9 +672,13 @@ object SlopeProbe {
       }
     val volumeRows =
       volumeRow("q35_volume", "q35_ngram_jaccard") { d =>
-        // with the production stop-shingle lever at df ≤ 64 (inactive at
-        // harness SFs where max df ≪ 64 per tile — the q107 maxBlock story)
-        graft.operators.TextOps.ngramExpansionVolume(spark, d, 64L)
+        // UNCAPPED, because the timed q35 row times the uncapped
+        // oracle-checked query — a capped twin would stop tracking the
+        // timed query's actual C(df,2) work the moment any shingle's df
+        // crossed the cap, mislabeling a real super-linear regression as
+        // machine weather. (At harness SFs max df ≪ 64, so this equals the
+        // production stop-shingle-levered volume bit-for-bit today.)
+        graft.operators.TextOps.ngramExpansionVolume(spark, d)
       } ++
       volumeRow("q107_volume", "q107_fuzzy_match") { d =>
         graft.operators.Relational.fuzzyCandidates(spark, d).count()

@@ -10,8 +10,13 @@ object Verify {
     // (the driver always calls with exactly two args = run everything)
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Seq[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      else None
+      if (args.length > 2) {
+        val pats = args(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        // An empty/whitespace filter list means "no filter" — otherwise a
+        // stray "" third arg would silently select zero queries and write
+        // an empty correctness dump.
+        if (pats.isEmpty) None else Some(pats)
+      } else None
     def selected(name: String): Boolean =
       only.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -449,7 +449,9 @@ object SimilarityOps {
     * re-rank — holds for ANY query batch small enough to broadcast. */
   private[graft] def ivfPqTopKOf(spark: SparkSession, dir: String,
       querySel: DataFrame => DataFrame, nprobe: Int = IvfProbes,
-      rerank: Int = IvfPqReRank): DataFrame = {
+      rerank: Int = IvfPqReRank, k: Int = RecallK): DataFrame = {
+    // the returned list is only as deep as the re-rank pool feeding it
+    require(k <= rerank, s"top-k depth $k exceeds re-rank pool $rerank")
     import org.apache.spark.sql.expressions.Window
     // drop the sign-sketch bucket BEFORE the cache: q144 never probes by
     // sketch, and column pruning then elides the 8-plane projection per
@@ -506,7 +508,7 @@ object SimilarityOps {
         pround(dot(col("nv"), col("fqv")) / (col("nn") * col("qn")), 6).as("cosine"))
     val wf = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     fetched.withColumn("rank", row_number().over(wf).cast("long"))
-      .filter(col("rank") <= RecallK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
         col("pqdot"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
@@ -1294,11 +1296,11 @@ object SimilarityOps {
         // ADC + exact-re-rank candidates — the corpus is never
         // exhaustively cosine-scored (PlanAudit asserts the full-corpus
         // nested-loop join is absent; HybridIndexSpec measures the recall
-        // floor vs the exact arm). RecallK == HybridPoolK, so the
-        // re-ranked top list IS the dense candidate list.
+        // floor vs the exact arm). k = HybridPoolK explicitly — the dense
+        // pool depth must track THIS constant, not q144's RecallK.
         ivfPqTopKOf(spark, dir,
           ee => ee.join(broadcast(qids), ee("vec_id") === qids("query_id")).drop("query_id"),
-          nprobe = HybridIvfProbes, rerank = HybridIvfReRank)
+          nprobe = HybridIvfProbes, rerank = HybridIvfReRank, k = HybridPoolK)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rank").as("rank_dense"))
           .filter(col("rank_dense") <= HybridPoolK)

@@ -41,7 +41,12 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Per-partition (value, bytes, files) from the filesystem listing. */
+  /** Per-partition (value, bytes, files) from the filesystem listing.
+    * Directory names are Hive-URI-escaped on disk (`a b` → `a%20b`);
+    * the returned value is UNESCAPED so it can be compared against the
+    * DataFrame column — otherwise a partition whose value contains a
+    * special character would never match the pruning filter and the
+    * rewrite would be a silently-retried no-op. */
   def partitionStats(spark: SparkSession, tableDir: String, partitionCol: String)
       : Seq[(String, Long, Int)] = {
     val root = new java.io.File(tableDir)
@@ -50,7 +55,8 @@ object Compaction {
       .map { d =>
         val parts = Option(d.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        (d.getName.stripPrefix(s"$partitionCol="),
+        (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+           .unescapePathName(d.getName.stripPrefix(s"$partitionCol=")),
           parts.map(_.length()).sum, parts.length)
       }.toSeq.sortBy(_._1)
   }

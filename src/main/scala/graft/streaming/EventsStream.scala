@@ -610,15 +610,25 @@ object EventsStream {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
     }
+    // Age fallback for two cases pid-liveness can't adjudicate: legacy
+    // pre-namespace `run*` dirs (no owner encoding at all) and a recycled
+    // pid now naming an unrelated live process. Generous (days, not
+    // minutes) — it only has to bound /tmp growth, never race a live run.
+    val staleAfterMs = 2L * 24 * 3600 * 1000
+    val now = System.currentTimeMillis()
+    val myPid = ProcessHandle.current.pid
     Option(parent.toFile.listFiles()).getOrElse(Array.empty)
       .filter { d =>
-        d.getName.startsWith("pid_") &&
-          (d.getName.stripPrefix("pid_").toLongOption match {
+        if (d.getName.startsWith("pid_"))
+          d.getName.stripPrefix("pid_").toLongOption match {
+            case Some(pid) if pid == myPid => false     // always keep our own
             case Some(pid) =>
               val h = ProcessHandle.of(pid)
-              !(h.isPresent && h.get.isAlive)
+              !(h.isPresent && h.get.isAlive) ||
+                now - d.lastModified() > staleAfterMs   // pid-reuse straggler
             case None => true   // malformed namespace: nobody owns it
-          })
+          }
+        else now - d.lastModified() > staleAfterMs      // legacy run* dirs
       }
       .foreach(rm)
     val mine = parent.resolve(s"pid_${ProcessHandle.current.pid}")
