@@ -542,6 +542,23 @@ object PlanAudit {
     println(s"[audit] q146 embedding drift " +
       (if (q146ok) s"OK (partial-agg count cube; exchanges=${q146hashEx.mkString("{", ",", "}")})"
        else s"CHECK: exchanges=${q146hashEx.mkString(",")}"))
+    // q150 cluster-safe split: downstream of the (q62-audited) CC loop the
+    // plan is pure id-key equi-joins + the (lang, split) accounting cube —
+    // every hash exchange carries an id or group key, never a text column,
+    // and nothing degenerates to a nested-loop/cartesian join
+    val q150 = SparkEntry.queries("q150_cluster_split")(spark, dir)
+    q150.collect()
+    val q150plan = q150.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q150hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
+      .findAllMatchIn(q150plan).map(_.group(1)).toSet
+    val q150allowed = Set("label", "doc_id", "cluster_id", "rep", "simhash", "lang")
+    val q150ok = !q150plan.contains("CartesianProduct") &&
+      !q150plan.contains("BroadcastNestedLoopJoin") &&
+      q150hashEx.subsetOf(q150allowed)
+    println(s"[audit] q150 cluster-safe split " +
+      (if (q150ok) s"OK (id/group-key exchanges only: ${q150hashEx.mkString("{", ",", "}")})"
+       else s"CHECK: exchanges=${q150hashEx.mkString(",")}"))
     spark.stop()
   }
 }

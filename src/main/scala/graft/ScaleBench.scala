@@ -77,7 +77,9 @@ object ScaleBench {
     "q142_hybrid_retrieval", "q143_neardup_decontaminate", "q144_ivfpq_ann",
     "q145_stream_topk", "q146_embedding_drift",
     // round-11 additions
-    "q147_quality_classifier", "q148_unicode_normalize", "q149_domain_filter")
+    "q147_quality_classifier", "q148_unicode_normalize", "q149_domain_filter",
+    // round-12 additions
+    "q150_cluster_split")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

@@ -124,6 +124,7 @@ object SparkEntry {
     "q147_quality_classifier" -> (TextOps.qualityClassifier _),
     "q148_unicode_normalize" -> (TextOps.unicodeNormalize _),
     "q149_domain_filter" -> (TextOps.domainFilter _),
+    "q150_cluster_split" -> (TextOps.clusterSafeSplit _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -993,6 +994,26 @@ object SparkEntry {
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, sz.cluster_size
          |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+    "q150_cluster_split" ->
+      s"""WITH RECURSIVE $SimhashCteBody,
+         |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p2
+         |          UNION ALL SELECT doc_b, doc_a FROM p2),
+         |reach(n, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON r.n = e.a),
+         |lab AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n),
+         |rb AS (SELECT doc_id AS cluster_id,
+         |  CASE WHEN ${PortableHash.h48Sql("text")} % 100 < 80 THEN 'train'
+         |       WHEN ${PortableHash.h48Sql("text")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT d.lang, r.split, count(*) AS n_docs,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+         |  count(DISTINCT l.cluster_id) AS n_clusters
+         |FROM lab l JOIN documents d USING (doc_id) JOIN rb r USING (cluster_id)
+         |GROUP BY d.lang, r.split ORDER BY d.lang, r.split""".stripMargin,
     "q117_quality_dedup" ->
       s"""WITH RECURSIVE $SimhashCteBody,
          |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),

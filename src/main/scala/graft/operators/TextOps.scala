@@ -751,6 +751,51 @@ object TextOps {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** The per-document assignment behind q150: (doc_id, cluster_id, split)
+    * where the split bucket is computed from the CLUSTER REPRESENTATIVE's
+    * content hash (the rep is the component-min doc_id, so `cluster_id`
+    * doubles as the rep's doc_id). Split is a pure function of cluster_id,
+    * so no two members of one near-dup cluster can ever land in different
+    * splits — the leakage q68's per-document hash allows (a near-dup pair
+    * straddling train/test is exactly the train-eval contamination the
+    * dedup tier exists to prevent; see Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better").
+    *
+    * Plan shape: [[clusterLabels]]'s quotient-graph CC (audited under q62)
+    * + ONE narrow (doc_id, bucket) projection of the corpus joined on the
+    * label key — both sides shuffle-on-id equi-joins, nothing widens, no
+    * new corpus scan beyond the projection.
+    */
+  def clusterSafeSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    // the rep's split bucket, keyed by the rep's doc_id (= the label)
+    val repBucket = Tables.documents(spark, dir)
+      .transform(Tables.fanout)
+      .select(col("doc_id").as("label"), (h48(col("text")) % 100).as("bucket"))
+    labels.join(repBucket, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** q150: dedup-cluster-aware (leakage-safe) holdout split — q68's
+    * (lang, split) corpus accounting, but with the split key lifted from
+    * per-document hash to cluster-representative hash so near-duplicate
+    * documents always share a split. `n_clusters` counts the distinct
+    * clusters contributing to each cell (a cluster spanning languages
+    * appears under each of its languages, but never under two splits).
+    */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    clusterSafeSplitAssign(spark, dir)
+      .join(d, "doc_id")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** q101: the full corpus-preparation pipeline as ONE composed query — the
     * end-to-end shape a training-data team actually runs nightly:
     *
@@ -1288,6 +1333,19 @@ object TextOps {
     * edges; a million identical docs contribute ONE quotient vertex).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The (doc_id, label) cluster assignment behind q62/q117/q150: every
+    * document labeled with the smallest doc_id reachable through near-dup
+    * edges, singletons labeled by their own id. Factored so the
+    * leakage-safe split (q150) can key on cluster labels without paying
+    * q62's size join. */
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     // materialized once: feeds the quotient banding, the membership
     // expansion, and the rep aggregation
     val s = simhashDocs(spark, dir).localCheckpoint()
@@ -1330,13 +1388,9 @@ object TextOps {
     val memberLabels = sLoop.join(groupsLoop, "simhash")
       .join(repLabels.select(col("doc_id").as("rep"), col("label")), "rep")
       .select(col("doc_id"), col("label"))
-    val labels = Tables.documents(loopSession, dir).select(col("doc_id"))
+    Tables.documents(loopSession, dir).select(col("doc_id"))
       .join(memberLabels.withColumnRenamed("label", "member_label"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("member_label"), col("doc_id")).as("label"))
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
   }
 
   /** q87: TF-IDF characteristic terms — top-3 terms per document ranked by

@@ -570,4 +570,42 @@ class CorpusOpsSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(1) == r.getLong(2),
       s"doc ${r.getLong(0)}: native ${r.getLong(1)} != builtin ${r.getLong(2)}"))
   }
+
+  test("q150 law: every near-dup cluster lands in exactly ONE split, and the " +
+       "per-document split (q68) demonstrably leaks on the same corpus") {
+    import graft.functions.PortableHash.h48
+    val assign = TextOps.clusterSafeSplitAssign(spark, sf001).cache()
+    try {
+      val perCluster = assign.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("n_splits"),
+             count(lit(1)).as("n_members"))
+        .cache()
+      // the leakage guard itself: no cluster straddles splits
+      assert(perCluster.filter(col("n_splits") =!= 1).count() == 0)
+      // non-degenerate: the fixture really has multi-member clusters
+      val multi = perCluster.filter(col("n_members") > 1).count()
+      assert(multi > 0, "fixture has no multi-member near-dup clusters")
+      // contrast law — per-document hashing (q68's split) puts at least one
+      // near-dup cluster's members in different splits on the SAME fixture,
+      // i.e. the cluster-keyed split is load-bearing, not vacuous
+      val perDocSplit = Tables.documents(spark, sf001)
+        .select(col("doc_id"),
+          when(h48(col("text")) % 100 < 80, "train")
+            .when(h48(col("text")) % 100 < 90, "val")
+            .otherwise("test").as("doc_split"))
+      val leaked = assign.join(perDocSplit, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(countDistinct(col("doc_split")).as("nds"))
+        .filter(col("nds") > 1).count()
+      assert(leaked > 0,
+        "per-doc split leaks nowhere on this fixture — contrast law is vacuous")
+      // conservation: the reassignment moves documents between splits but
+      // never invents or drops corpus mass vs q68's accounting
+      val q150Tot = TextOps.clusterSafeSplit(spark, sf001)
+        .agg(sum(col("n_docs")), sum(col("total_chars"))).head()
+      val q68Tot = TextOps.holdoutSplit(spark, sf001)
+        .agg(sum(col("n_docs")), sum(col("total_chars"))).head()
+      assert(q150Tot == q68Tot, s"corpus mass drifted: $q150Tot vs $q68Tot")
+    } finally { assign.unpersist(); () }
+  }
 }
