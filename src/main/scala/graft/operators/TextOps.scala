@@ -620,38 +620,84 @@ object TextOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Bounded fixture subset of the Public Suffix List (public data,
+    * publicsuffix.org) — normal rules only; wildcard (`*.ck`) and exception
+    * (`!www.ck`) rules are out of fixture scope and documented as the one
+    * remaining production delta (they add a second broadcast probe on the
+    * same plan). One source of truth for the Spark side AND the DuckDB
+    * oracle, so the two can never disagree on the rule set. */
+  private[graft] val PslRules: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "io", "dev", "info", "biz",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "au", "com.au", "net.au", "org.au",
+    "jp", "co.jp", "ne.jp", "or.jp",
+    "br", "com.br", "net.br", "de", "fr", "nl", "us", "ca", "in", "co.in")
+  private[graft] def pslLabels(r: String): Int = r.count(_ == '.') + 1
+  private[graft] val PslMaxLabels: Int = PslRules.map(pslLabels).max
+  /** TLD rotation for the synthetic URLs — half are multi-label suffixes so
+    * the longest-suffix match is exercised, not decorative. */
+  private[graft] val UrlTlds: Seq[String] =
+    Seq("com", "co.uk", "org", "com.au", "net", "co.jp")
+
   /** q149: URL-domain blocklist filtering — the C4-lineage provenance gate
     * that runs before any content filter: extract the document's source
-    * URL, reduce its host to the registrable domain (subdomains stripped),
-    * and gate against a blocklist by BROADCAST join. The test corpus
-    * carries no URL column, so the fixture synthesizes one
-    * deterministically from doc_id (the q59 contact-note trick) with real
-    * subdomain/TLD variety; the blocklist is likewise a deterministic
-    * corpus-derived subset (h48(domain) mod 5 = 0 — a stand-in for the
-    * curated list a production pipeline broadcasts, same relation shape).
+    * URL, reduce its host to the REGISTRABLE domain via the public-suffix
+    * list (longest matching suffix rule + one label — `a.b.co.uk` →
+    * `b.co.uk`, never `co.uk` or `b.uk`), and gate against a blocklist by
+    * BROADCAST join. The test corpus carries no URL column, so the fixture
+    * synthesizes one deterministically from doc_id (the q59 contact-note
+    * trick) with real subdomain and multi-label-TLD variety; the blocklist
+    * is likewise a deterministic corpus-derived subset (h48(domain) mod
+    * 5 = 0 — a stand-in for the curated list a production pipeline
+    * broadcasts, same relation shape).
     *
-    * Registrable-domain reduction here is last-two-labels — the honest
-    * approximation for a fixture whose TLDs are all single-label;
-    * production swaps in the public-suffix list as a second broadcast
-    * table (co.uk et al.), the plan unchanged. Scale shape: one narrow
-    * projection over the scan + one broadcast hash join against a KB-sized
-    * list; nothing shuffles but the presentation sort.
+    * PSL matching, Spark-first: the rule set is grouped by label depth and
+    * each depth is ONE broadcast left join on the host's depth-i suffix
+    * string (a suffix is only a candidate when the host keeps ≥ 1 extra
+    * label for the registrable part, per the PSL algorithm); the deepest
+    * hit wins, with the PSL default rule `*` (unlisted TLD → last label is
+    * public) as the fallback. Depth count derives from the rule set, so
+    * widening the shipped PSL never touches plan code. Scale shape: one
+    * narrow projection over the scan + [[PslMaxLabels]]+1 broadcast hash
+    * joins against KB-sized lists; nothing shuffles but the presentation
+    * sort.
     */
   def domainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
     val d = Tables.documents(spark, dir)
     val sub = element_at(array(lit(""), lit("www."), lit("cdn."), lit("m.")),
       (col("doc_id") % 4).cast("int") + 1)
-    val tld = element_at(array(lit("com"), lit("org"), lit("net")),
-      (col("doc_id") % 3).cast("int") + 1)
+    val tld = element_at(array(UrlTlds.map(lit): _*),
+      (col("doc_id") % UrlTlds.size).cast("int") + 1)
     val url = concat(lit("https://"), sub,
       lit("site"), (col("doc_id") % 37).cast("string"), lit("."), tld,
       lit("/d/"), col("doc_id").cast("string"))
-    val withDom = d.select(col("doc_id"), url.as("url"))
+    val base = d.select(col("doc_id"), url.as("url"))
       .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
       .withColumn("parts", split(col("host"), "\\."))
-      .withColumn("domain", concat(
-        element_at(col("parts"), -2), lit("."), element_at(col("parts"), -1)))
-      .drop("host", "parts")
+    // depth-i candidate suffix: the host's last i labels, defined only when
+    // at least one label remains for the registrable part
+    val withSfx = (1 to PslMaxLabels).foldLeft(base) { (df, i) =>
+      df.withColumn(s"sfx$i", when(size(col("parts")) > i,
+        array_join(slice(col("parts"), size(col("parts")) - i + 1, lit(i)), ".")))
+    }
+    // one broadcast probe per rule depth (rules grouped by label count)
+    val probed = (1 to PslMaxLabels).foldLeft(withSfx) { (df, i) =>
+      val ruleRows = PslRules.filter(pslLabels(_) == i)
+        .map(org.apache.spark.sql.Row(_))
+      val ri = spark.createDataFrame(
+          spark.sparkContext.parallelize(ruleRows, 1),
+          StructType(Seq(StructField(s"sfx$i", StringType))))
+        .withColumn(s"hit$i", lit(true))
+      df.join(broadcast(ri), Seq(s"sfx$i"), "left")
+    }
+    // deepest matching rule wins; PSL default rule `*` → depth 1
+    val m = coalesce(
+      (PslMaxLabels to 1 by -1).map(i => when(col(s"hit$i"), lit(i))) :+ lit(1): _*)
+    val withDom = probed
+      .withColumn("domain", array_join(
+        slice(col("parts"), size(col("parts")) - m, m + lit(1)), "."))
+      .select(col("doc_id"), col("url"), col("domain"))
     val blocklist = withDom.select(col("domain")).distinct()
       .filter(h48(col("domain")) % 5 === 0)
       .withColumn("hit", lit(true))
@@ -661,24 +707,43 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** The q149 oracle: same synthesis, host split, and blocklist rule. */
-  def domainFilterSql: String =
+  /** The q149 oracle: same synthesis, PSL rule probes, and blocklist rule,
+    * generated from the SAME [[PslRules]]/[[UrlTlds]] constants. */
+  def domainFilterSql: String = {
+    val tlds = UrlTlds.map(t => s"'$t'").mkString(",")
+    val sfxDefs = (1 to PslMaxLabels).map(i =>
+      s"CASE WHEN len(p) > $i THEN array_to_string(list_slice(p, len(p) - $i + 1, len(p)), '.') END AS s$i")
+      .mkString(",\n  ")
+    val ruleJoins = (1 to PslMaxLabels).map { i =>
+      val lst = PslRules.filter(pslLabels(_) == i).map(r => s"('$r')").mkString(",")
+      s"LEFT JOIN (VALUES $lst) AS r$i(v$i) ON s.s$i = r$i.v$i"
+    }.mkString("\n")
+    val mExpr = "CASE " +
+      (PslMaxLabels to 1 by -1).map(i => s"WHEN r$i.v$i IS NOT NULL THEN $i").mkString(" ") +
+      " ELSE 1 END"
     s"""WITH d AS (SELECT doc_id,
        |  'https://' || (['','www.','cdn.','m.'])[CAST(doc_id % 4 AS INT) + 1]
        |    || 'site' || CAST(doc_id % 37 AS VARCHAR)
-       |    || '.' || (['com','org','net'])[CAST(doc_id % 3 AS INT) + 1]
+       |    || '.' || ([$tlds])[CAST(doc_id % ${UrlTlds.size} AS INT) + 1]
        |    || '/d/' || CAST(doc_id AS VARCHAR) AS url
        |  FROM documents),
-       |h AS (SELECT doc_id, url,
+       |c AS (SELECT doc_id, url,
        |        string_split(regexp_extract(url, 'https://([^/]+)/', 1), '.') AS p
        |      FROM d),
-       |dom AS (SELECT doc_id, url, p[-2] || '.' || p[-1] AS domain FROM h),
+       |s AS (SELECT doc_id, url, p, $sfxDefs FROM c),
+       |mm AS (SELECT s.doc_id, s.url, s.p, $mExpr AS m
+       |       FROM s
+       |$ruleJoins),
+       |dom AS (SELECT doc_id, url,
+       |          array_to_string(list_slice(p, len(p) - m, len(p)), '.') AS domain
+       |        FROM mm),
        |bl AS (SELECT DISTINCT domain FROM dom
        |       WHERE ${graft.functions.PortableHash.h48Sql("domain")} % 5 = 0)
        |SELECT dom.doc_id, dom.url, dom.domain,
        |  (bl.domain IS NOT NULL) AS blocked
        |FROM dom LEFT JOIN bl ON dom.domain = bl.domain
        |ORDER BY dom.doc_id""".stripMargin
+  }
 
   /** q60: repetition statistics (the Gopher-style "most common n-gram
     * coverage" quality signal): per document, total / distinct bigram counts

@@ -519,13 +519,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept > 0 && kept < got.size, s"degenerate gate: $kept/${got.size} kept")
   }
 
-  test("q149 domain gate: subdomains collapse to one registrable domain; blocklist is deterministic with both classes") {
+  test("q149 domain gate: PSL longest-suffix match reduces multi-label TLDs correctly; blocklist is deterministic with both classes") {
     val rows = TextOps.domainFilter(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
     assert(rows.nonEmpty)
     // subdomain variants (%4 prefix) of the same (site, tld) pair must
     // share the registrable domain — the whole point of the reduction
-    rows.groupBy { case (id, _, _, _) => (id % 37, id % 3) }.foreach {
+    rows.groupBy { case (id, _, _, _) =>
+      (id % 37, id % TextOps.UrlTlds.size) }.foreach {
       case (key, grp) =>
         assert(grp.map(_._3).distinct.length == 1,
           s"group $key split across domains: ${grp.map(_._3).distinct.toSeq}")
@@ -536,6 +537,18 @@ class CorpusOpsSpec extends SparkSpec {
       assert(host == domain || host.endsWith("." + domain),
         s"$domain is not a suffix-domain of $host")
     }
+    // the PSL reduction, exactly: registrable = site label + the matched
+    // public suffix — `cdn.site5.co.uk` → `site5.co.uk` (3 labels, never
+    // the last-two-labels `co.uk` the pre-PSL approximation produced)
+    rows.foreach { case (id, _, domain, _) =>
+      val expected = s"site${id % 37}." +
+        TextOps.UrlTlds((id % TextOps.UrlTlds.size).toInt)
+      assert(domain == expected, s"doc $id: $domain != $expected")
+    }
+    // multi-label suffixes are actually present AND reduce to 3 labels
+    val multiLabel = rows.filter(_._3.count(_ == '.') == 2)
+    assert(multiLabel.nonEmpty, "no multi-label-TLD domains in fixture")
+    assert(multiLabel.exists(_._3.endsWith(".co.uk")))
     // blocklist verdict is a pure function of the domain, and informative
     val byDomain = rows.groupBy(_._3).view.mapValues(_.map(_._4).distinct).toMap
     byDomain.foreach { case (d, vs) =>
