@@ -559,6 +559,21 @@ object PlanAudit {
     println(s"[audit] q150 cluster-safe split " +
       (if (q150ok) s"OK (id/group-key exchanges only: ${q150hashEx.mkString("{", ",", "}")})"
        else s"CHECK: exchanges=${q150hashEx.mkString(",")}"))
+    // q151 boilerplate removal (driver hot-list path, the harness shape):
+    // the only hash exchange carries the 8-byte line-hash df key — the
+    // corpus itself is filtered by a codegen'd sorted-array probe and
+    // never shuffles; no join appears anywhere in the plan
+    val q151 = SparkEntry.queries("q151_boilerplate_lines")(spark, dir)
+    q151.collect()
+    val q151plan = q151.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q151hashEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
+      .findAllMatchIn(q151plan).map(_.group(1)).toSet
+    val q151ok = q151hashEx.subsetOf(Set("lh")) &&
+      !q151plan.contains("Join") && q151plan.contains("in_sorted_longs")
+    println(s"[audit] q151 boilerplate removal " +
+      (if (q151ok) "OK (df agg on line-hash is the only hash exchange; corpus filtered join-free in codegen)"
+       else s"CHECK: exchanges=${q151hashEx.mkString(",")} join=${q151plan.contains("Join")}"))
     spark.stop()
   }
 }

@@ -125,6 +125,7 @@ object SparkEntry {
     "q148_unicode_normalize" -> (TextOps.unicodeNormalize _),
     "q149_domain_filter" -> (TextOps.domainFilter _),
     "q150_cluster_split" -> (TextOps.clusterSafeSplit _),
+    "q151_boilerplate_lines" -> (TextOps.boilerplateRemoval _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1663,6 +1664,7 @@ object SparkEntry {
     "q147_quality_classifier" -> TextOps.qualityClassifierSql,
     "q148_unicode_normalize" -> TextOps.unicodeNormalizeSql,
     "q149_domain_filter" -> TextOps.domainFilterSql,
+    "q151_boilerplate_lines" -> TextOps.boilerplateRemovalSql,
     "q145_stream_topk" ->
       s"""SELECT event_type, rank, event_id, user_id, value FROM (
          |  SELECT event_type, event_id, user_id, value,

@@ -843,6 +843,117 @@ object TextOps {
           .otherwise("test").as("split"))
   }
 
+  /** The q151 boilerplate fixture: the corpus text carries no line
+    * structure, so each document is framed with a rotating nav header and
+    * footer line (deterministic in doc_id, oracle-mirrored — the q149 URL
+    * synthesis pattern). The header/footer strings are exactly the
+    * cross-document repeated chrome CCNet's line-df filter exists to
+    * remove. */
+  private[graft] val BoilerHeaders = Seq(
+    "Home | About | Contact", "Cookie notice: we use cookies",
+    "Subscribe to our newsletter", "(c) 2026 Example Corp")
+  private[graft] val BoilerFooters = Seq(
+    "Privacy Policy | Terms of Service", "Follow us on social media",
+    "All rights reserved.")
+  /** A line is boilerplate when more documents than this carry it. */
+  private[graft] val BoilerDfThreshold = 5L
+
+  /** q151: CCNet-style frequent-line boilerplate removal — per-line hash →
+    * line document-frequency → drop lines carried by more than
+    * [[BoilerDfThreshold]] documents → emit cleaned text + removal stats.
+    * This is the per-line-hash df gate every CommonCrawl pipeline runs
+    * before quality scoring (CCNet dedups paragraphs the same way);
+    * distinct from q102's hot-SHINGLE cap, which protects the LSH index —
+    * this one rewrites the documents themselves.
+    *
+    * Scale shape: line df is ONE hash aggregate on the 8-byte line-hash key
+    * (per-doc distinct via `array_distinct` BEFORE the explode, so the
+    * exchange carries one row per (doc, distinct line)); the hot-line list
+    * is then size-gated exactly like q102 ([[HotListMaxDriver]]): while it
+    * fits the driver it becomes a sorted long[] probed inside a codegen'd
+    * `filter()` lambda — the corpus itself never shuffles — and above the
+    * gate the screen is a distributed anti-join + order-preserving
+    * re-assembly, bit-identical output (DedupSpec-style law in
+    * CorpusOpsSpec proves it on the same fixture).
+    */
+  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame =
+    boilerplateRemovalOf(spark,
+      Tables.documents(spark, dir).transform(Tables.fanout))
+
+  /** Core of q151 over an arbitrary (doc_id, text) relation — exposed so
+    * the spec can prove the two hot-list strategies bit-identical. */
+  def boilerplateRemovalOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    val synth = concat_ws("\n",
+      element_at(array(BoilerHeaders.map(lit): _*),
+        (col("doc_id") % BoilerHeaders.size).cast("int") + 1),
+      col("text"),
+      element_at(array(BoilerFooters.map(lit): _*),
+        (col("doc_id") % BoilerFooters.size).cast("int") + 1))
+    val base = d.select(col("doc_id"), split(synth, "\n").as("lines"))
+    // line document-frequency on the hashed key: one narrow explode of
+    // per-doc DISTINCT line hashes + one partial-aggregated count
+    val dfs = base
+      .select(explode(array_distinct(transform(col("lines"), l => h48(l)))).as("lh"))
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+    val hotDf = dfs.filter(col("df") > BoilerDfThreshold)
+      .select(col("lh")).cache()
+    val maxDriver = spark.conf.getOption("graft.boiler.hotListMaxDriver")
+      .map(_.toLong).getOrElse(HotListMaxDriver)
+    val nHot = hotDf.count()
+    val kept =
+      if (nHot <= maxDriver) {
+        // driver path: sorted long[] probed inside the codegen'd lambda;
+        // zero exchanges on the corpus side
+        val hotArr = hotDf.collect().map(_.getLong(0)).sorted
+        base.select(col("doc_id"), col("lines"),
+          filter(col("lines"),
+            l => !graft.functions.InSortedLongs(h48(l), hotArr)).as("kept"))
+      } else {
+        // distributed path: anti-join screen on the uniform hash key, then
+        // order-preserving re-assembly; docs whose every line is hot come
+        // back through the left join with an empty kept list
+        val ex = base
+          .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+          .withColumn("lh", h48(col("line")))
+          .join(hotDf, Seq("lh"), "left_anti")
+        val reassembled = ex.groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("kp"))
+          .select(col("doc_id"), transform(col("kp"), s => s("line")).as("kept0"))
+        base.join(reassembled, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lines"),
+            coalesce(col("kept0"), array().cast("array<string>")).as("kept"))
+      }
+    kept.select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        (size(col("lines")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), "\n").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q151 oracle: same synthesis, line-hash df gate, and filter,
+    * generated from the same fixture constants. */
+  def boilerplateRemovalSql: String = {
+    val hs = BoilerHeaders.map(s => s"'$s'").mkString(",")
+    val fs = BoilerFooters.map(s => s"'$s'").mkString(",")
+    s"""WITH d AS (SELECT doc_id,
+       |  ([$hs])[CAST(doc_id % ${BoilerHeaders.size} AS INT) + 1]
+       |    || chr(10) || text || chr(10) ||
+       |  ([$fs])[CAST(doc_id % ${BoilerFooters.size} AS INT) + 1] AS synth
+       |  FROM documents),
+       |l AS (SELECT doc_id, string_split(synth, chr(10)) AS lines FROM d),
+       |e AS (SELECT unnest(list_distinct(list_transform(lines, x -> ${graft.functions.PortableHash.h48Sql("x")}))) AS lh FROM l),
+       |fd AS (SELECT lh, count(*) AS df FROM e GROUP BY 1),
+       |hot AS (SELECT coalesce(list(lh), CAST([] AS BIGINT[])) AS hl
+       |        FROM fd WHERE df > $BoilerDfThreshold),
+       |k AS (SELECT doc_id, lines,
+       |        list_filter(lines, x -> NOT list_contains(hl, ${graft.functions.PortableHash.h48Sql("x")})) AS kept
+       |      FROM l, hot)
+       |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+       |  array_to_string(kept, chr(10)) AS cleaned
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   /** q150: dedup-cluster-aware (leakage-safe) holdout split — q68's
     * (lang, split) corpus accounting, but with the split key lifted from
     * per-document hash to cluster-representative hash so near-duplicate

@@ -584,6 +584,35 @@ class CorpusOpsSpec extends SparkSpec {
       s"doc ${r.getLong(0)}: native ${r.getLong(1)} != builtin ${r.getLong(2)}"))
   }
 
+  test("q151 law: frequent lines are removed, rare lines kept, and the " +
+       "driver / distributed hot-list strategies are bit-identical") {
+    val rows = TextOps.boilerplateRemoval(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val boiler = (TextOps.BoilerHeaders ++ TextOps.BoilerFooters).toSet
+    rows.foreach { r =>
+      val cleaned = r.getAs[String]("cleaned")
+      val nLines = r.getAs[Long]("n_lines")
+      val nRemoved = r.getAs[Long]("n_removed")
+      assert(nLines == 3L)                       // header + body + footer
+      assert(nRemoved >= 2L && nRemoved <= nLines)
+      // every synthesized chrome line is gone from every document
+      val keptLines = cleaned.split("\n", -1).filter(_.nonEmpty).toSeq
+      assert(keptLines.forall(l => !boiler.contains(l)),
+        s"doc ${r.getLong(0)}: boilerplate survived: $keptLines")
+      assert(keptLines.size.toLong == nLines - nRemoved)
+    }
+    // rare (unique-body) documents keep their body line — removal is a df
+    // gate, not a blanket wipe
+    assert(rows.exists(_.getAs[Long]("n_removed") == 2L),
+      "every body line was removed — df gate degenerate on this fixture")
+    // strategy law: force the distributed anti-join path and compare
+    val forced = spark.newSession()
+    forced.conf.set("graft.boiler.hotListMaxDriver", "0")
+    val distRows = TextOps.boilerplateRemoval(forced, sf001).collect()
+    assert(rows.map(_.toString).toSeq == distRows.map(_.toString).toSeq,
+      "driver and distributed hot-list paths diverge")
+  }
+
   test("q150 law: every near-dup cluster lands in exactly ONE split, and the " +
        "per-document split (q68) demonstrably leaks on the same corpus") {
     import graft.functions.PortableHash.h48
