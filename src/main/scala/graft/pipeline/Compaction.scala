@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction: rewrite a partitioned parquet table so each
@@ -100,5 +100,80 @@ object Compaction {
         .partitionBy(partitionCol)
         .parquet(tableDir)
     }
+  }
+
+  // ---- Table maintenance tier 2: clustering rewrite for data skipping ----
+  //
+  // Compaction fixes FILE SIZES; these rewrites fix FILE STATS. A table
+  // written in arrival order scatters every key range across every file, so
+  // the per-file (and per-row-group) min/max statistics that parquet
+  // footers, Iceberg manifests, and Delta checkpoints all carry prune
+  // nothing — a selective predicate still opens every file. Re-clustering
+  // on the query columns makes those same statistics selective:
+  // `rewrite_data_files(sort_order)` in Iceberg, `OPTIMIZE ZORDER BY` in
+  // Delta. TableClusteringSpec PROVES the effect (files-whose-stats-match
+  // drop from all to ~1 under an equality probe, content hash unchanged).
+  //
+  // Both rewrites target a NEW directory: at 100 TB the rewrite is a
+  // shuffle job whose output must land before readers switch over
+  // (metadata swap in a table format; directory swap here) — an in-place
+  // overwrite would need the whole table checkpointed in executor storage.
+
+  /** Range-cluster `srcDir` into `destDir` on `cols`: ONE range exchange
+    * (sampled split points, the scalable production plan — no driver
+    * materialization) into exactly `nFiles` write tasks, rows sorted within
+    * each file so row-group stats inside a file are selective too.
+    * Single-column data skipping; for two query columns see [[zOrderBy]].
+    */
+  def clusterByRange(spark: SparkSession, srcDir: String, destDir: String,
+      cols: Seq[String], nFiles: Int): Unit = {
+    require(cols.nonEmpty && nFiles > 0)
+    spark.read.parquet(srcDir)
+      .repartitionByRange(nFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(destDir)
+  }
+
+  /** Morton (Z-order) bucket of two numeric columns: each value is scaled
+    * to a `bits`-bit bucket over its observed [lo, hi] range, then the two
+    * bucket's bits are interleaved — nearby (x, y) pairs share z-prefixes,
+    * so range-partitioning on z gives BOTH columns narrow per-file stats.
+    * Codegen'd shift/mask arithmetic, no UDF. */
+  private[graft] def zValue(x: Column, y: Column,
+      loX: Double, hiX: Double, loY: Double, hiY: Double, bits: Int): Column = {
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * ((1L << bits) - 1))
+          .cast("long")))
+    val (xb, yb) = (bucket(x, loX, hiX), bucket(y, loY, hiY))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order rewrite on exactly two numeric columns — use when queries
+    * filter on EITHER column: a plain sort on (x, y) gives x perfect stats
+    * but leaves y scattered, while the interleaved-bit order gives both
+    * columns ~√nFiles-selective per-file ranges. Column ranges for the
+    * bucket scaling come from one tiny min/max aggregate over the source
+    * (two scalars per column — a metadata read in a real table format).
+    * Same shape as [[clusterByRange]] otherwise: one range exchange on the
+    * z-value into `nFiles` sorted files, landed in `destDir`. */
+  def zOrderBy(spark: SparkSession, srcDir: String, destDir: String,
+      colX: String, colY: String, nFiles: Int, bits: Int = 16): Unit = {
+    require(colX != colY && nFiles > 0 && bits > 0 && bits <= 30)
+    val df = spark.read.parquet(srcDir)
+    val r = df.agg(
+      min(col(colX).cast("double")), max(col(colX).cast("double")),
+      min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    val z = zValue(col(colX), col(colY),
+      r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(destDir)
   }
 }

@@ -85,4 +85,29 @@ class TableCompactionSpec extends SparkSpec {
     }
     assert(contentKey(dir) == want)
   }
+
+  test("partition values with URI-escaped characters compact (stats unescape the dir names)") {
+    // values whose directory names Hive-escape (space, colon) — before the
+    // unescape fix the pruning filter matched zero rows and the rewrite was
+    // a silently-retried no-op that never converged
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_esc").toString
+    spark.range(2000)
+      .select((col("id") % 3).cast("int").as("k"), col("id").as("v"))
+      .withColumn("part", element_at(
+        array(lit("a b"), lit("c:d"), lit("plain")), col("k") + 1))
+      .drop("k")
+      .repartition(12)
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val before = Compaction.partitionStats(spark, dir, "part")
+    // the listing must surface the LOGICAL values, not the escaped names
+    assert(before.map(_._1).toSet == Set("a b", "c:d", "plain"), s"got $before")
+    val want = spark.read.parquet(dir).select(col("v"), col("part"))
+      .collect().map(_.toString).sorted.toSeq
+    Compaction.compactToTargetBytes(spark, dir, "part", Long.MaxValue)
+    val after = Compaction.partitionStats(spark, dir, "part")
+    after.foreach { case (value, _, files) =>
+      assert(files == 1, s"partition '$value' not compacted: $files files") }
+    assert(spark.read.parquet(dir).select(col("v"), col("part"))
+      .collect().map(_.toString).sorted.toSeq == want)
+  }
 }
