@@ -574,6 +574,20 @@ object PlanAudit {
     println(s"[audit] q151 boilerplate removal " +
       (if (q151ok) "OK (df agg on line-hash is the only hash exchange; corpus filtered join-free in codegen)"
        else s"CHECK: exchanges=${q151hashEx.mkString(",")} join=${q151plan.contains("Join")}"))
+    // q152 index maintenance: every assignment pass must be the broadcast
+    // nearest_centroid argmin projection (never a K-fold centroid join) and
+    // no stage may degenerate to a cartesian product; the only
+    // nested-loop joins are the two 1-row verdict crossJoins
+    val q152 = SparkEntry.queries("q152_index_maintenance")(spark, dir)
+    q152.collect()
+    val q152plan = q152.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q152nl = "BroadcastNestedLoopJoin".r.findAllIn(q152plan).size
+    val q152ok = q152plan.contains("nearest_centroid") &&
+      !q152plan.contains("CartesianProduct") && q152nl <= 2
+    println(s"[audit] q152 index maintenance " +
+      (if (q152ok) s"OK (broadcast argmin assignment; $q152nl one-row verdict crossJoins)"
+       else s"CHECK: nl=$q152nl nc=${q152plan.contains("nearest_centroid")}"))
     spark.stop()
   }
 }

@@ -126,6 +126,7 @@ object SparkEntry {
     "q149_domain_filter" -> (TextOps.domainFilter _),
     "q150_cluster_split" -> (TextOps.clusterSafeSplit _),
     "q151_boilerplate_lines" -> (TextOps.boilerplateRemoval _),
+    "q152_index_maintenance" -> (SimilarityOps.indexMaintenance _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -995,6 +996,73 @@ object SparkEntry {
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, sz.cluster_size
          |FROM lab l JOIN sz USING (cluster_id) ORDER BY l.doc_id""".stripMargin,
+    "q152_index_maintenance" -> {
+      val kmeans = SimilarityOps.kmeansCteBodySqlOf("vec_id % 5 <> 0")
+      val driftCtes = SimilarityOps.embeddingDriftCtesOf(
+        "CASE WHEN vec_id % 5 = 0 THEN 'cand' ELSE 'ref' END", "d_")
+      val ki = SimilarityOps.KmeansIters
+      def dist2(v: String, cv: String) =
+        s"${SimilarityOps.dotSql(v, v)} - 2.0 * ${SimilarityOps.dotSql(v, cv)} + ${SimilarityOps.dotSql(cv, cv)}"
+      val psi6 = PortableHash.proundSql("psi_raw", 6)
+      s"""$MinhashBandsCtes,
+         |xcand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |          FROM bands n JOIN bands c
+         |            ON n.bi = c.bi AND n.band_sig = c.band_sig
+         |           AND n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+         |xpairs AS (SELECT new_id, corpus_id,
+         |  CAST(len(list_filter(hn.hs, h -> list_contains(hc.hs, h))) AS BIGINT) AS n_inter,
+         |  CAST(len(hn.hs) AS BIGINT) + CAST(len(hc.hs) AS BIGINT) AS sz_sum
+         |  FROM xcand JOIN hsl hn ON new_id = hn.doc_id JOIN hsl hc ON corpus_id = hc.doc_id),
+         |near AS (SELECT new_id, min(corpus_id) AS near_match FROM xpairs
+         |         WHERE n_inter * 5 >= (sz_sum - n_inter) * 4 GROUP BY new_id),
+         |m5 AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+         |cm AS (SELECT content_md5, min(doc_id) AS exact_match FROM m5
+         |       WHERE doc_id % 5 <> 0 GROUP BY content_md5),
+         |ex AS (SELECT doc_id, exact_match FROM m5 LEFT JOIN cm USING (content_md5)
+         |       WHERE doc_id % 5 = 0),
+         |adm AS (SELECT ex.doc_id AS vec_id FROM ex
+         |        LEFT JOIN near ON ex.doc_id = near.new_id
+         |        WHERE ex.exact_match IS NULL AND near.near_match IS NULL),
+         |$kmeans,
+         |eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |enew AS (SELECT e2.vec_id, e2.v FROM eall e2 JOIN adm USING (vec_id)
+         |         WHERE e2.vec_id % 5 = 0),
+         |asgi AS (SELECT vec_id, cluster FROM (
+         |  SELECT e2.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e2.vec_id
+         |      ORDER BY ${dist2("e2.v", "c.cv")}, c.cluster) AS rn
+         |  FROM enew e2 CROSS JOIN c$ki c) WHERE rn = 1),
+         |asga AS (SELECT vec_id, cluster FROM (
+         |  SELECT e2.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e2.vec_id
+         |      ORDER BY ${dist2("e2.v", "c.cv")}, c.cluster) AS rn
+         |  FROM eall e2 CROSS JOIN c$ki c) WHERE rn = 1),
+         |asgr AS (SELECT a.vec_id, a.cluster FROM asga a JOIN adm USING (vec_id)),
+         |mism AS (SELECT CAST(count(*) AS BIGINT) AS n_mismatch
+         |         FROM asgi i FULL JOIN asgr r USING (vec_id)
+         |         WHERE i.cluster IS DISTINCT FROM r.cluster),
+         |asge AS (SELECT vec_id, cluster FROM (
+         |  SELECT e2.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e2.vec_id
+         |      ORDER BY ${dist2("e2.v", "c.cv")}, c.cluster) AS rn
+         |  FROM e e2 CROSS JOIN c$ki c) WHERE rn = 1),
+         |nex AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_existing FROM asge GROUP BY 1),
+         |nnw AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_new FROM asgi GROUP BY 1),
+         |$driftCtes,
+         |ndd AS (SELECT CAST(sum(CASE WHEN $psi6 >= ${SimilarityOps.DriftPsiThreshold}
+         |                             THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted_dims
+         |        FROM d_ps)
+         |SELECT c.cluster,
+         |  coalesce(nex.n_existing, 0) AS n_existing,
+         |  coalesce(nnw.n_new, 0) AS n_new,
+         |  mism.n_mismatch, ndd.n_drifted_dims,
+         |  ndd.n_drifted_dims >= ${SimilarityOps.RetrainMinDriftedDims} AS retrain,
+         |  CASE WHEN ndd.n_drifted_dims >= ${SimilarityOps.RetrainMinDriftedDims} THEN 'retrain'
+         |       ELSE 'assign_incremental' END AS action
+         |FROM c$ki c LEFT JOIN nex USING (cluster) LEFT JOIN nnw USING (cluster)
+         |CROSS JOIN mism CROSS JOIN ndd
+         |ORDER BY c.cluster""".stripMargin
+    },
     "q150_cluster_split" ->
       s"""WITH RECURSIVE $SimhashCteBody,
          |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),

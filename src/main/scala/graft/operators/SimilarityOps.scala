@@ -668,37 +668,47 @@ object SimilarityOps {
 
   /** The q146 oracle: the same count cube, grid, and in-order folds. */
   def embeddingDriftSql: String = {
+    val ctes = embeddingDriftCtesOf(
+      "CASE WHEN label % 2 = 0 THEN 'ref' ELSE 'cand' END")
+    s"""WITH $ctes
+       |SELECT dim_idx, n_ref, n_cand,
+       |  ${graft.functions.PortableHash.proundSql("psi_raw", 6)} AS psi,
+       |  ${graft.functions.PortableHash.proundSql("tv_num * 1.0 / (n_ref * n_cand * 2.0)", 6)} AS tv,
+       |  ${graft.functions.PortableHash.proundSql("psi_raw", 6)} >= $DriftPsiThreshold AS drifted
+       |FROM ps ORDER BY dim_idx""".stripMargin
+  }
+
+  /** The q146 CTE chain (`e` → … → `ps` with per-dim psi_raw/tv_num) with
+    * the slice expression parameterized — factored so q152's retrain gate
+    * and q146's report can never disagree on the PSI machinery. Returned
+    * WITHOUT the leading WITH keyword. */
+  def embeddingDriftCtesOf(sliceExpr: String, p: String = ""): String = {
     val bMax = DriftBins - 1
-    s"""WITH e AS (SELECT CASE WHEN label % 2 = 0 THEN 'ref' ELSE 'cand' END AS slice,
+    s"""${p}e AS (SELECT $sliceExpr AS slice,
        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |dims AS (SELECT unnest(generate_series(0, ${Dim - 1})) AS dim_idx),
-       |bs AS (SELECT unnest(generate_series(0, $bMax)) AS bin),
-       |bn AS (SELECT slice, d.dim_idx,
+       |${p}dims AS (SELECT unnest(generate_series(0, ${Dim - 1})) AS dim_idx),
+       |${p}bs AS (SELECT unnest(generate_series(0, $bMax)) AS bin),
+       |${p}bn AS (SELECT slice, d.dim_idx,
        |         LEAST(GREATEST(CAST(floor((v[CAST(d.dim_idx AS INT) + 1] + 1.0) / $DriftBinWidth) AS BIGINT), 0), $bMax) AS bin
-       |       FROM e CROSS JOIN dims d),
-       |ct AS (SELECT dim_idx, bin,
+       |       FROM ${p}e CROSS JOIN ${p}dims d),
+       |${p}ct AS (SELECT dim_idx, bin,
        |         CAST(sum(CASE WHEN slice = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
        |         CAST(sum(CASE WHEN slice = 'cand' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-       |       FROM bn GROUP BY 1, 2),
-       |grid AS (SELECT d.dim_idx, b.bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-       |         FROM dims d CROSS JOIN bs b LEFT JOIN ct USING (dim_idx, bin)),
-       |pd AS (SELECT dim_idx,
+       |       FROM ${p}bn GROUP BY 1, 2),
+       |${p}grid AS (SELECT d.dim_idx, b.bin, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |         FROM ${p}dims d CROSS JOIN ${p}bs b LEFT JOIN ${p}ct USING (dim_idx, bin)),
+       |${p}pd AS (SELECT dim_idx,
        |         list([ca, cb] ORDER BY bin) AS bins,
        |         CAST(sum(ca) AS BIGINT) AS n_ref, CAST(sum(cb) AS BIGINT) AS n_cand
-       |       FROM grid GROUP BY 1),
-       |ps AS (SELECT dim_idx, n_ref, n_cand,
+       |       FROM ${p}grid GROUP BY 1),
+       |${p}ps AS (SELECT dim_idx, n_ref, n_cand,
        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |           [((x[1] + 1.0) / (n_ref + $DriftBins) - (x[2] + 1.0) / (n_cand + $DriftBins))
        |              * ln(((x[1] + 1.0) / (n_ref + $DriftBins)) / ((x[2] + 1.0) / (n_cand + $DriftBins)))
        |            for x in bins]), (a, b) -> a + b) AS psi_raw,
        |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
        |           [abs(CAST(x[1] AS HUGEINT) * n_cand - CAST(x[2] AS HUGEINT) * n_ref) for x in bins]), (a, b) -> a + b) AS tv_num
-       |       FROM pd)
-       |SELECT dim_idx, n_ref, n_cand,
-       |  ${graft.functions.PortableHash.proundSql("psi_raw", 6)} AS psi,
-       |  ${graft.functions.PortableHash.proundSql("tv_num * 1.0 / (n_ref * n_cand * 2.0)", 6)} AS tv,
-       |  ${graft.functions.PortableHash.proundSql("psi_raw", 6)} >= $DriftPsiThreshold AS drifted
-       |FROM ps ORDER BY dim_idx""".stripMargin
+       |       FROM ${p}pd)""".stripMargin
   }
 
   /** Fixed-point scale for q96's centroid arithmetic: components are
@@ -906,9 +916,20 @@ object SimilarityOps {
     */
   private[operators] def trainedCodebook(spark: SparkSession, dir: String,
       k0: Int = IvfK): (DataFrame, DataFrame) = {
-    def corpus = Tables.embeddings(spark, dir).transform(Tables.fanout)
+    val corpus = Tables.embeddings(spark, dir).transform(Tables.fanout)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    var cents = corpus.filter(col("vec_id") < k0)
+    // full harness corpus has dense vec_ids from 0, so `vec_id < k0` IS the
+    // lowest-k0 seed rule trainedCodebookOf generalizes
+    trainedCodebookOf(spark, corpus, corpus.filter(col("vec_id") < k0))
+  }
+
+  /** [[trainedCodebook]] over an ARBITRARY (vec_id, v) relation with
+    * explicit seed rows — the q152 index-maintenance form, where the
+    * codebook must be trained on the pre-batch corpus slice only (its
+    * seeds are the slice's lowest-k0 vec_ids, not `vec_id < k0`). */
+  private[operators] def trainedCodebookOf(spark: SparkSession,
+      corpus: DataFrame, seeds: DataFrame): (DataFrame, DataFrame) = {
+    var cents = seeds
       .select(col("vec_id").as("cluster"), col("v").as("cv"))
       .localCheckpoint()
     var sizes: DataFrame = null
@@ -995,8 +1016,16 @@ object SimilarityOps {
     * `WITH`/`WITH RECURSIVE` keyword (q126's consumer needs RECURSIVE for
     * its reachability CTE).
     */
-  def kmeansCteBodySql: String = {
+  def kmeansCteBodySql: String = kmeansCteBodySqlOf("")
+
+  /** [[kmeansCteBodySql]] over a filtered embeddings slice: `eWhere` is an
+    * SQL predicate restricting the training corpus (empty = all). Seeds are
+    * the slice's lowest-[[IvfK]] vec_ids — on the dense full corpus that IS
+    * the historical `vec_id < IvfK` rule, and on a slice it is what
+    * [[trainedCodebookOf]] computes. */
+  def kmeansCteBodySqlOf(eWhere: String): String = {
     import graft.functions.PortableHash.proundSql
+    val whereClause = if (eWhere.isEmpty) "" else s" WHERE $eWhere"
     val g = "(SELECT unnest(generate_series(1, 64)) AS i) g"
     def dist2(cv: String) =
       s"${dotSql("e.v", "e.v")} - 2.0 * ${dotSql("e.v", cv)} + ${dotSql(cv, cv)}"
@@ -1018,9 +1047,97 @@ object SimilarityOps {
          |  LEFT JOIN m$k m ON p.cluster = m.cluster AND p.pos = m.pos),
          |c$k AS (SELECT cluster, list(nc ORDER BY pos) AS cv FROM r$k GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $IvfK),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$whereClause),
+       |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
+       |       WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $IvfK)),
        |$blocks""".stripMargin
+  }
+
+  /** q152: drift-gated ANN index maintenance — the pass a production
+    * vector store runs when a freshly crawled batch lands, closing the
+    * loop between admission (q111), drift monitoring (q146) and the
+    * trained IVF index (q118/q116):
+    *
+    *  1. the EXISTING index's codebook is trained on the pre-batch corpus
+    *     slice only ([[trainedCodebookOf]] — the new batch must not have
+    *     influenced centroids that predate it);
+    *  2. newly ADMITTED vectors = q111's `verdict = 'new'` documents (the
+    *     dedup gate already rejected exact/near duplicates; vec_id shares
+    *     doc_id's id space);
+    *  3. admitted vectors get INCREMENTAL cell assignments through the
+    *     same broadcast [[graft.functions.NearestCentroid]] argmin q116
+    *     owns — one narrow codegen'd projection over the batch, the
+    *     existing index untouched;
+    *  4. the query also runs the BATCH-REBUILD twin (assign the full
+    *     corpus with the same codebook, restrict to the admitted ids) and
+    *     emits `n_mismatch` — the hash-checked PROOF that incremental
+    *     assignment equals a full rebuild, i.e. the maintenance shortcut
+    *     loses nothing while drift stays low;
+    *  5. q146's PSI machinery over (corpus, batch) slices gates the
+    *     verdict: any drifted dimension → `action = 'retrain'` (the
+    *     incremental assignments are then stale by construction — spec
+    *     drives this path on a planted-shift fixture), else
+    *     `action = 'assign_incremental'`.
+    *
+    * Scale shape: every stage is an already-audited plan — q111's
+    * index-probe joins, three Lloyd passes that never shuffle the corpus,
+    * two broadcast-argmin projections, and the (dim, bin) count cube. The
+    * only new work is the FULL-JOIN mismatch check on the admitted-id set
+    * (batch-sized, not corpus-sized).
+    */
+  /** Retrain when at least this many of the [[Dim]] dimensions drift: a
+    * handful of threshold-grazing dims is PSI's Laplace small-sample noise
+    * (the harness batch sizes sit exactly there: 7 noisy dims at sf≤0.01,
+    * 0 at sf0.1), and a single genuinely moved dim of 64 barely perturbs
+    * L2 argmin cells — a rebuild costs [[KmeansIters]] full corpus passes,
+    * so the gate demands the shift be WIDESPREAD before paying it. */
+  val RetrainMinDriftedDims: Int = Dim / 8
+
+  def indexMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(spark, dir).transform(Tables.fanout)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val isNew = col("vec_id") % 5 === 0
+    val corpus = all.filter(!isNew)
+    val seeds = corpus.orderBy(col("vec_id")).limit(IvfK)
+    val (cents, _) = trainedCodebookOf(spark, corpus, seeds)
+    val (cids, cvs) = collectCodebook(cents, "cluster", "cv")
+    val nc = graft.functions.NearestCentroid(col("v"), lit(0.0), cids, cvs,
+      byCosine = false)
+    def assign(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), nc.as("nc"))
+        .select(col("vec_id"), col("nc.cluster").as("cluster"))
+    val admittedIds = TextOps.incrementalDedup(spark, dir)
+      .filter(col("verdict") === "new")
+      .select(col("doc_id").as("vec_id"))
+    // incremental path: assign ONLY the admitted batch vectors
+    val incr = assign(all.filter(isNew).join(admittedIds, Seq("vec_id")))
+      .localCheckpoint()   // feeds both the mismatch check and n_new
+    // batch-rebuild twin: assign EVERYTHING, restrict to the admitted ids
+    val rebuild = assign(all).join(admittedIds, Seq("vec_id"))
+    val mismatches = incr.withColumnRenamed("cluster", "ci")
+      .join(rebuild.withColumnRenamed("cluster", "cr"), Seq("vec_id"), "full")
+      .filter(!(col("ci") <=> col("cr")))
+      .agg(count(lit(1)).as("n_mismatch"))
+    val drift = embeddingDriftOf(spark,
+        all.withColumn("slice", when(isNew, lit("cand")).otherwise(lit("ref")))
+          .select(col("slice"), col("v")))
+      .agg(sum(when(col("drifted"), 1L).otherwise(0L)).as("n_drifted_dims"))
+    val nExist = assign(corpus).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_existing"))
+    val nNew = incr.groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
+    cents.select(col("cluster"))
+      .join(nExist, Seq("cluster"), "left")
+      .join(nNew, Seq("cluster"), "left")
+      .crossJoin(broadcast(mismatches))
+      .crossJoin(broadcast(drift))
+      .select(col("cluster"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("n_mismatch"), col("n_drifted_dims"),
+        (col("n_drifted_dims") >= RetrainMinDriftedDims).as("retrain"),
+        when(col("n_drifted_dims") >= RetrainMinDriftedDims, "retrain")
+          .otherwise("assign_incremental").as("action"))
+      .orderBy(col("cluster"))
   }
 
   /** Cosine threshold for q126's intra-cluster semantic-duplicate pairs —

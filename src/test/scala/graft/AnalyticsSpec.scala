@@ -603,4 +603,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(flagged == Set(0L, 1L, 2L, 3L),
       s"exactly the shifted dims must trip the PSI threshold: $flagged")
   }
+
+  test("q152 maintenance: incremental == rebuild (zero mismatch), accounting ties out, " +
+       "and a widespread planted shift flips the verdict to retrain") {
+    import graft.operators.{SimilarityOps, TextOps}
+    val rows = SimilarityOps.indexMaintenance(spark, sf001).collect()
+    assert(rows.length == SimilarityOps.IvfK, s"one row per cell: ${rows.length}")
+    // the maintenance invariant: incremental assignment == batch rebuild
+    rows.foreach(r => assert(r.getAs[Long]("n_mismatch") == 0L))
+    // the action is exactly the gate applied to the measured drift count
+    val nd = rows.head.getAs[Long]("n_drifted_dims")
+    val expected =
+      if (nd >= SimilarityOps.RetrainMinDriftedDims) "retrain" else "assign_incremental"
+    rows.foreach(r => assert(r.getAs[String]("action") == expected))
+    // accounting: n_new sums to q111's admitted count; n_existing to the
+    // pre-batch corpus slice
+    val admitted = TextOps.incrementalDedup(spark, sf001)
+      .filter(col("verdict") === "new").count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == admitted)
+    val corpusN = Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") % 5 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n_existing")).sum == corpusN)
+    // drift-triggered path: same corpus, but the incoming batch's vectors
+    // shifted on half the dimensions — widespread real drift, so the gate
+    // must fire, while the incremental==rebuild equality (which is a
+    // property of the ASSIGNMENT, not the data) still holds
+    val dir = java.nio.file.Files.createTempDirectory("graft_q152").toString
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .write.parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf001)
+      .withColumn("embedding",
+        when(col("vec_id") % 5 === 0,
+          transform(col("embedding"), (x, i) =>
+            when(i < SimilarityOps.Dim / 2, x + lit(0.6f)).otherwise(x)))
+          .otherwise(col("embedding")))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val drifted = SimilarityOps.indexMaintenance(spark, dir).collect()
+    assert(drifted.head.getAs[Long]("n_drifted_dims") >= SimilarityOps.RetrainMinDriftedDims,
+      s"planted widespread shift not detected: ${drifted.head.getAs[Long]("n_drifted_dims")}")
+    drifted.foreach(r => assert(r.getAs[String]("action") == "retrain"))
+    drifted.foreach(r => assert(r.getAs[Long]("n_mismatch") == 0L))
+  }
 }
