@@ -687,6 +687,12 @@ object SlopeProbe {
       } ++
       volumeRow("q117_volume", "q117_quality_dedup") { d =>
         graft.operators.TextOps.simhashEdgeVolume(spark, d)
+      } ++
+      // q150 rides the SAME near-dup edge volume as q62/q117 (its split
+      // logic downstream of the CC pass is linear), so its thin ~2.1-2.2
+      // slope is adjudicated by the same deterministic work twin
+      volumeRow("q150_volume", "q150_cluster_split") { d =>
+        graft.operators.TextOps.simhashEdgeVolume(spark, d)
       }
 
     val all = rows ++ scaledRow ++ scaledBits ++ scaledIndex ++ volumeRows
