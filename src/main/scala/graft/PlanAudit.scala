@@ -588,6 +588,33 @@ object PlanAudit {
     println(s"[audit] q152 index maintenance " +
       (if (q152ok) s"OK (broadcast argmin assignment; $q152nl one-row verdict crossJoins)"
        else s"CHECK: nl=$q152nl nc=${q152plan.contains("nearest_centroid")}"))
+    // q153 classifier training: the GD hot path (one pass) must be a
+    // single narrow corpus scan — score/residual via the codegen'd
+    // hashed_linear_score reference-object expression, NO join anywhere —
+    // whose only hash exchange carries the 4096-key gradient bucket; the
+    // final scoring pass must plan no hash exchange at all (narrow
+    // projection + presentation sort)
+    val q153d = graft.Tables.documents(spark, dir).transform(graft.Tables.fanout)
+    val q153g = graft.operators.TextOps.classifierGradientPass(
+      q153d, Array.fill(graft.operators.TextOps.QcDim)(0L))
+    q153g.collect()
+    val q153gplan = q153g.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q153gEx = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
+      .findAllMatchIn(q153gplan).map(_.group(1)).toSet
+    val q153 = SparkEntry.queries("q153_classifier_train")(spark, dir)
+    q153.collect()
+    val q153plan = q153.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q153Ex = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
+      .findAllMatchIn(q153plan).map(_.group(1)).toSet
+    val q153ok = q153gEx.subsetOf(Set("bucket")) &&
+      !q153gplan.contains("Join") && q153gplan.contains("hashed_linear_score") &&
+      q153Ex.isEmpty && !q153plan.contains("Join")
+    println(s"[audit] q153 classifier training " +
+      (if (q153ok) "OK (GD pass: bucket agg is the only hash exchange, join-free codegen scoring; final inference plans zero hash exchanges)"
+       else s"CHECK: gdEx=${q153gEx.mkString(",")} gdJoin=${q153gplan.contains("Join")} " +
+            s"finalEx=${q153Ex.mkString(",")} finalJoin=${q153plan.contains("Join")}"))
     spark.stop()
   }
 }

@@ -127,6 +127,7 @@ object SparkEntry {
     "q150_cluster_split" -> (TextOps.clusterSafeSplit _),
     "q151_boilerplate_lines" -> (TextOps.boilerplateRemoval _),
     "q152_index_maintenance" -> (SimilarityOps.indexMaintenance _),
+    "q153_classifier_train"  -> (TextOps.classifierTrain _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1063,6 +1064,7 @@ object SparkEntry {
          |CROSS JOIN mism CROSS JOIN ndd
          |ORDER BY c.cluster""".stripMargin
     },
+    "q153_classifier_train" -> TextOps.classifierTrainSql,
     "q150_cluster_split" ->
       s"""WITH RECURSIVE $SimhashCteBody,
          |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),

