@@ -615,6 +615,22 @@ object PlanAudit {
       (if (q153ok) "OK (GD pass: bucket agg is the only hash exchange, join-free codegen scoring; final inference plans zero hash exchanges)"
        else s"CHECK: gdEx=${q153gEx.mkString(",")} gdJoin=${q153gplan.contains("Join")} " +
             s"finalEx=${q153Ex.mkString(",")} finalJoin=${q153plan.contains("Join")}"))
+    // q154 snapshot diff: every exchange must carry an id or a uniform
+    // content-hash key (the full-outer id join + the rank-paired move
+    // detection over the orphan slice); nothing may degenerate to a
+    // cartesian/nested-loop shape
+    val q154 = SparkEntry.queries("q154_snapshot_diff")(spark, dir)
+    q154.collect()
+    val q154plan = q154.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q154Ex = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
+      .findAllMatchIn(q154plan).map(_.group(1)).toSet
+    val q154ok = q154Ex.subsetOf(Set("old_id", "new_id", "md5_a", "md5_b", "h", "doc_id")) &&
+      !q154plan.contains("CartesianProduct") &&
+      !q154plan.contains("BroadcastNestedLoopJoin")
+    println(s"[audit] q154 snapshot diff " +
+      (if (q154ok) s"OK (id/content-hash exchanges only: ${q154Ex.mkString("{", ",", "}")})"
+       else s"CHECK: exchanges=${q154Ex.mkString(",")}"))
     spark.stop()
   }
 }

@@ -128,6 +128,7 @@ object SparkEntry {
     "q151_boilerplate_lines" -> (TextOps.boilerplateRemoval _),
     "q152_index_maintenance" -> (SimilarityOps.indexMaintenance _),
     "q153_classifier_train"  -> (TextOps.classifierTrain _),
+    "q154_snapshot_diff"     -> (TextOps.snapshotDiff _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1065,6 +1066,7 @@ object SparkEntry {
          |ORDER BY c.cluster""".stripMargin
     },
     "q153_classifier_train" -> TextOps.classifierTrainSql,
+    "q154_snapshot_diff" -> TextOps.snapshotDiffSql,
     "q150_cluster_split" ->
       s"""WITH RECURSIVE $SimhashCteBody,
          |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),

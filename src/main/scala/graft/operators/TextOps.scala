@@ -309,6 +309,121 @@ object TextOps {
        |  ${graft.functions.PortableHash.h48Sql("canon")} AS canon_h48
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q154 snapshot-B synthesis rules — the corpus has ONE snapshot, so the
+    * second is derived deterministically (the q149/q151 fixture pattern:
+    * documented, and mirrored verbatim in the oracle). Precedence is
+    * removed > modified > re-keyed; genuinely-new documents get fresh ids
+    * and fresh content. */
+  val SnapRekeyOffset = 1000000000L
+  val SnapNewOffset   = 2000000000L
+
+  /** q154: corpus snapshot diff — the dataset-versioning primitive an
+    * incremental 100 TB pipeline runs between crawls: classify every
+    * document of two snapshots as `unchanged` / `modified` (same id, new
+    * content) / `moved` (same content re-keyed under a new id — re-crawls
+    * reassign ids constantly, and counting those as delete+add would
+    * re-run the whole downstream tier on them) / `deleted` / `added`.
+    *
+    * Move detection pairs id-orphans by content hash; duplicate content is
+    * paired DETERMINISTICALLY by rank within each hash group (row_number
+    * ordered by id on both sides, join on (hash, rank)), so a corpus with
+    * repeated texts — this one, by dedup-fixture construction — still
+    * diffs reproducibly, and leftovers fall through to deleted/added.
+    *
+    * Scale shape: one full-outer join keyed on doc_id (the q109 bucketed
+    * layout makes it zero-exchange when both snapshots are bucketed —
+    * the layout a snapshot store would maintain); move detection touches
+    * ONLY the id-orphan slice (tiny between adjacent crawls) with
+    * uniform md5 keys — never the unchanged bulk. Nothing is driver-side.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir).transform(Tables.fanout)
+      .select(col("doc_id"), col("text"))
+    snapshotDiffOf(a, snapshotB(a))
+  }
+
+  /** Snapshot-B synthesis (see [[SnapRekeyOffset]] rules) — factored so the
+    * spec asserts the diff against the same planted ground truth. */
+  private[graft] def snapshotB(a: DataFrame): DataFrame = {
+    val removed  = col("doc_id") % 17 === 3
+    val modified = col("doc_id") % 13 === 2
+    val rekeyed  = col("doc_id") % 19 === 5
+    a.filter(!removed).select(
+        when(!modified && rekeyed, col("doc_id") + SnapRekeyOffset)
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(modified, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(a.filter(col("doc_id") % 23 === 7).select(
+        (col("doc_id") + SnapNewOffset).as("doc_id"),
+        concat(lit("new "), col("text")).as("text")))
+  }
+
+  /** Core of q154 over two arbitrary (doc_id, text) snapshots. */
+  private[graft] def snapshotDiffOf(a: DataFrame, b: DataFrame): DataFrame = {
+    val ah = a.select(col("doc_id").as("old_id"), md5(col("text")).as("md5_a"))
+    val bh = b.select(col("doc_id").as("new_id"), md5(col("text")).as("md5_b"))
+    val j = ah.join(bh, ah("old_id") === bh("new_id"), "full_outer")
+    val unchanged = j.filter(col("md5_a") === col("md5_b"))
+      .select(col("old_id"), col("new_id"), lit("unchanged").as("status"))
+    val modified = j.filter(col("md5_a").isNotNull && col("md5_b").isNotNull &&
+        col("md5_a") =!= col("md5_b"))
+      .select(col("old_id"), col("new_id"), lit("modified").as("status"))
+    // id-orphans: candidates for content-hash move pairing
+    val delCand = j.filter(col("new_id").isNull)
+      .select(col("old_id"), col("md5_a").as("h"),
+        row_number().over(Window.partitionBy(col("md5_a"))
+          .orderBy(col("old_id"))).as("rn"))
+    val addCand = j.filter(col("old_id").isNull)
+      .select(col("new_id"), col("md5_b").as("h"),
+        row_number().over(Window.partitionBy(col("md5_b"))
+          .orderBy(col("new_id"))).as("rn"))
+    val mv = delCand.join(addCand, Seq("h", "rn"), "full_outer")
+    val moved = mv.filter(col("old_id").isNotNull && col("new_id").isNotNull)
+      .select(col("old_id"), col("new_id"), lit("moved").as("status"))
+    val deleted = mv.filter(col("new_id").isNull)
+      .select(col("old_id"), lit(null).cast("long").as("new_id"),
+        lit("deleted").as("status"))
+    val added = mv.filter(col("old_id").isNull)
+      .select(lit(null).cast("long").as("old_id"), col("new_id"),
+        lit("added").as("status"))
+    unchanged.unionAll(modified).unionAll(moved).unionAll(deleted).unionAll(added)
+      .orderBy(coalesce(col("old_id"), col("new_id")), col("status"))
+  }
+
+  /** The q154 oracle: the same synthesis rules and the same rank-paired
+    * move detection. */
+  def snapshotDiffSql: String =
+    s"""WITH a AS (SELECT doc_id, text FROM documents),
+       |b AS (SELECT CASE WHEN doc_id % 13 <> 2 AND doc_id % 19 = 5
+       |             THEN doc_id + $SnapRekeyOffset ELSE doc_id END AS doc_id,
+       |        CASE WHEN doc_id % 13 = 2 THEN text || ' rev2' ELSE text END AS text
+       |      FROM a WHERE doc_id % 17 <> 3
+       |      UNION ALL
+       |      SELECT doc_id + $SnapNewOffset, 'new ' || text FROM a WHERE doc_id % 23 = 7),
+       |ah AS (SELECT doc_id AS old_id, md5(text) AS md5_a FROM a),
+       |bh AS (SELECT doc_id AS new_id, md5(text) AS md5_b FROM b),
+       |j AS (SELECT * FROM ah FULL OUTER JOIN bh ON ah.old_id = bh.new_id),
+       |dc AS (SELECT old_id, md5_a AS h,
+       |         row_number() OVER (PARTITION BY md5_a ORDER BY old_id) AS rn
+       |       FROM j WHERE new_id IS NULL),
+       |ac AS (SELECT new_id, md5_b AS h,
+       |         row_number() OVER (PARTITION BY md5_b ORDER BY new_id) AS rn
+       |       FROM j WHERE old_id IS NULL),
+       |mv AS (SELECT dc.old_id, ac.new_id FROM dc FULL OUTER JOIN ac USING (h, rn))
+       |SELECT old_id, new_id, status FROM (
+       |  SELECT old_id, new_id, 'unchanged' AS status FROM j WHERE md5_a = md5_b
+       |  UNION ALL
+       |  SELECT old_id, new_id, 'modified' FROM j
+       |  WHERE md5_a IS NOT NULL AND md5_b IS NOT NULL AND md5_a <> md5_b
+       |  UNION ALL
+       |  SELECT old_id, new_id, 'moved' FROM mv
+       |  WHERE old_id IS NOT NULL AND new_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT old_id, CAST(NULL AS BIGINT), 'deleted' FROM mv WHERE new_id IS NULL
+       |  UNION ALL
+       |  SELECT CAST(NULL AS BIGINT), new_id, 'added' FROM mv WHERE old_id IS NULL)
+       |ORDER BY coalesce(old_id, new_id), status""".stripMargin
+
   /** q31: language ID — n-gram/stopword-hit heuristic with a deterministic
     * argmax tie-break (en > es > de > und).
     */

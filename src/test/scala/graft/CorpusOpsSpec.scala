@@ -670,6 +670,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(wT, TextOps.classifierTrainedWeights(d)))
   }
 
+  test("q154 laws: the diff partitions BOTH snapshots exactly, every status " +
+       "tells the truth about the underlying texts, and all five statuses " +
+       "are exercised by the fixture") {
+    val a = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val aMap = a.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bMap = TextOps.snapshotB(a).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.snapshotDiff(spark, sf001).collect()
+    def optId(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    // exact partition of both id universes
+    val olds = rows.flatMap(r => optId(r, 0))
+    val news = rows.flatMap(r => optId(r, 1))
+    assert(olds.sorted.toSeq == aMap.keys.toSeq.sorted, "A ids not partitioned")
+    assert(news.sorted.toSeq == bMap.keys.toSeq.sorted, "B ids not partitioned")
+    // each status is truthful about the texts it claims to relate
+    var seen = Map[String, Int]().withDefaultValue(0)
+    rows.foreach { r =>
+      val st = r.getString(2)
+      seen += st -> (seen(st) + 1)
+      (optId(r, 0), optId(r, 1)) match {
+        case (Some(o), Some(n)) => st match {
+          case "unchanged" => assert(o == n && aMap(o) == bMap(n))
+          case "modified"  => assert(o == n && bMap(n) == aMap(o) + " rev2")
+          case "moved"     => assert(o != n && aMap(o) == bMap(n))
+          case other       => fail(s"two-id row with status $other")
+        }
+        case (Some(o), None) =>
+          assert(st == "deleted" && !bMap.contains(o))
+        case (None, Some(n)) =>
+          assert(st == "added" && !aMap.contains(n))
+        case _ => fail("row with neither id")
+      }
+    }
+    Seq("unchanged", "modified", "moved", "deleted", "added").foreach { st =>
+      assert(seen(st) > 0, s"fixture never exercises status $st")
+    }
+    // planted rules: modified ids are exactly the %13==2 survivors; every
+    // re-keyed survivor's content is matched (it can never be 'added')
+    val modIds = rows.filter(_.getString(2) == "modified").map(_.getLong(0)).toSet
+    assert(modIds == aMap.keys.filter(k => k % 17 != 3 && k % 13 == 2).toSet)
+    val addedIds = rows.filter(_.getString(2) == "added").flatMap(r => optId(r, 1)).toSet
+    assert(addedIds.forall(_ >= TextOps.SnapNewOffset),
+      "a re-keyed document leaked into 'added' despite its content surviving")
+  }
+
   test("q150 law: every near-dup cluster lands in exactly ONE split, and the " +
        "per-document split (q68) demonstrably leaks on the same corpus") {
     import graft.functions.PortableHash.h48
