@@ -1,6 +1,8 @@
 #!/bin/bash
-# Round-12 final-gates chain: run each phase sequentially, log to /tmp,
-# emit a one-line status per phase so the tmux pane is scannable.
+# Round-12 final-gates chain on final HEAD: run each phase sequentially,
+# log to /tmp, emit a one-line status per phase so the tmux pane is
+# scannable. Bench runs early (best weather); the slope probe and the two
+# full-surface tiled sweeps follow.
 set -u
 cd /root/repo
 echo "=== GATES start $(date +%T) load=$(cut -d' ' -f1-3 /proc/loadavg)"
@@ -18,6 +20,16 @@ echo "VERIFY01=$? $(date +%T)"
 python3 scripts/check_oracle.py /root/testdata/sf0.1 /tmp/vout_r12_sf01 > /tmp/oracle01_r12.log 2>&1
 echo "ORACLE01=$? $(date +%T)"
 
+for i in 1 2 3; do
+  cat /proc/loadavg
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" > /tmp/bench_r12_run$i.txt 2>&1
+  echo "BENCH$i=$? $(date +%T)"
+done
+
+SPARK_GRAFT_CPUS=24 sbt -batch "runMain graft.SlopeProbe" > /tmp/slope_r12.out 2>/tmp/slope_r12.err
+echo "SLOPE=$? $(date +%T)"
+
 SPARK_GRAFT_SCALE_QUERIES=all SPARK_GRAFT_CPUS=24 \
   sbt -batch "runMain graft.ScaleBench" > /tmp/scale10_r12.out 2>/tmp/scale10_r12.err
 echo "S10=$? $(date +%T)"
@@ -27,10 +39,4 @@ SPARK_GRAFT_SCALE_QUERIES=all SPARK_GRAFT_CPUS=24 SPARK_GRAFT_TILES=20 \
   sbt -batch "runMain graft.ScaleBench" > /tmp/scale20_r12.out 2>/tmp/scale20_r12.err
 echo "S20=$? $(date +%T)"
 
-for i in 1 2 3; do
-  cat /proc/loadavg
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" > /tmp/bench_r12_run$i.txt 2>&1
-  echo "BENCH$i=$? $(date +%T)"
-done
 echo "=== GATES done $(date +%T) load=$(cut -d' ' -f1-3 /proc/loadavg)"

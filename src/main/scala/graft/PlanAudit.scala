@@ -588,15 +588,16 @@ object PlanAudit {
     println(s"[audit] q152 index maintenance " +
       (if (q152ok) s"OK (broadcast argmin assignment; $q152nl one-row verdict crossJoins)"
        else s"CHECK: nl=$q152nl nc=${q152plan.contains("nearest_centroid")}"))
-    // q153 classifier training: the GD hot path (one pass) must be a
-    // single narrow corpus scan — score/residual via the codegen'd
-    // hashed_linear_score reference-object expression, NO join anywhere —
-    // whose only hash exchange carries the 4096-key gradient bucket; the
-    // final scoring pass must plan no hash exchange at all (narrow
+    // q153 classifier training: the GD hot path (one pass) must read the
+    // featurized base through the codegen'd bucket_linear_score
+    // reference-object lookup — NO join, NO re-hash anywhere — and its
+    // only hash exchange must carry the 4096-key gradient bucket; the
+    // final scoring pass must plan no hash exchange at all (lookup
     // projection + presentation sort)
     val q153d = graft.Tables.documents(spark, dir).transform(graft.Tables.fanout)
+    val q153base = graft.operators.TextOps.classifierBase(q153d).localCheckpoint()
     val q153g = graft.operators.TextOps.classifierGradientPass(
-      q153d, Array.fill(graft.operators.TextOps.QcDim)(0L))
+      q153base, Array.fill(graft.operators.TextOps.QcDim)(0L))
     q153g.collect()
     val q153gplan = q153g.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
@@ -609,10 +610,10 @@ object PlanAudit {
     val q153Ex = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
       .findAllMatchIn(q153plan).map(_.group(1)).toSet
     val q153ok = q153gEx.subsetOf(Set("bucket")) &&
-      !q153gplan.contains("Join") && q153gplan.contains("hashed_linear_score") &&
+      !q153gplan.contains("Join") && q153gplan.contains("bucket_linear_score") &&
       q153Ex.isEmpty && !q153plan.contains("Join")
     println(s"[audit] q153 classifier training " +
-      (if (q153ok) "OK (GD pass: bucket agg is the only hash exchange, join-free codegen scoring; final inference plans zero hash exchanges)"
+      (if (q153ok) "OK (GD pass: bucket agg is the only hash exchange, join-free codegen lookup scoring off the featurized base; final inference plans zero hash exchanges)"
        else s"CHECK: gdEx=${q153gEx.mkString(",")} gdJoin=${q153gplan.contains("Join")} " +
             s"finalEx=${q153Ex.mkString(",")} finalJoin=${q153plan.contains("Join")}"))
     // q154 snapshot diff: every exchange must carry an id or a uniform

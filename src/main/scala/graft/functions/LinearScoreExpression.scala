@@ -74,3 +74,56 @@ object HashedLinearScore {
   def apply(c: Column, weights: Array[Long]): Column =
     GraftBridge.column(HashedLinearScore(GraftBridge.expression(c), weights))
 }
+
+/** [[HashedLinearScore]] over PRE-BUCKETED features: the input array already
+  * holds bucket indices in [0, |w|), so scoring is a pure table lookup with
+  * no hashing. The q153 TRAINING loop needs this split: the md5-derived
+  * bucketing runs ONCE over the corpus into a compact integer-feature
+  * intermediate, and each of the [[graft.operators.TextOps.QtIters]] GD
+  * passes then scores off it — the classic featurize-once / iterate-cheap
+  * shape of every multi-epoch trainer (re-hashing every token every pass
+  * measured 4× the whole query's cost at sf0.1). Identity with the hashing
+  * form, `BucketLinearScore(transform(toks, h48(t) % |w|), w) ≡
+  * HashedLinearScore(toks, w)`, is pinned in CorpusOpsSpec.
+  */
+case class BucketLinearScore(child: Expression, weights: Array[Long])
+  extends UnaryExpression {
+  require(weights.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bucket_linear_score requires ARRAY<BIGINT> input, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bucket_linear_score"
+
+  protected override def nullSafeEval(input: Any): Any =
+    BucketLinearScore.compute(input.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("qcWeights", weights, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BucketLinearScore.compute($c, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketLinearScore =
+    copy(child = newChild)
+}
+
+object BucketLinearScore {
+  /** Fold the integer weight sum over pre-computed bucket indices. */
+  def compute(buckets: ArrayData, w: Array[Long]): Long = {
+    val n = buckets.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (!buckets.isNullAt(i)) sum += w(buckets.getLong(i).toInt)
+      i += 1
+    }
+    sum
+  }
+
+  def apply(c: Column, weights: Array[Long]): Column =
+    GraftBridge.column(BucketLinearScore(GraftBridge.expression(c), weights))
+}

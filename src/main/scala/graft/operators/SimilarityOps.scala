@@ -1109,11 +1109,17 @@ object SimilarityOps {
     val admittedIds = TextOps.incrementalDedup(spark, dir)
       .filter(col("verdict") === "new")
       .select(col("doc_id").as("vec_id"))
-    // incremental path: assign ONLY the admitted batch vectors
+    // incremental path: assign ONLY the admitted batch vectors — an
+    // INDEPENDENT argmin pass (deriving it from the full-assignment
+    // checkpoint below would make the mismatch proof vacuous)
     val incr = assign(all.filter(isNew).join(admittedIds, Seq("vec_id")))
       .localCheckpoint()   // feeds both the mismatch check and n_new
+    // ONE full-corpus assignment pass feeds both the batch-rebuild twin
+    // and the per-cluster existing counts (they previously ran the
+    // NearestCentroid projection over ~1.8× the corpus between them)
+    val asgAll = assign(all).localCheckpoint()
     // batch-rebuild twin: assign EVERYTHING, restrict to the admitted ids
-    val rebuild = assign(all).join(admittedIds, Seq("vec_id"))
+    val rebuild = asgAll.join(admittedIds, Seq("vec_id"))
     val mismatches = incr.withColumnRenamed("cluster", "ci")
       .join(rebuild.withColumnRenamed("cluster", "cr"), Seq("vec_id"), "full")
       .filter(!(col("ci") <=> col("cr")))
@@ -1122,7 +1128,7 @@ object SimilarityOps {
         all.withColumn("slice", when(isNew, lit("cand")).otherwise(lit("ref")))
           .select(col("slice"), col("v")))
       .agg(sum(when(col("drifted"), 1L).otherwise(0L)).as("n_drifted_dims"))
-    val nExist = assign(corpus).groupBy(col("cluster"))
+    val nExist = asgAll.filter(!isNew).groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_existing"))
     val nNew = incr.groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
     cents.select(col("cluster"))

@@ -177,43 +177,54 @@ object TextOps {
     * independent of partition order.
     *
     * Scale shape (the q118 k-means discipline): the corpus NEVER shuffles
-    * on a data key. Each GD pass is one narrow corpus scan — the current
-    * weights ride [[graft.functions.HashedLinearScore]] as a reference
-    * object to score/residual in codegen — followed by token explode into
-    * a (bucket) hash aggregate of exactly [[QcDim]] uniform keys (partial
-    * map-side; the only exchange), collected as the ≤4096-row gradient
-    * (the K-row codebook materialization q118 pays per Lloyd iteration).
-    * Model state lives on the driver between passes, KBs total. At 100 TB
-    * the same loop is [[QtIters]]+1 corpus scans and nothing else wide.
+    * on a data key. ONE corpus scan featurizes (weak label + md5 bucket per
+    * token) into a compact materialized integer base
+    * ([[classifierBase]] — the features table every multi-epoch trainer
+    * writes; tokens are hashed once, not once per pass). Each GD pass then
+    * reads the base — current weights ride
+    * [[graft.functions.BucketLinearScore]] as a reference object to
+    * score/residual in codegen — and explodes into a (bucket) hash
+    * aggregate of exactly [[QcDim]] uniform keys (partial map-side; the
+    * only exchange), collected as the ≤4096-row gradient (the K-row
+    * codebook materialization q118 pays per Lloyd iteration). Model state
+    * lives on the driver between passes, KBs total. At 100 TB the loop is
+    * one corpus scan plus [[QtIters]]+1 passes over the integer base.
     */
   def classifierTrain(spark: SparkSession, dir: String): DataFrame =
     classifierTrainOf(spark, Tables.documents(spark, dir).transform(Tables.fanout))
 
-  /** One GD pass of q153: the per-bucket gradient of ½‖clip(score) − y‖²
-    * under the current weights — ONE narrow corpus scan (score + residual
-    * in codegen via the reference-object weight table) into one
-    * [[QcDim]]-key hash aggregate. Factored so PlanAudit can assert the
-    * exchange shape of the training hot path. */
-  private[graft] def classifierGradientPass(d: DataFrame, w: Array[Long]): DataFrame = {
-    val feats = tokens(lower(col("text")))
-    val yTarget = when(q30Score >= QtTau, lit(QtScale)).otherwise(lit(-QtScale))
-    val scoreFp = graft.functions.HashedLinearScore(feats, w)
-    val rFp = greatest(lit(-QtClamp), least(lit(QtClamp), scoreFp)) - yTarget
-    d.select(rFp.as("r"), explode(feats).as("tok"))
-      .select((h48(col("tok")) % QcDim).as("bucket"), col("r"))
+  /** The q153 featurize-once pass: ONE corpus scan computes the weak-label
+    * target and the hashed feature buckets, materialized (localCheckpoint)
+    * as the compact integer intermediate every GD pass then reads — tokens
+    * are md5-hashed exactly once, not once per pass (re-hashing every pass
+    * measured 4× the whole query's cost). At 100 TB this is the features
+    * table a multi-epoch trainer always writes: per document one target
+    * long + one bucket id per token. */
+  private[graft] def classifierBase(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(q30Score >= QtTau, lit(QtScale)).otherwise(lit(-QtScale)).as("y_fp"),
+      transform(tokens(lower(col("text"))), t => h48(t) % QcDim).as("buckets"))
+
+  /** One GD pass of q153 over the featurized base: the per-bucket gradient
+    * of ½‖clip(score) − y‖² under the current weights — score + residual in
+    * codegen via the reference-object weight lookup
+    * ([[graft.functions.BucketLinearScore]]), then ONE [[QcDim]]-key hash
+    * aggregate. Factored so PlanAudit can assert the exchange shape of the
+    * training hot path. */
+  private[graft] def classifierGradientPass(base: DataFrame, w: Array[Long]): DataFrame = {
+    val scoreFp = graft.functions.BucketLinearScore(col("buckets"), w)
+    val rFp = greatest(lit(-QtClamp), least(lit(QtClamp), scoreFp)) - col("y_fp")
+    base.select(rFp.as("r"), explode(col("buckets")).as("bucket"))
       .groupBy(col("bucket")).agg(sum(col("r")).as("g"))
   }
 
-  /** The trained weight table of [[classifierTrain]] after `iters` GD
-    * passes — factored so a spec can assert drop-in compatibility with
-    * q147's inference expression and the pass-over-pass error descent. */
-  private[graft] def classifierTrainedWeights(d: DataFrame,
-      iters: Int = QtIters): Array[Long] = {
-    val den = QtEtaDen * d.count()
+  /** The GD loop over a materialized base (see [[classifierBase]]). */
+  private def trainOnBase(base: DataFrame, iters: Int): Array[Long] = {
+    val den = QtEtaDen * base.count()
     var w = Array.fill(QcDim)(0L)
     for (_ <- 1 to iters) {
       val w2 = w.clone()
-      classifierGradientPass(d, w).collect().foreach { row =>
+      classifierGradientPass(base, w).collect().foreach { row =>
         val b = row.getLong(0).toInt
         w2(b) = w2(b) - Math.floorDiv(row.getLong(1), den)
       }
@@ -222,12 +233,19 @@ object TextOps {
     w
   }
 
+  /** The trained weight table of [[classifierTrain]] after `iters` GD
+    * passes — factored so a spec can assert drop-in compatibility with
+    * q147's inference expression and the pass-over-pass error descent. */
+  private[graft] def classifierTrainedWeights(d: DataFrame,
+      iters: Int = QtIters): Array[Long] =
+    trainOnBase(classifierBase(d).localCheckpoint(), iters)
+
   /** Core of q153 over an arbitrary (doc_id, text) relation. */
   private[graft] def classifierTrainOf(spark: SparkSession, d: DataFrame): DataFrame = {
-    val w = classifierTrainedWeights(d)
-    val feats = tokens(lower(col("text")))
-    d.select(col("doc_id"), (q30Score >= QtTau).as("label"),
-        graft.functions.HashedLinearScore(feats, w).as("logit_fp"))
+    val base = classifierBase(d).localCheckpoint()
+    val w = trainOnBase(base, QtIters)
+    base.select(col("doc_id"), (col("y_fp") > 0L).as("label"),
+        graft.functions.BucketLinearScore(col("buckets"), w).as("logit_fp"))
       .withColumn("pred", col("logit_fp") >= 0L)
       .orderBy(col("doc_id"))
   }

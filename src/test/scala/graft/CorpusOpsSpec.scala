@@ -668,6 +668,15 @@ class CorpusOpsSpec extends SparkSpec {
       s"trained model carries no signal: ${wT.count(_ != 0L)} of ${seen.size} seen buckets moved")
     // determinism: a second training run yields the identical weight table
     assert(java.util.Arrays.equals(wT, TextOps.classifierTrainedWeights(d)))
+    // bucketized scoring (the training fast path) is bit-identical to the
+    // hashing form q147 serves with — featurize-once changes nothing
+    val idRows = d.select(
+        graft.functions.HashedLinearScore(tokens(lower(col("text"))), wT).as("a"),
+        graft.functions.BucketLinearScore(
+          transform(tokens(lower(col("text"))), t => h48(t) % TextOps.QcDim), wT).as("b"))
+      .collect()
+    assert(idRows.forall(r => r.getLong(0) == r.getLong(1)),
+      "BucketLinearScore diverges from HashedLinearScore")
   }
 
   test("q154 laws: the diff partitions BOTH snapshots exactly, every status " +
