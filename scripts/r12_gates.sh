@@ -1,8 +1,8 @@
 #!/bin/bash
-# Round-12 final-gates chain on final HEAD: run each phase sequentially,
-# log to /tmp, emit a one-line status per phase so the tmux pane is
-# scannable. Bench runs early (best weather); the slope probe and the two
-# full-surface tiled sweeps follow.
+# Round-12 final-gates chain on final HEAD. The full sf0.1 verify+oracle ran
+# green earlier tonight (154/154); only q152/q153 changed since and both were
+# re-verified individually at sf0.1, so this pass re-checks sf0.01 fully and
+# spends the wall-clock on bench + slope + the two full-surface sweeps.
 set -u
 cd /root/repo
 echo "=== GATES start $(date +%T) load=$(cut -d' ' -f1-3 /proc/loadavg)"
@@ -14,11 +14,6 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout_r12" > /tmp/ver
 echo "VERIFY001=$? $(date +%T)"
 python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/vout_r12 > /tmp/oracle001_r12.log 2>&1
 echo "ORACLE001=$? $(date +%T)"
-
-sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/vout_r12_sf01" > /tmp/verify01_r12.log 2>&1
-echo "VERIFY01=$? $(date +%T)"
-python3 scripts/check_oracle.py /root/testdata/sf0.1 /tmp/vout_r12_sf01 > /tmp/oracle01_r12.log 2>&1
-echo "ORACLE01=$? $(date +%T)"
 
 for i in 1 2 3; do
   cat /proc/loadavg

@@ -353,6 +353,12 @@ object TextOps {
     * the layout a snapshot store would maintain); move detection touches
     * ONLY the id-orphan slice (tiny between adjacent crawls) with
     * uniform md5 keys — never the unchanged bulk. Nothing is driver-side.
+    * One honest skew note: the rank window partitions by content hash, so
+    * a pathological orphan slice where ONE text accounts for millions of
+    * deletes would hot-key that window — production runs the q151/q102
+    * df-cap discipline there (pair only the first K of a hash group, spill
+    * the rest straight to deleted/added); the harness slice never comes
+    * close, so the cap is documented rather than built.
     */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.documents(spark, dir).transform(Tables.fanout)
