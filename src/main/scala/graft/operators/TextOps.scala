@@ -382,11 +382,17 @@ object TextOps {
         concat(lit("new "), col("text")).as("text")))
   }
 
-  /** Core of q154 over two arbitrary (doc_id, text) snapshots. */
+  /** Core of q154 over two arbitrary (doc_id, text) snapshots. Both
+    * multi-consumer stages are checkpointed (the round-8 rule: never let a
+    * raw plan re-execute per consumer): `j` feeds four branches and `mv`
+    * three — un-materialized, the id join ran five times. The checkpoint
+    * is the compact (ids, hashes) projection, never the text — at scale
+    * this is the diff table a snapshot store materializes anyway. */
   private[graft] def snapshotDiffOf(a: DataFrame, b: DataFrame): DataFrame = {
     val ah = a.select(col("doc_id").as("old_id"), md5(col("text")).as("md5_a"))
     val bh = b.select(col("doc_id").as("new_id"), md5(col("text")).as("md5_b"))
     val j = ah.join(bh, ah("old_id") === bh("new_id"), "full_outer")
+      .localCheckpoint()
     val unchanged = j.filter(col("md5_a") === col("md5_b"))
       .select(col("old_id"), col("new_id"), lit("unchanged").as("status"))
     val modified = j.filter(col("md5_a").isNotNull && col("md5_b").isNotNull &&
@@ -402,6 +408,7 @@ object TextOps {
         row_number().over(Window.partitionBy(col("md5_b"))
           .orderBy(col("new_id"))).as("rn"))
     val mv = delCand.join(addCand, Seq("h", "rn"), "full_outer")
+      .localCheckpoint()
     val moved = mv.filter(col("old_id").isNotNull && col("new_id").isNotNull)
       .select(col("old_id"), col("new_id"), lit("moved").as("status"))
     val deleted = mv.filter(col("new_id").isNull)
