@@ -110,7 +110,7 @@ object SimilarityOps {
     * materialization `broadcast()` performed internally for the old
     * crossJoin formulation — K stays bounded by the broadcast budget; the
     * corpus side never moves. */
-  private def collectCodebook(df: DataFrame, idCol: String, vecCol: String)
+  private[graft] def collectCodebook(df: DataFrame, idCol: String, vecCol: String)
       : (Array[Long], Array[Array[Double]]) = {
     val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
@@ -912,72 +912,73 @@ object SimilarityOps {
     * consume the trained codebook directly: returns `(cents, sizes)` —
     * `cents` = (cluster, cv: array<double> of 4-dp-rounded components) after
     * [[KmeansIters]] Lloyd iterations, `sizes` = (cluster, n_vecs) final
-    * membership counts; both localCheckpointed (lineage-free K-row state).
+    * membership counts; both lineage-free K-row local relations.
     */
   private[operators] def trainedCodebook(spark: SparkSession, dir: String,
       k0: Int = IvfK): (DataFrame, DataFrame) = {
     val corpus = Tables.embeddings(spark, dir).transform(Tables.fanout)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // full harness corpus has dense vec_ids from 0, so `vec_id < k0` IS the
-    // lowest-k0 seed rule trainedCodebookOf generalizes
-    trainedCodebookOf(spark, corpus, corpus.filter(col("vec_id") < k0))
+    // lowest-k0 seed rule — the SAME rule the oracle's c0 CTE encodes
+    // (`vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT k)`), so the
+    // two sides agree even on sparse id spaces; on the dense harness corpus
+    // this is the historical `vec_id < k0` set
+    trainedCodebookOf(spark, corpus, corpus.orderBy(col("vec_id")).limit(k0))
   }
 
   /** [[trainedCodebook]] over an ARBITRARY (vec_id, v) relation with
     * explicit seed rows — the q152 index-maintenance form, where the
     * codebook must be trained on the pre-batch corpus slice only (its
     * seeds are the slice's lowest-k0 vec_ids, not `vec_id < k0`). */
-  private[operators] def trainedCodebookOf(spark: SparkSession,
+  private[graft] def trainedCodebookOf(spark: SparkSession,
       corpus: DataFrame, seeds: DataFrame): (DataFrame, DataFrame) = {
-    var cents = seeds
-      .select(col("vec_id").as("cluster"), col("v").as("cv"))
-      .localCheckpoint()
-    var sizes: DataFrame = null
-    for (k <- 1 to KmeansIters) {
-      // assignment = the NearestCentroid argmin projection (q116's plan):
-      // collecting the K checkpointed centroid rows per iteration is the
-      // driver materialization broadcast() paid anyway, and the corpus pass
-      // is now a narrow codegen'd scan — no K-fold expansion, no
-      // Exchange+Sort on vec_id per Lloyd iteration
-      val (cids, cvs) = collectCodebook(cents, "cluster", "cv")
+    // K seed rows to the driver once — the same bounded materialization the
+    // frame-per-iteration form paid via collectCodebook EVERY iteration.
+    var (cids, cvs) = collectCodebook(seeds, "vec_id", "v")
+    var lastAgg: Array[(Long, Int, Long, Long)] = Array.empty
+    for (_ <- 1 to KmeansIters) {
+      // The ONLY distributed work per Lloyd iteration: one narrow corpus
+      // scan through the NearestCentroid argmin projection (q116's plan —
+      // no K-fold expansion, no Exchange+Sort on vec_id) into the
+      // (cluster, dim) hash aggregate (K·Dim uniform keys, partial
+      // map-side), collected to the driver. K·Dim ≤ 1024 rows — the same
+      // driver budget as the per-iteration codebook collect. Centroid
+      // re-estimation over those rows is driver arithmetic below
+      // (bit-identical expression order); the old form ran it as two more
+      // jobs plus two localCheckpoints per iteration, a FIXED per-iteration
+      // overhead that dominated training time at every corpus size.
       val nc = graft.functions.NearestCentroid(col("v"), lit(0.0), cids, cvs,
         byCosine = false)
-      val assigned = corpus.select(col("vec_id"), col("v"), nc.as("nc"))
-        .select(col("vec_id"), col("v"), col("nc.cluster").as("cluster"))
-      // materialize the (cluster, dim) aggregate ONCE per iteration (K·Dim
-      // rows): the corpus pass behind it runs exactly once, and both the
-      // new centroids AND the member counts derive from this checkpoint —
-      // deriving sizes from the lazy `assigned` would re-run the whole
-      // corpus join a second time per final iteration
-      val aggregated = assigned.select(col("cluster"), posexplode(col("v")))
+      lastAgg = corpus.select(nc.getField("cluster").as("cluster"), col("v"))
+        .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(floor(col("col") * lit(1e9) + lit(0.5)).cast("long")).as("ci"),
              count(lit(1)).as("nn"))
-        .localCheckpoint()
-      val means = aggregated.select(col("cluster"), col("pos"),
-        pround(col("ci").cast("double") / lit(1e9) / col("nn").cast("double"), 4).as("nc"))
-      // empty clusters keep their previous centroid (4-dp view of it)
-      val prevRows = cents.select(col("cluster"), posexplode(col("cv")))
-        .select(col("cluster"), col("pos"), pround(col("col"), 4).as("pc"))
-      val nextRows = prevRows.join(means, Seq("cluster", "pos"), "left")
-        .select(col("cluster"), col("pos"), coalesce(col("nc"), col("pc")).as("nc"))
-      val next = nextRows.groupBy(col("cluster"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("nc")))),
-          x => x.getField("nc")).as("cv"))
-        .localCheckpoint()
-      // checkpoint-derived sizes BEFORE freeing inputs — a lazy reference
-      // into freed checkpoint blocks cannot recompute (truncated lineage).
-      // nn is constant across pos within a cluster; pos 0 exists for any
-      // cluster with members, and memberless clusters are absent (the
-      // final left join coalesces them to 0)
-      if (k == KmeansIters)
-        sizes = aggregated.filter(col("pos") === 0)
-          .select(col("cluster"), col("nn").as("n_vecs"))
-          .localCheckpoint()
-      TextOps.freeMaterialized(cents)
-      TextOps.freeMaterialized(aggregated)
-      cents = next
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byKey = lastAgg.map(t => ((t._1, t._2), (t._3, t._4))).toMap
+      // means: pround(ci/1e9/nn, 4) in the exact Spark expression order
+      // (cast-to-double, left-assoc divides, floor(x·1e4+0.5)/1e4); empty
+      // clusters keep their previous centroid's 4-dp view — identical to
+      // the coalesce(nc, pround(prev, 4)) carry-forward rule
+      val f4 = math.pow(10, 4)
+      cvs = cids.zip(cvs).map { case (cid, prev) =>
+        Array.tabulate(prev.length) { p =>
+          byKey.get((cid, p)) match {
+            case Some((ci, nn)) =>
+              math.floor(ci.toDouble / 1e9 / nn.toDouble * f4 + 0.5) / f4
+            case None => math.floor(prev(p) * f4 + 0.5) / f4
+          }
+        }
+      }
     }
+    // rebuild the K-row result frames (lineage-free local relations — the
+    // checkpoint discipline for free); memberless clusters are absent from
+    // sizes, as before (the consumers' left joins coalesce them to 0)
+    import spark.implicits._
+    val cents = cids.zip(cvs).map { case (c, v) => (c, v.toSeq) }.toSeq
+      .toDF("cluster", "cv")
+    val sizes = lastAgg.filter(_._2 == 0).map(t => (t._1, t._4)).toSeq
+      .toDF("cluster", "n_vecs")
     (cents, sizes)
   }
 
