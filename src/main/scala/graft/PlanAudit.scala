@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * .explain audit loop. Run: `sbt "runMain graft.PlanAudit"`.
   */
 object PlanAudit {
+  /** Every audit line funnels through here so a plan regression fails the
+    * gates run (exit 1), not just a log line nobody reads. */
+  private val failures = scala.collection.mutable.ArrayBuffer[String]()
+  private def report(line: String): Unit = {
+    println(line)
+    if (line.contains("MISSING:") || line.contains("CHECK:")) failures += line
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -20,7 +28,7 @@ object PlanAudit {
       df.collect()   // execute THIS plan so AQE finalizes it (codegen visible)
       val plan = df.queryExecution.executedPlan.toString
       val missing = wanted.filterNot(plan.contains)
-      println(s"[audit] $name " + (if (missing.isEmpty) "OK: " + wanted.mkString(", ")
+      report(s"[audit] $name " + (if (missing.isEmpty) "OK: " + wanted.mkString(", ")
                                    else "MISSING: " + missing.mkString(", ")))
     }
     // selective filter must reach the parquet scan, projection must prune
@@ -47,7 +55,7 @@ object PlanAudit {
       .takeWhile(!_.contains("== Initial Plan =="))   // audit the AQE final plan only
       .filter(_.contains("dot_product(")).toSeq
     val dotCodegen = dotLines.nonEmpty && dotLines.forall(_.matches(""".*\*\(\d+\).*"""))
-    println(s"[audit] q40 dot_product codegen " +
+    report(s"[audit] q40 dot_product codegen " +
       (if (dotCodegen) "OK (all dot_product ops inside *(n) spans)"
        else "CHECK: " + dotLines.map(_.trim.take(120)).mkString(" | ")))
     // embedding dedup: anti-join with a broadcast victim set
@@ -59,7 +67,7 @@ object PlanAudit {
     val q59plan = q59.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
     val q59shuffles = "Exchange".r.findAllIn(q59plan).size
-    println(s"[audit] q59 narrow scrub " +
+    report(s"[audit] q59 narrow scrub " +
       (if (q59shuffles <= 1) s"OK ($q59shuffles exchange: presentation sort only)"
        else s"CHECK: $q59shuffles exchanges"))
     // repetition stats: both aggregates partial-aggregate map-side
@@ -97,7 +105,7 @@ object PlanAudit {
     q83.collect()
     val q83plan = q83.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
-    println(s"[audit] q83 partitioned windows " +
+    report(s"[audit] q83 partitioned windows " +
       (if (!q83plan.contains("SinglePartition")) "OK (no SinglePartition exchange)"
        else "CHECK: found SinglePartition"))
     // read schema pruned to the selected columns
@@ -106,7 +114,7 @@ object PlanAudit {
     val q2scan = q2df.queryExecution.executedPlan.toString
     val schemaLine = q2scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("<no ReadSchema>")
     val pruned = schemaLine.contains("l_orderkey") && !schemaLine.contains("l_shipdate") && !schemaLine.contains("l_tax")
-    println(s"[audit] q02 column pruning " + (if (pruned) "OK (5-col ReadSchema)" else "CHECK: " + schemaLine.trim.take(200)))
+    report(s"[audit] q02 column pruning " + (if (pruned) "OK (5-col ReadSchema)" else "CHECK: " + schemaLine.trim.take(200)))
     // sequence packing: the per-document cumulative sum must be a
     // bucket-partitioned window (hashpartitioning on the bucket key) with
     // the tiny bucket-offset table rejoined via broadcast — the ONLY
@@ -117,7 +125,7 @@ object PlanAudit {
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
     val q114ok = q114plan.contains("BroadcastHashJoin") &&
       q114plan.contains("hashpartitioning(bucket")
-    println(s"[audit] q114 two-level prefix sum " +
+    report(s"[audit] q114 two-level prefix sum " +
       (if (q114ok) "OK (bucket-partitioned doc window + broadcast offsets)"
        else "CHECK: expected broadcast offsets + bucket-hash window"))
     // temperature mix: per-source thresholds rejoin the corpus via
@@ -137,7 +145,7 @@ object PlanAudit {
     val q116narrow = !q116plan.contains("Window") &&
       !q116plan.contains("hashpartitioning(vec_id") &&
       !q116plan.contains("NestedLoop")
-    println(s"[audit] q116 narrow assignment " +
+    report(s"[audit] q116 narrow assignment " +
       (if (q116narrow) "OK (no Window, no vec_id exchange, no join expansion)"
        else "CHECK: assignment stage widened"))
     // k-means TRAINING loop: each iteration runs eagerly at its checkpoint,
@@ -173,7 +181,7 @@ object PlanAudit {
     val q133ok = q133phPlan.contains("MapPartitions") &&
       q133phPlan.contains("sign_sketch") &&
       q133keys.subsetOf(q133allowed)
-    println(s"[audit] q133 decode-seam fingerprints " +
+    report(s"[audit] q133 decode-seam fingerprints " +
       (if (q133ok) s"OK (MapPartitions decode + sign_sketch; hash exchanges only on ${q133keys.mkString("{", ",", "}")})"
        else s"CHECK: decode shape or exchange keys changed (keys=${q133keys.mkString(",")})"))
     // rate anomalies: the z-score windows must run over the aggregated
@@ -189,7 +197,7 @@ object PlanAudit {
     val q120ok = q120plan.contains("HashAggregate") &&
       q120plan.contains("hashpartitioning(event_type") &&
       !q120plan.contains("SinglePartition")
-    println(s"[audit] q120 windowed anomalies " +
+    report(s"[audit] q120 windowed anomalies " +
       (if (q120ok) "OK (agg before window, event_type-partitioned)"
        else "CHECK: expected hash agg + partitioned window"))
     // count-min: the sketch must partial-aggregate map-side (constant state
@@ -207,7 +215,7 @@ object PlanAudit {
       .findAllMatchIn(q107p.queryExecution.executedPlan.toString
         .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n"))
       .size
-    println(s"[audit] q107 single block-key exchange " +
+    report(s"[audit] q107 single block-key exchange " +
       (if (q107blockEx == 1) "OK (window rank and member collect share one shuffle)"
        else s"CHECK: $q107blockEx vhash exchanges"))
     // q41 banded LSH: the bucket cap must limit map-side, same contract as
@@ -226,7 +234,7 @@ object PlanAudit {
       .findAllMatchIn(q40cplan).map(_.group(1)).toSet
     val q40noShuffledCorpus = q40cplan.contains("BroadcastNestedLoopJoin") &&
       !q40cplan.contains("CartesianProduct") && q40hashEx.subsetOf(Set("query_id"))
-    println(s"[audit] q40 corpus never exchanges " +
+    report(s"[audit] q40 corpus never exchanges " +
       (if (q40noShuffledCorpus) "OK (only top-k rows hash-exchange, on query_id)"
        else s"CHECK: hash exchanges on ${q40hashEx.mkString(",")}"))
     // histogram quantiles: the refinement must never rank row-level data in
@@ -257,7 +265,7 @@ object PlanAudit {
     spark.listenerManager.unregister(q122L)
     val q122W = q122Snap().exists(_.contains("Window"))
     val q122T = q122Snap().exists(_.contains("TakeOrderedAndProject"))
-    println(s"[audit] q122 refinement " +
+    report(s"[audit] q122 refinement " +
       (if (!q122W && q122T) "OK (no Window in any triggered job; rank via TakeOrderedAndProject)"
        else s"CHECK: window=$q122W topr=$q122T over ${q122Snap().size} jobs"))
     // q127 BPE pairs: the only corpus-sized stage is the word-count hash
@@ -273,7 +281,7 @@ object PlanAudit {
     val q130plan = q130daily.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
     val q130ok = q130plan.contains("partial_kmvbuffer")
-    println(s"[audit] q130 map-side sketch buffers " +
+    report(s"[audit] q130 map-side sketch buffers " +
       (if (q130ok) "OK (partial_kmvbuffer below the day exchange)"
        else "CHECK: no partial KMV buffer aggregation"))
     // q137 source-overlap: the per-source KMV buffers must
@@ -290,7 +298,7 @@ object PlanAudit {
     val q137plan = q137sk.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
     val q137ok = q137plan.contains("partial_kmvbuffer")
-    println(s"[audit] q137 map-side overlap sketches " +
+    report(s"[audit] q137 map-side overlap sketches " +
       (if (q137ok) "OK (partial_kmvbuffer below the source exchange)"
        else "CHECK: no partial KMV buffer aggregation"))
     // q135 BPE encode: the corpus-sized stage is ONE token explode feeding
@@ -316,7 +324,7 @@ object PlanAudit {
     val q129ok = !q129plan.contains("Join") &&
       q129hashKeys == Set("whash", "doc_id") &&
       q129plan.contains("shingle_hashes")
-    println(s"[audit] q129 join-free span merge " +
+    report(s"[audit] q129 join-free span merge " +
       (if (q129ok) "OK (native window hashes; hash exchanges exactly {whash, doc_id})"
        else s"CHECK: join present or hash-exchange keys = ${q129hashKeys.mkString(",")}"))
     // q126 semantic dedup: the duplicate-pair join must be an EQUI-join on
@@ -338,7 +346,7 @@ object PlanAudit {
       q126plan.contains("hashpartitioning(cluster")
     val q126ok = !q126plan.contains("CartesianProduct") &&
       !q126plan.contains("BroadcastNestedLoopJoin") && q126keyed
-    println(s"[audit] q126 cluster-key pair join " +
+    report(s"[audit] q126 cluster-key pair join " +
       (if (q126ok) "OK (join keyed on cluster, no product join)"
        else "CHECK: product join or join not keyed on cluster"))
     // incremental dedup: candidates must come from equi-joins (band buckets
@@ -349,7 +357,7 @@ object PlanAudit {
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
     val q111ok = !q111plan.contains("CartesianProduct") &&
       !q111plan.contains("BroadcastNestedLoopJoin") && q111plan.contains("HashAggregate")
-    println(s"[audit] q111 index-probe dedup " +
+    report(s"[audit] q111 index-probe dedup " +
       (if (q111ok) "OK (equi-joins + hash aggs only)" else "CHECK: product join in plan"))
     // q138 PageRank: audit ONE power iteration's plan shape — the rank⋈edges
     // join must be an equi-join on src and the new-rank aggregate must
@@ -359,7 +367,7 @@ object PlanAudit {
     val q139plan = q139.queryExecution.executedPlan.toString
     val q139ok = !q139plan.contains("CartesianProduct") &&
       !q139plan.contains("BroadcastNestedLoopJoin")
-    println(s"[audit] q138 pagerank final frame " +
+    report(s"[audit] q138 pagerank final frame " +
       (if (q139ok) "OK (checkpointed rank state, no product join)"
        else "CHECK: product join in final frame"))
     // q140 Holt forecast: the raw stream collapses through ONE corpus-sized
@@ -371,7 +379,7 @@ object PlanAudit {
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
     val q140fok = q140fplan.contains("HashAggregate") &&
       !q140fplan.contains("Window") && !q140fplan.contains("Join")
-    println(s"[audit] q140 fold-after-aggregate " +
+    report(s"[audit] q140 fold-after-aggregate " +
       (if (q140fok) "OK (hash agg to day grain; join-free, window-free fold)"
        else "CHECK: unexpected Window/Join in plan"))
     // q141 table profile: fixed-width columns profile through ONE scan's
@@ -388,7 +396,7 @@ object PlanAudit {
     val q141strCols = graft.operators.Analytics.ProfileCols.count(_._2 == "str")
     val q141ok = q141plan.contains("Expand") && q141plan.contains("HashAggregate") &&
       q141scans == 1 + q141strCols && q141sorts <= 1
-    println(s"[audit] q141 profile plan " +
+    report(s"[audit] q141 profile plan " +
       (if (q141ok) s"OK ($q141scans column-pruned scans; Expand+hash; $q141sorts sort = presentation only)"
        else s"CHECK: scans=$q141scans sorts=$q141sorts"))
     // q139 retrieval: the corpus postings must meet the query set through
@@ -403,7 +411,7 @@ object PlanAudit {
     val q139rok = q139rplan.contains("BroadcastHashJoin") &&
       q139rplan.contains("WindowGroupLimit") && q139rplan.contains("Partial") &&
       q139rhashEx.subsetOf(Set("doc_id", "query_id", "term"))
-    println(s"[audit] q139 broadcast retrieval " +
+    report(s"[audit] q139 broadcast retrieval " +
       (if (q139rok) s"OK (broadcast query set; partial top-k; exchanges=${q139rhashEx.mkString("{", ",", "}")})"
        else s"CHECK: exchanges=${q139rhashEx.mkString(",")}"))
     // q142 hybrid fusion: both retriever sides must meet the corpus through
@@ -420,7 +428,7 @@ object PlanAudit {
     val q142ok = q142plan.contains("BroadcastHashJoin") && q142wgl >= 2 &&
       !q142plan.contains("CartesianProduct") &&
       q142hashEx.subsetOf(Set("doc_id", "query_id", "term", "vec_id"))
-    println(s"[audit] q142 hybrid retrieval " +
+    report(s"[audit] q142 hybrid retrieval " +
       (if (q142ok) s"OK (broadcast both sides; $q142wgl group-limit windows; exchanges=${q142hashEx.mkString("{", ",", "}")})"
        else s"CHECK: wgl=$q142wgl exchanges=${q142hashEx.mkString(",")}"))
     // q142 PRODUCTION path (graft.hybrid.denseIndex=true): the dense arm
@@ -445,7 +453,7 @@ object PlanAudit {
         !q142iplan.contains("CartesianProduct") &&
         q142iplan.toLowerCase.contains("pq_adc") &&
         q142ihashEx.subsetOf(Set("doc_id", "query_id", "term", "vec_id"))
-      println(s"[audit] q142 hybrid (denseIndex=true) " +
+      report(s"[audit] q142 hybrid (denseIndex=true) " +
         (if (q142iok) s"OK (no full-corpus dense join; ADC codes path; exchanges=${q142ihashEx.mkString("{", ",", "}")})"
          else s"CHECK: condBnlj=${condBnlj.size} exchanges=${q142ihashEx.mkString(",")}"))
     } finally spark.conf.unset("graft.hybrid.denseIndex")
@@ -465,7 +473,7 @@ object PlanAudit {
       !q143plan.contains("CartesianProduct") &&
       !q143plan.contains("BroadcastNestedLoopJoin") &&
       q143hashEx.subsetOf(Set("doc_id", "eval_id", "shash", "band_idx"))
-    println(s"[audit] q143 neardup decontaminate " +
+    report(s"[audit] q143 neardup decontaminate " +
       (if (q143ok) s"OK ($q143bhj broadcast joins; exchanges=${q143hashEx.mkString("{", ",", "}")})"
        else s"CHECK: bhj=$q143bhj exchanges=${q143hashEx.mkString(",")}"))
     // q144 IVF-PQ: the corpus must never hash-exchange on a data key — the
@@ -483,7 +491,7 @@ object PlanAudit {
     val q144ok = q144plan.contains("BroadcastHashJoin") &&
       !q144plan.contains("CartesianProduct") &&
       q144wgl >= 2 && q144hashEx.subsetOf(Set("query_id", "vec_id"))
-    println(s"[audit] q144 ivf-pq ann " +
+    report(s"[audit] q144 ivf-pq ann " +
       (if (q144ok) s"OK (broadcast probe+fetch; $q144wgl group-limit windows; exchanges=${q144hashEx.mkString("{", ",", "}")})"
        else s"CHECK: wgl=$q144wgl exchanges=${q144hashEx.mkString(",")}"))
     // q147 quality-classifier inference: a PURE NARROW projection — the
@@ -500,7 +508,7 @@ object PlanAudit {
     val q147ok = q147ex <= 1 && !q147plan.contains("hashpartitioning") &&
       !q147plan.contains("Join") && q147scoreLines.nonEmpty &&
       q147scoreLines.forall(_.matches(""".*\*\(\d+\).*"""))
-    println(s"[audit] q147 quality classifier " +
+    report(s"[audit] q147 quality classifier " +
       (if (q147ok) "OK (narrow codegen'd inference; presentation sort is the only exchange)"
        else s"CHECK: exchanges=$q147ex scoreLines=${q147scoreLines.size}"))
     // q148 unicode canonicalization: same narrow shape — one codegen'd
@@ -512,7 +520,7 @@ object PlanAudit {
     val q148ex = "Exchange".r.findAllIn(q148plan).size
     val q148ok = q148ex <= 1 && !q148plan.contains("hashpartitioning") &&
       !q148plan.contains("Join") && q148plan.contains("unicode_canon(")
-    println(s"[audit] q148 unicode canon " +
+    report(s"[audit] q148 unicode canon " +
       (if (q148ok) "OK (narrow codegen'd canonicalization; presentation sort only)"
        else s"CHECK: exchanges=$q148ex"))
     // q149 domain gate: the corpus meets the blocklist through a BROADCAST
@@ -525,7 +533,7 @@ object PlanAudit {
     val q149ok = q149plan.contains("BroadcastHashJoin") &&
       !q149plan.contains("SortMergeJoin") &&
       !"Exchange hashpartitioning\\(doc_id".r.findAllIn(q149plan).hasNext
-    println(s"[audit] q149 domain gate " +
+    report(s"[audit] q149 domain gate " +
       (if (q149ok) "OK (broadcast blocklist; no corpus data-key exchange)"
        else "CHECK: " + q149plan.linesIterator.filter(_.contains("Exchange")).mkString(" | ").take(200)))
     // q146 drift: the corpus contributes COUNTING ONLY — one partial-
@@ -539,7 +547,7 @@ object PlanAudit {
       .findAllMatchIn(q146plan).map(_.group(1)).toSet
     val q146ok = q146plan.contains("HashAggregate") && q146plan.contains("partial_sum") &&
       q146hashEx.subsetOf(Set("dim_idx", "bin"))
-    println(s"[audit] q146 embedding drift " +
+    report(s"[audit] q146 embedding drift " +
       (if (q146ok) s"OK (partial-agg count cube; exchanges=${q146hashEx.mkString("{", ",", "}")})"
        else s"CHECK: exchanges=${q146hashEx.mkString(",")}"))
     // q150 cluster-safe split: downstream of the (q62-audited) CC loop the
@@ -556,7 +564,7 @@ object PlanAudit {
     val q150ok = !q150plan.contains("CartesianProduct") &&
       !q150plan.contains("BroadcastNestedLoopJoin") &&
       q150hashEx.subsetOf(q150allowed)
-    println(s"[audit] q150 cluster-safe split " +
+    report(s"[audit] q150 cluster-safe split " +
       (if (q150ok) s"OK (id/group-key exchanges only: ${q150hashEx.mkString("{", ",", "}")})"
        else s"CHECK: exchanges=${q150hashEx.mkString(",")}"))
     // q151 boilerplate removal (driver hot-list path, the harness shape):
@@ -571,7 +579,7 @@ object PlanAudit {
       .findAllMatchIn(q151plan).map(_.group(1)).toSet
     val q151ok = q151hashEx.subsetOf(Set("lh")) &&
       !q151plan.contains("Join") && q151plan.contains("in_sorted_longs")
-    println(s"[audit] q151 boilerplate removal " +
+    report(s"[audit] q151 boilerplate removal " +
       (if (q151ok) "OK (df agg on line-hash is the only hash exchange; corpus filtered join-free in codegen)"
        else s"CHECK: exchanges=${q151hashEx.mkString(",")} join=${q151plan.contains("Join")}"))
     // q152 index maintenance: every assignment pass must be the broadcast
@@ -585,7 +593,7 @@ object PlanAudit {
     val q152nl = "BroadcastNestedLoopJoin".r.findAllIn(q152plan).size
     val q152ok = q152plan.contains("nearest_centroid") &&
       !q152plan.contains("CartesianProduct") && q152nl <= 2
-    println(s"[audit] q152 index maintenance " +
+    report(s"[audit] q152 index maintenance " +
       (if (q152ok) s"OK (broadcast argmin assignment; $q152nl one-row verdict crossJoins)"
        else s"CHECK: nl=$q152nl nc=${q152plan.contains("nearest_centroid")}"))
     // q153 classifier training: the GD hot path (one pass) must read the
@@ -612,7 +620,7 @@ object PlanAudit {
     val q153ok = q153gEx.subsetOf(Set("bucket")) &&
       !q153gplan.contains("Join") && q153gplan.contains("bucket_linear_score") &&
       q153Ex.isEmpty && !q153plan.contains("Join")
-    println(s"[audit] q153 classifier training " +
+    report(s"[audit] q153 classifier training " +
       (if (q153ok) "OK (GD pass: bucket agg is the only hash exchange, join-free codegen lookup scoring off the featurized base; final inference plans zero hash exchanges)"
        else s"CHECK: gdEx=${q153gEx.mkString(",")} gdJoin=${q153gplan.contains("Join")} " +
             s"finalEx=${q153Ex.mkString(",")} finalJoin=${q153plan.contains("Join")}"))
@@ -629,9 +637,15 @@ object PlanAudit {
     val q154ok = q154Ex.subsetOf(Set("old_id", "new_id", "md5_a", "md5_b", "h", "doc_id")) &&
       !q154plan.contains("CartesianProduct") &&
       !q154plan.contains("BroadcastNestedLoopJoin")
-    println(s"[audit] q154 snapshot diff " +
+    report(s"[audit] q154 snapshot diff " +
       (if (q154ok) s"OK (id/content-hash exchanges only: ${q154Ex.mkString("{", ",", "}")})"
        else s"CHECK: exchanges=${q154Ex.mkString(",")}"))
     spark.stop()
+    if (failures.nonEmpty) {
+      println(s"[audit] FAILED: ${failures.size} plan regression(s)")
+      failures.foreach(f => println("  " + f))
+      sys.exit(1)
+    }
+    println("[audit] ALL OK")
   }
 }

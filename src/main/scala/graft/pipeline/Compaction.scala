@@ -168,6 +168,13 @@ object Compaction {
     val r = df.agg(
       min(col(colX).cast("double")), max(col(colX).cast("double")),
       min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    // Empty source or an all-null cluster column: there is no range to
+    // interleave and every layout is trivially clustered — land the rows
+    // (possibly zero) as-is instead of dereferencing a null aggregate.
+    if ((0 to 3).exists(r.isNullAt)) {
+      df.write.mode("overwrite").parquet(destDir)
+      return
+    }
     val z = zValue(col(colX), col(colY),
       r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), bits)
     df.withColumn("__z", z)

@@ -610,10 +610,14 @@ object EventsStream {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
     }
-    // Age fallback for two cases pid-liveness can't adjudicate: legacy
-    // pre-namespace `run*` dirs (no owner encoding at all) and a recycled
-    // pid now naming an unrelated live process. Generous (days, not
+    // Age fallback ONLY for dirs with no adjudicable owner: legacy
+    // pre-namespace `run*` dirs and malformed names. Generous (days, not
     // minutes) — it only has to bound /tmp growth, never race a live run.
+    // A namespace whose pid IS live is deleted only on positive proof of
+    // pid recycling: the live process STARTED after the namespace was last
+    // written, so it cannot be the writer (the true owner died first and
+    // froze the mtime). Age alone is never grounds to delete a live pid's
+    // namespace — a multi-day run must not lose its leaderboard target.
     val staleAfterMs = 2L * 24 * 3600 * 1000
     val now = System.currentTimeMillis()
     val myPid = ProcessHandle.current.pid
@@ -624,8 +628,12 @@ object EventsStream {
             case Some(pid) if pid == myPid => false     // always keep our own
             case Some(pid) =>
               val h = ProcessHandle.of(pid)
-              !(h.isPresent && h.get.isAlive) ||
-                now - d.lastModified() > staleAfterMs   // pid-reuse straggler
+              if (!(h.isPresent && h.get.isAlive)) true // owner is dead
+              else {                                    // live: recycled iff
+                val started = h.get.info.startInstant   //  born after the dir
+                started.isPresent &&                    //  stopped changing
+                  started.get.toEpochMilli > d.lastModified()
+              }
             case None => true   // malformed namespace: nobody owns it
           }
         else now - d.lastModified() > staleAfterMs      // legacy run* dirs
