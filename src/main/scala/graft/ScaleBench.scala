@@ -377,10 +377,11 @@ object SlopeProbe {
     * must name the production growth lever that keeps the real deployment
     * linear. An allowlisted query still reports its measured slope. */
   val Allowlist: Map[String, String] = Map(
-    "q36_minhash_lsh" ->
-      ("deliberately-UNCAPPED MinHash baseline (its capped form is q102): " +
-       "hot shingle buckets grow with corpus size by design here; the df " +
-       "cap is the production lever"),
+    // q36 was allowlisted here through round 13 (uncapped hot-shingle
+    // baseline, slope 1.67); round 14 made the df cap default-on
+    // (graft.minhash.dfCap = 128, TextOps.DefaultDfCap), so it now earns a
+    // real verdict — the uncapped form survives behind dfCap=0 for
+    // DedupSpec's equivalence law only.
     "q126_semantic_dedup" ->
       ("SemDeDup with harness-pinned K=16 so the oracle reproduces the " +
        "codebook: intra-cluster pair work is n^2/K by construction at " +

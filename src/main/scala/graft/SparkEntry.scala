@@ -260,6 +260,39 @@ object SparkEntry {
        |  CAST(len(ha.hs) AS BIGINT) + CAST(len(hb.hs) AS BIGINT) AS sz_sum
        |FROM cand JOIN hsl ha ON doc_a = ha.doc_id JOIN hsl hb ON doc_b = hb.doc_id)""".stripMargin
 
+  /** q36/q38's pair CTEs rendered for the df cap the engine RUN actually
+    * used (TextOps.dfCapUsed, recorded at plan-build time; ambient conf
+    * when the query never ran — the q137/q152 discipline). Cap 0 is the
+    * uncapped baseline; otherwise the q102 capped chain at that threshold,
+    * with CTE names matching the uncapped chain so the q36/q38 SELECTs are
+    * form-independent. */
+  private def minhashPairsCtesForRun: String = {
+    val cap = operators.TextOps.dfCapUsed.getOrElse(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(operators.TextOps.resolvedDfCap)
+        .getOrElse(operators.TextOps.DefaultDfCap))
+    if (cap <= 0) MinhashCtes
+    else s"""$ShingleCtes
+       |, hot AS (SELECT shash FROM shr GROUP BY shash HAVING count(*) > $cap),
+       |shc AS (SELECT doc_id, shash FROM shr
+       |        WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shash = shr.shash)),
+       |hsl AS (SELECT doc_id, list(DISTINCT shash) AS hs FROM shc GROUP BY doc_id),
+       |sig AS (SELECT doc_id, hs,
+       |  [list_min([${PortableHash.permutedSql("j", "h")} for h in hs]) for j in generate_series(0, 63)] AS sg
+       |FROM hsl),
+       |bands AS (SELECT doc_id, bi,
+       |  array_to_string([CAST(sg[bi * 4 + k + 1] AS VARCHAR) for k in generate_series(0, 3)], ':') AS band_sig
+       |FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bi) g),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.bi = y.bi AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS n_inter,
+       |  CAST(len(ha.hs) AS BIGINT) + CAST(len(hb.hs) AS BIGINT) AS sz_sum
+       |FROM cand JOIN hsl ha ON doc_a = ha.doc_id JOIN hsl hb ON doc_b = hb.doc_id)""".stripMargin
+  }
+
   /** SimHash fingerprint → bands → candidate pairs (TextOps.simhashPairs) as
     * a DuckDB CTE body (no WITH keyword so q62 can prefix WITH RECURSIVE);
     * shared by q37/q62. */
@@ -859,14 +892,14 @@ object SparkEntry {
          |WHERE n_inter * 3 >= sa.sz + sb.sz
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q36_minhash_lsh" ->
-      s"""$MinhashCtes
+      s"""$minhashPairsCtesForRun
          |SELECT doc_a, doc_b, n_inter, sz_sum - n_inter AS n_union,
          |  floor(((n_inter * 1.0) / (sz_sum - n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard
          |FROM pairs
          |WHERE n_inter * 5 >= (sz_sum - n_inter) * 4
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q38_dedup_corpus" ->
-      s"""$MinhashCtes,
+      s"""$minhashPairsCtesForRun,
          |victims AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
          |            WHERE n_inter * 5 >= (sz_sum - n_inter) * 4)
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
@@ -1006,6 +1039,14 @@ object SparkEntry {
       def dist2(v: String, cv: String) =
         s"${SimilarityOps.dotSql(v, v)} - 2.0 * ${SimilarityOps.dotSql(v, cv)} + ${SimilarityOps.dotSql(cv, cv)}"
       val psi6 = PortableHash.proundSql("psi_raw", 6)
+      // mirror the proof form the query EXECUTION actually used (recorded
+      // at plan-build time — the q137 overlapAuditUsed discipline): the
+      // rebuild-equality CTEs and the n_mismatch column exist only when
+      // graft.ann.verifyRebuild was on for the run being checked
+      val proof = SimilarityOps.rebuildProofUsed.getOrElse(
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .exists(SimilarityOps.rebuildProofOn))
       s"""$MinhashBandsCtes,
          |xcand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
          |          FROM bands n JOIN bands c
@@ -1034,7 +1075,8 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY e2.vec_id
          |      ORDER BY ${dist2("e2.v", "c.cv")}, c.cluster) AS rn
          |  FROM enew e2 CROSS JOIN c$ki c) WHERE rn = 1),
-         |asga AS (SELECT vec_id, cluster FROM (
+         |${if (proof)
+             s"""asga AS (SELECT vec_id, cluster FROM (
          |  SELECT e2.vec_id, c.cluster,
          |    row_number() OVER (PARTITION BY e2.vec_id
          |      ORDER BY ${dist2("e2.v", "c.cv")}, c.cluster) AS rn
@@ -1042,7 +1084,7 @@ object SparkEntry {
          |asgr AS (SELECT a.vec_id, a.cluster FROM asga a JOIN adm USING (vec_id)),
          |mism AS (SELECT CAST(count(*) AS BIGINT) AS n_mismatch
          |         FROM asgi i FULL JOIN asgr r USING (vec_id)
-         |         WHERE i.cluster IS DISTINCT FROM r.cluster),
+         |         WHERE i.cluster IS DISTINCT FROM r.cluster),""" else ""}
          |asge AS (SELECT vec_id, cluster FROM (
          |  SELECT e2.vec_id, c.cluster,
          |    row_number() OVER (PARTITION BY e2.vec_id
@@ -1057,12 +1099,12 @@ object SparkEntry {
          |SELECT c.cluster,
          |  coalesce(nex.n_existing, 0) AS n_existing,
          |  coalesce(nnw.n_new, 0) AS n_new,
-         |  mism.n_mismatch, ndd.n_drifted_dims,
+         |  ${if (proof) "mism.n_mismatch, " else ""}ndd.n_drifted_dims,
          |  ndd.n_drifted_dims >= ${SimilarityOps.RetrainMinDriftedDims} AS retrain,
          |  CASE WHEN ndd.n_drifted_dims >= ${SimilarityOps.RetrainMinDriftedDims} THEN 'retrain'
          |       ELSE 'assign_incremental' END AS action
          |FROM c$ki c LEFT JOIN nex USING (cluster) LEFT JOIN nnw USING (cluster)
-         |CROSS JOIN mism CROSS JOIN ndd
+         |${if (proof) "CROSS JOIN mism " else ""}CROSS JOIN ndd
          |ORDER BY c.cluster""".stripMargin
     },
     "q153_classifier_train" -> TextOps.classifierTrainSql,

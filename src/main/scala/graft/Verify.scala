@@ -31,6 +31,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The correctness gate runs the STRONG form of conf-gated proofs:
+    // q152 carries the batch-rebuild-equality twin and its n_mismatch
+    // column here (bench leaves the proof off — the production shape).
+    spark.conf.set("graft.ann.verifyRebuild", "true")
     // Wipe stale results: a failed query must not leave a previous run's
     // output behind for the compare to pick up.
     def rm(f: java.io.File): Unit = {

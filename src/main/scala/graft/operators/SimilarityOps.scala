@@ -110,7 +110,7 @@ object SimilarityOps {
     * materialization `broadcast()` performed internally for the old
     * crossJoin formulation — K stays bounded by the broadcast budget; the
     * corpus side never moves. */
-  private[graft] def collectCodebook(df: DataFrame, idCol: String, vecCol: String)
+  private def collectCodebook(df: DataFrame, idCol: String, vecCol: String)
       : (Array[Long], Array[Array[Double]]) = {
     val rows = df.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
@@ -929,11 +929,20 @@ object SimilarityOps {
     * explicit seed rows — the q152 index-maintenance form, where the
     * codebook must be trained on the pre-batch corpus slice only (its
     * seeds are the slice's lowest-k0 vec_ids, not `vec_id < k0`). */
-  private[graft] def trainedCodebookOf(spark: SparkSession,
+  private[operators] def trainedCodebookOf(spark: SparkSession,
       corpus: DataFrame, seeds: DataFrame): (DataFrame, DataFrame) = {
     // K seed rows to the driver once — the same bounded materialization the
     // frame-per-iteration form paid via collectCodebook EVERY iteration.
     var (cids, cvs) = collectCodebook(seeds, "vec_id", "v")
+    // The per-iteration collect below is K·Dim rows; that stays a bounded
+    // driver materialization ONLY while the codebook constants stay small.
+    // Fail loudly if a future K or Dim growth would turn it into an
+    // unbounded driver collect (65536 rows ≈ 1.5 MB — still trivially
+    // driver-safe, an order of magnitude above today's 1024).
+    val dim = cvs.headOption.map(_.length).getOrElse(0)
+    require(cids.length.toLong * dim <= 65536,
+      s"trainedCodebookOf: K*Dim = ${cids.length}*$dim exceeds the bounded " +
+        "driver-collect budget for the per-iteration Lloyd aggregate")
     var lastAgg: Array[(Long, Int, Long, Long)] = Array.empty
     for (_ <- 1 to KmeansIters) {
       // The ONLY distributed work per Lloyd iteration: one narrow corpus
@@ -1069,11 +1078,12 @@ object SimilarityOps {
     *     same broadcast [[graft.functions.NearestCentroid]] argmin q116
     *     owns — one narrow codegen'd projection over the batch, the
     *     existing index untouched;
-    *  4. the query also runs the BATCH-REBUILD twin (assign the full
-    *     corpus with the same codebook, restrict to the admitted ids) and
-    *     emits `n_mismatch` — the hash-checked PROOF that incremental
-    *     assignment equals a full rebuild, i.e. the maintenance shortcut
-    *     loses nothing while drift stays low;
+    *  4. under conf `graft.ann.verifyRebuild` (Verify/spec on, bench off —
+    *     see [[rebuildProofOn]]) the query also runs the BATCH-REBUILD
+    *     twin (assign the full corpus with the same codebook, restrict to
+    *     the admitted ids) and emits `n_mismatch` — the hash-checked PROOF
+    *     that incremental assignment equals a full rebuild, i.e. the
+    *     maintenance shortcut loses nothing while drift stays low;
     *  5. q146's PSI machinery over (corpus, batch) slices gates the
     *     verdict: any drifted dimension → `action = 'retrain'` (the
     *     incremental assignments are then stale by construction — spec
@@ -1094,6 +1104,25 @@ object SimilarityOps {
     * so the gate demands the shift be WIDESPREAD before paying it. */
   val RetrainMinDriftedDims: Int = Dim / 8
 
+  /** Whether q152 carries the batch-rebuild-equality proof (the
+    * `n_mismatch` column). DEFAULT OFF: the incremental assignment IS the
+    * production ship — the rebuild twin exists to PROVE the shortcut loses
+    * nothing, and a proof that re-assigns the full corpus on every
+    * maintenance pass defeats the point of maintaining incrementally. The
+    * proof form (conf `true`) runs the full-corpus twin and the
+    * batch-sized full-join mismatch check; Verify enables it so the
+    * driver's correctness gate still hash-checks the proof, and
+    * AnnPartitionSpec pins proof-on ≡ proof-off on the shared columns
+    * (the q137 `graft.overlap.exactAudit` pattern). */
+  private[graft] def rebuildProofOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.ann.verifyRebuild").exists(_.toBoolean)
+
+  /** The proof mode the LAST [[indexMaintenance]] plan built in this JVM
+    * actually used — the oracle renders against THIS record (ambient conf
+    * only when the query never ran), so result and oracle schema cannot
+    * diverge across sessions (the q137 `overlapAuditUsed` discipline). */
+  @volatile private[graft] var rebuildProofUsed: Option[Boolean] = None
+
   def indexMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val all = Tables.embeddings(spark, dir).transform(Tables.fanout)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1110,40 +1139,50 @@ object SimilarityOps {
     val admittedIds = TextOps.incrementalDedup(spark, dir)
       .filter(col("verdict") === "new")
       .select(col("doc_id").as("vec_id"))
+    val proof = rebuildProofOn(spark)
+    rebuildProofUsed = Some(proof)
     // incremental path: assign ONLY the admitted batch vectors — an
     // INDEPENDENT argmin pass (deriving it from the full-assignment
     // checkpoint below would make the mismatch proof vacuous)
     val incr = assign(all.filter(isNew).join(admittedIds, Seq("vec_id")))
       .localCheckpoint()   // feeds both the mismatch check and n_new
-    // ONE full-corpus assignment pass feeds both the batch-rebuild twin
-    // and the per-cluster existing counts (they previously ran the
-    // NearestCentroid projection over ~1.8× the corpus between them)
-    val asgAll = assign(all).localCheckpoint()
-    // batch-rebuild twin: assign EVERYTHING, restrict to the admitted ids
-    val rebuild = asgAll.join(admittedIds, Seq("vec_id"))
-    val mismatches = incr.withColumnRenamed("cluster", "ci")
-      .join(rebuild.withColumnRenamed("cluster", "cr"), Seq("vec_id"), "full")
-      .filter(!(col("ci") <=> col("cr")))
-      .agg(count(lit(1)).as("n_mismatch"))
+    // proof mode: ONE full-corpus assignment pass feeds both the
+    // batch-rebuild twin and the per-cluster existing counts (they
+    // previously ran the NearestCentroid projection over ~1.8× the corpus
+    // between them); default mode assigns ONLY the existing slice — the
+    // rebuild twin never runs
+    val mismatchesOpt = if (proof) {
+      val asgAll = assign(all).localCheckpoint()
+      val rebuild = asgAll.join(admittedIds, Seq("vec_id"))
+      val m = incr.withColumnRenamed("cluster", "ci")
+        .join(rebuild.withColumnRenamed("cluster", "cr"), Seq("vec_id"), "full")
+        .filter(!(col("ci") <=> col("cr")))
+        .agg(count(lit(1)).as("n_mismatch"))
+      Some((m, asgAll.filter(!isNew)))
+    } else None
     val drift = embeddingDriftOf(spark,
         all.withColumn("slice", when(isNew, lit("cand")).otherwise(lit("ref")))
           .select(col("slice"), col("v")))
       .agg(sum(when(col("drifted"), 1L).otherwise(0L)).as("n_drifted_dims"))
-    val nExist = asgAll.filter(!isNew).groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_existing"))
+    val nExist = mismatchesOpt.map(_._2).getOrElse(assign(corpus))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_existing"))
     val nNew = incr.groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
-    cents.select(col("cluster"))
+    val base = cents.select(col("cluster"))
       .join(nExist, Seq("cluster"), "left")
       .join(nNew, Seq("cluster"), "left")
-      .crossJoin(broadcast(mismatches))
-      .crossJoin(broadcast(drift))
-      .select(col("cluster"),
+    val withProof = mismatchesOpt match {
+      case Some((m, _)) => base.crossJoin(broadcast(m))
+      case None         => base
+    }
+    val verdictCols = Seq(col("n_drifted_dims"),
+      (col("n_drifted_dims") >= RetrainMinDriftedDims).as("retrain"),
+      when(col("n_drifted_dims") >= RetrainMinDriftedDims, "retrain")
+        .otherwise("assign_incremental").as("action"))
+    withProof.crossJoin(broadcast(drift))
+      .select(Seq(col("cluster"),
         coalesce(col("n_existing"), lit(0L)).as("n_existing"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"),
-        col("n_mismatch"), col("n_drifted_dims"),
-        (col("n_drifted_dims") >= RetrainMinDriftedDims).as("retrain"),
-        when(col("n_drifted_dims") >= RetrainMinDriftedDims, "retrain")
-          .otherwise("assign_incremental").as("action"))
+        coalesce(col("n_new"), lit(0L)).as("n_new")) ++
+        (if (proof) Seq(col("n_mismatch")) else Nil) ++ verdictCols: _*)
       .orderBy(col("cluster"))
   }
 

@@ -115,8 +115,9 @@ object TextOps {
     *  - fixed-point scale [[QtScale]] (1.0 ≡ 1e6) so every score, residual
     *    and weight is an exact BIGINT on both engines — no transcendental,
     *    no float accumulation order to disagree on;
-    *  - residual clipping at ±[[QtClamp]] (gradient clipping, the standard
-    *    guard against a few extreme documents dominating a batch step);
+    *  - score clipping at ±[[QtClamp]]: the prediction is clamped BEFORE
+    *    the residual `clip(score) − y` is formed (the standard guard
+    *    against a few extreme documents dominating a batch step);
     *  - step = mean gradient / [[QtEtaDen]]. 1/64 ≲ 1/E[tokens per doc]
     *    keeps full-batch least-squares on count features contractive
     *    (1/32 measured divergent on the harness corpus: pass-3 MSE 1.12 >
@@ -167,7 +168,8 @@ object TextOps {
     * [[QtIters]] full-batch least-squares gradient steps toward targets ±1.
     *
     * Engine-exact training: all arithmetic is fixed-point BIGINT
-    * ([[QtScale]]), the residual is clipped at ±[[QtClamp]], and each
+    * ([[QtScale]]), the score is clipped at ±[[QtClamp]] before the
+    * residual `clip(score) − y` is formed, and each
     * weight update is a FLOOR division `w −= ⌊g / (QtEtaDen·n)⌋` — Java's
     * `Math.floorDiv` on the driver, `(g − posmod(g, d)) // d` in the
     * oracle (DuckDB `%`/`//` truncate toward zero like Java, so floor
@@ -363,6 +365,15 @@ object TextOps {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.documents(spark, dir).transform(Tables.fanout)
       .select(col("doc_id"), col("text"))
+    // The synthesis offsets relocate re-keyed/new ids into disjoint bands
+    // above the source id space; an id ≥ SnapRekeyOffset would collide
+    // with a relocated one and silently corrupt the diff classes (the
+    // oracle would mirror the same corruption). Fail loudly instead —
+    // one max() over a single int column, a stats read at scale.
+    val mx = a.agg(max(col("doc_id"))).head()
+    require(mx.isNullAt(0) || mx.getLong(0) < SnapRekeyOffset,
+      s"snapshotDiff: doc_id ${mx.get(0)} >= SnapRekeyOffset $SnapRekeyOffset " +
+        "would collide with synthesized snapshot-B ids")
     snapshotDiffOf(a, snapshotB(a))
   }
 
@@ -659,7 +670,40 @@ object TextOps {
     *    array intersection. A candidate pair sharing zero shingles drops out
     *    of the inner join, which is harmless: it cannot pass J ≥ 0.8.
     */
+  /** Default df cap for q36 — the SAFETY VALVE that makes the flagship
+    * MinHash query scale-honest by default. q102's [[MaxShingleDf]] = 20 is
+    * aggressive boilerplate MITIGATION; this is an order of magnitude
+    * looser: a shingle carried by more than 128 documents is structural
+    * chrome whose band buckets grow O(df²) with corpus size while
+    * contributing essentially no 0.8-Jaccard evidence — on a Zipfian web
+    * corpus the uncapped form's hot buckets are THE superlinear term
+    * (measured slope 1.67 at ×10→×20 before the cap). Conf
+    * `graft.minhash.dfCap` overrides; `0` disables (the uncapped baseline
+    * form, kept for DedupSpec's equivalence law). The oracle resolves the
+    * same recorded cap at render time (the q137/q152 discipline). */
+  val DefaultDfCap = 128
+
+  private[graft] def resolvedDfCap(spark: SparkSession): Int =
+    spark.conf.getOption("graft.minhash.dfCap").map(_.toInt).getOrElse(DefaultDfCap)
+
+  /** The df cap the LAST [[minhashLshPairs]] plan built in this JVM used —
+    * q36's AND q38's oracles render against this record, so a result
+    * computed under one conf can never meet an oracle rendered under
+    * another. */
+  @volatile private[graft] var dfCapUsed: Option[Int] = None
+
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cap = resolvedDfCap(spark)
+    dfCapUsed = Some(cap)
+    if (cap > 0)
+      minhashCappedOf(spark,
+        Tables.documents(spark, dir).transform(Tables.fanout), cap)
+    else minhashUncapped(spark, dir)
+  }
+
+  /** The uncapped q36 baseline (conf `graft.minhash.dfCap = 0`) — every
+    * shingle participates, hot buckets and all. */
+  private[graft] def minhashUncapped(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // signatures as a NARROW per-row projection (native MinHashSig, round 5)
@@ -735,9 +779,12 @@ object TextOps {
 
   /** Core of q102 over an arbitrary (doc_id, text) relation — exposed so
     * DedupSpec can prove the two hot-list strategies bit-identical on a
-    * synthetic boilerplate-heavy corpus.
+    * synthetic boilerplate-heavy corpus. `dfCap` parameterizes the hot
+    * threshold (q102 pins [[MaxShingleDf]]; q36's default form passes
+    * [[DefaultDfCap]]).
     */
-  def minhashCappedOf(spark: SparkSession, d: DataFrame): DataFrame = {
+  def minhashCappedOf(spark: SparkSession, d: DataFrame,
+      dfCap: Int = MaxShingleDf): DataFrame = {
     val shAll = d.select(col("doc_id"),
         explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
       .distinct()
@@ -745,7 +792,7 @@ object TextOps {
     // (driver collect OR distributed anti-join) must not each re-run the
     // corpus-sized shingle explosion + aggregate behind it
     val hotDf = shAll.groupBy(col("shash")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf)
+      .filter(col("df") > dfCap)
       .select(col("shash"))
       .cache()
     val maxDriver = spark.conf.getOption("graft.minhash.hotListMaxDriver")

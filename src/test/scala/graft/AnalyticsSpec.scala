@@ -605,12 +605,27 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("q152 maintenance: incremental == rebuild (zero mismatch), accounting ties out, " +
+       "proof-on == proof-off on the shared columns, " +
        "and a widespread planted shift flips the verdict to retrain") {
     import graft.operators.{SimilarityOps, TextOps}
-    val rows = SimilarityOps.indexMaintenance(spark, sf001).collect()
+    // proof form (graft.ann.verifyRebuild): carries the rebuild twin and
+    // its n_mismatch column — the form Verify ships to the oracle
+    spark.conf.set("graft.ann.verifyRebuild", "true")
+    val rows =
+      try SimilarityOps.indexMaintenance(spark, sf001).collect()
+      finally spark.conf.unset("graft.ann.verifyRebuild")
     assert(rows.length == SimilarityOps.IvfK, s"one row per cell: ${rows.length}")
     // the maintenance invariant: incremental assignment == batch rebuild
     rows.foreach(r => assert(r.getAs[Long]("n_mismatch") == 0L))
+    // conf-gate equivalence law: the default (bench) form is the proof
+    // form minus the n_mismatch column — bit-identical shared columns
+    val defRows = SimilarityOps.indexMaintenance(spark, sf001).collect()
+    val shared = Seq("cluster", "n_existing", "n_new", "n_drifted_dims",
+      "retrain", "action")
+    assert(defRows.map(r => shared.map(r.getAs[Any])).toSeq ==
+           rows.map(r => shared.map(r.getAs[Any])).toSeq,
+      "proof-off must equal proof-on on the shared columns")
+    assert(!defRows.head.schema.fieldNames.contains("n_mismatch"))
     // the action is exactly the gate applied to the measured drift count
     val nd = rows.head.getAs[Long]("n_drifted_dims")
     val expected =
@@ -638,7 +653,10 @@ class AnalyticsSpec extends SparkSpec {
             when(i < SimilarityOps.Dim / 2, x + lit(0.6f)).otherwise(x)))
           .otherwise(col("embedding")))
       .write.parquet(s"$dir/embeddings.parquet")
-    val drifted = SimilarityOps.indexMaintenance(spark, dir).collect()
+    spark.conf.set("graft.ann.verifyRebuild", "true")
+    val drifted =
+      try SimilarityOps.indexMaintenance(spark, dir).collect()
+      finally spark.conf.unset("graft.ann.verifyRebuild")
     assert(drifted.head.getAs[Long]("n_drifted_dims") >= SimilarityOps.RetrainMinDriftedDims,
       s"planted widespread shift not detected: ${drifted.head.getAs[Long]("n_drifted_dims")}")
     drifted.foreach(r => assert(r.getAs[String]("action") == "retrain"))

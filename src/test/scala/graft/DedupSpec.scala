@@ -76,6 +76,41 @@ class DedupSpec extends SparkSpec {
     assert(driverPath.size == 1, s"only the planted pair: $driverPath")
   }
 
+  test("q36's default df cap is vacuous at harness scale (bit-identical to the " +
+       "uncapped baseline) and binding on a hot corpus") {
+    import spark.implicits._
+    // harness corpus: max shingle df ≪ DefaultDfCap (measured 25 at sf0.1,
+    // 9 at sf0.001), so the default capped form must equal the conf-0
+    // uncapped baseline exactly — the oracle stays byte-stable by default
+    val capped = TextOps.minhashLshPairs(spark, sf001).collect().toSeq
+    spark.conf.set("graft.minhash.dfCap", "0")
+    val uncapped =
+      try TextOps.minhashLshPairs(spark, sf001).collect().toSeq
+      finally spark.conf.unset("graft.minhash.dfCap")
+    assert(capped == uncapped, s"capped=${capped.size} uncapped=${uncapped.size}")
+    assert(capped.nonEmpty, "test data plants near-duplicates")
+    // binding case: a banner carried by DefaultDfCap + 12 documents trips
+    // the q36 cap (df = 140 > 128) — its shingles must not generate pairs,
+    // while the planted near-dup pair (distinct bodies, one word apart)
+    // still clears 0.8 over the SURVIVING shingle sets
+    val n = TextOps.DefaultDfCap + 12
+    val banner = "all rights reserved contact the site admin for terms of use"
+    val bodyA = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve")
+    val hot = (0 until n).map { i =>
+      val body =
+        if (i == 1) bodyA
+        else if (i == 2) bodyA.replace("twelve", "thirteen")
+        else s"unique body $i with words aa$i bb$i cc$i dd$i ee$i ff$i gg$i"
+      (i.toLong, s"$banner $body")
+    }.toDF("doc_id", "text")
+    val got = TextOps.minhashCappedOf(spark, hot, TextOps.DefaultDfCap)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)),
+      s"cap must kill banner-only pairs and keep the planted one: $got")
+  }
+
   test("q126 semantic-dup pairs equal the global-threshold pairs within probed cells") {
     import graft.operators.SimilarityOps
     val assigned = SimilarityOps.semanticAssigned(spark, sf001)
