@@ -154,13 +154,13 @@ object PlanAudit {
     // K-row centroid expansion joined to the K-row sizes — broadcast, never
     // a shuffled join
     audit("q118_kmeans_train", Seq("BroadcastHashJoin", "Generate posexplode"))
-    // media near-dup: decode runs per-partition (MapPartitions seam), the
-    // fingerprint is the native sign_sketch expression, and candidate
+    // media near-dup: decode runs per-partition (MapPartitions seam — the
+    // REAL PpmCodec parse, raster bytes never leave it), and candidate
     // generation happens at distinct-fingerprint granularity — payloads
     // themselves must never reach an exchange
     // the fingerprint stage sits BEHIND a localCheckpoint in the final
     // frame, so audit it directly (pre-checkpoint): decode must be the
-    // per-partition seam and the phash the native sign_sketch expression
+    // per-partition seam (phash is computed inside it from decoded pixels)
     val q133ph = graft.multimodal.Multimodal.mediaPhash(spark, dir)
     q133ph.collect()
     val q133phPlan = q133ph.queryExecution.executedPlan.toString
@@ -179,10 +179,9 @@ object PlanAudit {
     val q133allowed = Set("phash", "band_idx", "band_val", "pa", "pb",
       "doc_a", "doc_b", "doc_id")
     val q133ok = q133phPlan.contains("MapPartitions") &&
-      q133phPlan.contains("sign_sketch") &&
       q133keys.subsetOf(q133allowed)
     report(s"[audit] q133 decode-seam fingerprints " +
-      (if (q133ok) s"OK (MapPartitions decode + sign_sketch; hash exchanges only on ${q133keys.mkString("{", ",", "}")})"
+      (if (q133ok) s"OK (MapPartitions decode seam; hash exchanges only on ${q133keys.mkString("{", ",", "}")})"
        else s"CHECK: decode shape or exchange keys changed (keys=${q133keys.mkString(",")})"))
     // rate anomalies: the z-score windows must run over the aggregated
     // (type, hour) rows — a hash aggregate below a PARTITIONed window, no

@@ -342,28 +342,62 @@ object SparkEntry {
     * sign-LSH phash → distinct-value banding with the session-resolved
     * hot-bucket cap → verified value pairs (`vp`) → doc-pair expansions
     * (`cp` cross-value, `ip` hamming-0). */
+  /** DuckDB twin of the PpmCodec fixture + decode: per-(doc, frame, row)
+    * pixel-luminance sums recomputed from the md5-derived raster bytes
+    * (PpmCodec.encodeFixture mirrored in SQL — each md5 digest's 16 bytes
+    * recovered from its hex rendering, BT.601 integer weights by byte
+    * position). `frame0Only` limits the frame expansion for the consumers
+    * that read only the first frame (phash, embedding). */
+  private def mediaRowLumCtes(frame0Only: Boolean): String = {
+    def hx(c: String) =
+      s"(ascii($c) - 48 - CASE WHEN ascii($c) >= 97 THEN 39 ELSE 0 END)"
+    val fExpr =
+      if (frame0Only) "0 AS f" else "unnest(generate_series(0, nf - 1)) AS f"
+    s"""md AS (SELECT doc_id, text,
+       |  CAST(16 AS BIGINT) AS h,
+       |  GREATEST(CAST(1 AS BIGINT), CAST(ceil(length(text) / 16.0) AS BIGINT)) AS cl,
+       |  1 + ${PortableHash.h48Sql("text")} % 30 AS nf FROM documents),
+       |mfr AS (SELECT doc_id, text, h, cl, nf, $fExpr FROM md),
+       |mrw AS (SELECT doc_id, text, h, cl, nf, f,
+       |    unnest(generate_series(0, h - 1)) AS r FROM mfr),
+       |msl AS (SELECT doc_id, h, nf, f, r, j,
+       |    md5(substr(text, CAST(r * cl + 1 AS INT), CAST(cl AS INT)) ||
+       |        ':' || f || ':' || r || ':' || j) AS hxs
+       |  FROM mrw CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) gj),
+       |mbt AS (SELECT doc_id, h, nf, f, r, j * 16 + o AS i,
+       |    CAST(${hx("substr(hxs, 2*o+1, 1)")} * 16 + ${hx("substr(hxs, 2*o+2, 1)")} AS BIGINT) AS bv
+       |  FROM msl CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS o) go),
+       |mrl AS (SELECT doc_id, h, nf, f, r,
+       |    CAST(SUM((CASE i % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) * bv) AS BIGINT) AS lum
+       |  FROM mbt GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+  }
+
+  /** The 48-bit row-profile phash CTE (PpmCodec.phashOf's twin): 3
+    * threshold bits per frame-0 row, interleaved band layout
+    * (r % 4)·12 + (r ∕ 4)·3 + k. Emits `ph(doc_id, phash)`. */
+  private def mediaPhashCte: String = {
+    import graft.multimodal.PpmCodec.{RowLumTauLo, RowLumTauMid, RowLumTauHi}
+    def bit(tau: Long, k: Int) =
+      s"CASE WHEN lum > $tau THEN CAST(1 AS BIGINT) << " +
+      s"CAST((r % 4) * 12 + (r // 4) * 3 + $k AS INT) ELSE 0 END"
+    s"""ph AS (SELECT doc_id, CAST(SUM(
+       |    ${bit(RowLumTauLo, 0)}
+       |  + ${bit(RowLumTauMid, 1)}
+       |  + ${bit(RowLumTauHi, 2)}) AS BIGINT) AS phash
+       |  FROM mrl WHERE f = 0 AND r < ${graft.multimodal.PpmCodec.PhashRows}
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
   private def mediaPairsCteSql: String = {
-    import graft.multimodal.Multimodal.{MediaDim, MediaBands, MediaBandBits,
-      MediaPlanes, MediaMaxHamming, ChunkSize}
+    import graft.multimodal.Multimodal.{MediaBands, MediaBandBits, MediaMaxHamming}
     // session-resolved cap (the bandsCteSql pattern): the oracle twin must
     // track a conf'd run instead of silently comparing different semantics
     val mediaCap = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(graft.multimodal.Multimodal.resolvedMediaCap)
       .getOrElse(graft.multimodal.Multimodal.MediaMaxBucket)
-    val w = graft.functions.SignSketch.weights("mplane", MediaPlanes, MediaDim)
-    val comps = (0 until MediaDim).map { i =>
-      val h = PortableHash.h48Sql(s"substr(text, ${i * ChunkSize + 1}, $ChunkSize) || ':$i'")
-      s"(($h % 2001) - 1000) / 1000.0 AS v$i"
-    }.mkString(",\n  ")
-    val phash = (0 until MediaPlanes).map { p =>
-      val dot = (0 until MediaDim).map(i => s"v$i * ${w(p * MediaDim + i)}").mkString(" + ")
-      s"(CASE WHEN ($dot) >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)"
-    }.mkString("\n    + ")
-    s"""f AS (SELECT doc_id,
-       |  $comps
-       |  FROM documents),
-       |ph AS (SELECT doc_id, $phash AS phash FROM f),
+    s"""${mediaRowLumCtes(frame0Only = true)},
+       |$mediaPhashCte,
        |dv AS (SELECT DISTINCT phash FROM ph),
        |bands AS (SELECT phash, band_idx,
        |    CAST((phash >> (band_idx * $MediaBandBits)) & ${(1 << MediaBandBits) - 1} AS BIGINT) AS band_val
@@ -1323,23 +1357,26 @@ object SparkEntry {
         |WHERE win_start + INTERVAL 1 HOUR <= w
         |ORDER BY win_start, event_type""".stripMargin,
     "q53_frame_sample" ->
-      s"""WITH h AS (SELECT doc_id, ${PortableHash.h48Sql("text")} AS hv FROM documents),
-         |f AS (SELECT doc_id, 1 + hv % 30 AS n_frames FROM h),
-         |fr AS (SELECT doc_id, n_frames,
-         |       unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM f)
-         |SELECT doc_id, frame_idx,
-         |  substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 8) AS frame_sig
-         |FROM fr WHERE frame_idx % 5 = 0
+      s"""WITH ${mediaRowLumCtes(frame0Only = false)},
+         |fl AS (SELECT doc_id, h, f, CAST(SUM(lum) AS BIGINT) AS flum
+         |       FROM mrl GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         |  ${PortableHash.proundSql("flum / CAST(16 * h * 1000 AS DOUBLE)", 4)} AS lum_mean
+         |FROM fl WHERE f % 5 = 0
          |ORDER BY doc_id, frame_idx""".stripMargin,
     "q67_media_embed_knn" -> {
       val dim = Multimodal.EmbedDim
+      val mid = Multimodal.RowLumMid
       val dot = (a: String, b: String) =>
         s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"[($a)[i] * ($b)[i] for i in generate_series(1, $dim)]), (acc, x) -> acc + x)"
-      s"""WITH ev AS (SELECT doc_id,
-         |  [CAST(${PortableHash.h48Sql("text || ':' || i")} % 2001 - 1000 AS DOUBLE) / 1000.0
-         |   for i in generate_series(0, ${dim - 1})] AS v
-         |FROM documents),
+      s"""WITH ${mediaRowLumCtes(frame0Only = true)},
+         |rls AS (SELECT doc_id, h, list(lum ORDER BY r) AS rl
+         |        FROM mrl WHERE f = 0 GROUP BY 1, 2),
+         |ev AS (SELECT doc_id,
+         |  [CAST(rl[CAST(floor(j * h / $dim.0) AS INT) + 1] - $mid AS DOUBLE) / $mid.0
+         |   for j in generate_series(0, ${dim - 1})] AS v
+         |FROM rls),
          |vecs AS (SELECT doc_id, v, sqrt(${dot("v", "v")}) AS norm FROM ev),
          |q AS (SELECT doc_id AS query_id, v AS qv, norm AS qn FROM vecs WHERE doc_id < 10),
          |joined AS (SELECT query_id, e.doc_id AS neighbor_id,
@@ -1359,13 +1396,22 @@ object SparkEntry {
         |  substr(md5(text), 1, 8) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q52_media_features" ->
-      s"""WITH h AS (SELECT doc_id, text, ${PortableHash.h48Sql("text")} AS hv FROM documents)
-         |SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         |  substr(md5(text), 1, 8) AS magic,
-         |  64 + hv % 1857 AS width,
-         |  64 + (hv // 1857) % 1857 AS height,
-         |  1 + hv % 30 AS n_frames
-         |FROM h ORDER BY doc_id""".stripMargin,
+      s"""WITH ${mediaRowLumCtes(frame0Only = false)},
+         |mcs AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN i % 3 = 0 THEN bv ELSE 0 END) AS BIGINT) AS sum_r,
+         |    CAST(SUM(CASE WHEN i % 3 = 1 THEN bv ELSE 0 END) AS BIGINT) AS sum_g,
+         |    CAST(SUM(CASE WHEN i % 3 = 2 THEN bv ELSE 0 END) AS BIGINT) AS sum_b
+         |  FROM mbt GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  CAST(m.nf * (11 + length(CAST(m.h AS VARCHAR)) + m.h * 48) AS BIGINT) AS byte_len,
+         |  'P6' AS magic,
+         |  CAST(16 AS BIGINT) AS width,
+         |  m.h AS height,
+         |  CAST(m.nf AS BIGINT) AS n_frames,
+         |  ${PortableHash.proundSql("c.sum_r / CAST(16 * m.h * m.nf AS DOUBLE)", 4)} AS mean_r,
+         |  ${PortableHash.proundSql("c.sum_g / CAST(16 * m.h * m.nf AS DOUBLE)", 4)} AS mean_g,
+         |  ${PortableHash.proundSql("c.sum_b / CAST(16 * m.h * m.nf AS DOUBLE)", 4)} AS mean_b
+         |FROM md m JOIN mcs c USING (doc_id) ORDER BY m.doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

@@ -7,26 +7,23 @@ import graft.Tables
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed by executor-side batch decode.
   *
-  * The container has no image/audio codecs, so the *decode step is a
-  * deterministic stub* (`decodeStub` — clearly marked); everything around it
-  * is the real Spark shape a 100 TB media pipeline needs:
-  *  - payloads ride a `BinaryType` column (here: utf-8 bytes of `documents
-  *    .text` standing in for image bytes);
-  *  - decode runs per-partition over a typed `Dataset` (`mapPartitions`), the
-  *    Scala analog of `mapInPandas` batches — one decoder instance per
+  * The decode step is a REAL pure-JVM PPM decoder ([[PpmCodec]] — header
+  * parse, raster extraction, pixel statistics, perceptual hash); the media
+  * FILES are synthesized, because the container ships none
+  * ([[PpmCodec.encodeFixture]], deterministic and oracle-mirrored, so every
+  * decoded pixel statistic is hash-checked end to end). The Spark shape is
+  * the one a 100 TB media pipeline needs:
+  *  - payloads ride `BinaryType` columns;
+  *  - decode runs per-partition over a typed `Dataset` (`mapPartitions`),
+  *    the Scala analog of `mapInPandas` batches — one decoder instance per
   *    partition, never per row;
   *  - features come back as a flat typed record, ready for downstream
-  *    relational/similarity operators.
-  *
-  * The stub derives every "decoded" feature from md5 arithmetic identical to
-  * the SQL in the oracle, so even the mapPartitions path is hash-checked
-  * against DuckDB (q52) — stub determinism is a feature, not a shortcut.
+  *    relational/similarity operators, and ONLY those compact features ever
+  *    reach an exchange — raster bytes live and die inside the seam.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte])
-  case class MediaFeatures(doc_id: Long, byte_len: Long, magic: String,
-                           width: Long, height: Long, n_frames: Long)
 
   /** Binary ingestion: the documents table with a payload column. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
@@ -42,50 +39,106 @@ object Multimodal {
     hex.foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16))
   }
 
-  /** STUB decoder — stands in for image/audio decode (no codecs in this
-    * environment). Deterministic fake dimensions from the payload hash. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-    val h = h48Bytes(r.payload)
-    MediaFeatures(
-      doc_id = r.doc_id,
-      byte_len = r.payload.length.toLong,
-      magic = hex.substring(0, 8),
-      width = 64L + h % 1857,
-      height = 64L + (h / 1857) % 1857,
-      n_frames = 1L + h % 30)
-  }
+  /** Everything q52/q53/q67/q133/q136 read from one decode pass: header
+    * facts (REAL parse), per-channel byte sums, frame-0 row-luminance
+    * profile (feeds the perceptual hash and the embedding), per-frame
+    * luminance totals (feeds frame sampling). Compact by construction —
+    * O(height + frames) longs per document, never raster bytes. */
+  case class MediaDecoded(doc_id: Long, byte_len: Long, magic: String,
+                          width: Long, height: Long, n_frames: Long,
+                          sum_r: Long, sum_g: Long, sum_b: Long,
+                          phash: Long,
+                          row_lums: Array[Long], frame_lums: Array[Long])
 
-  /** The executor-side decode pipeline: typed Dataset → per-partition decode. */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+  /** The executor-side decode seam: synthesize the fixture media stream for
+    * each document (no media files ship in this container), then REALLY
+    * decode it — P6 header parse, raster walk, pixel statistics — one
+    * decoder pass per partition. Animation frame count rides the payload
+    * itself (parsed, not assumed); the md5-derived count matches the
+    * oracle's closed form. */
+  def decodeMedia(spark: SparkSession, dir: String): Dataset[MediaDecoded] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRecord]
+    Tables.documents(spark, dir)
+      .transform(Tables.fanout)   // decode is CPU-bound: fan out the single-file scan
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
       .mapPartitions { it =>
-        // one decoder context per partition (the per-partition resource
-        // pattern — crs_ui_bot.py:57-70's singleton, done right)
-        it.map(decodeStub)
+        it.map { case (docId, text) =>
+          val nFrames = (1L + graft.functions.H48.hash(
+            text.getBytes("UTF-8")) % 30).toInt
+          val payload = PpmCodec.encodeFixture(text, nFrames)   // FIXTURE
+          val frames = PpmCodec.decode(payload)                 // REAL decode
+          val head = frames.head
+          var sr = 0L; var sg = 0L; var sb = 0L
+          frames.foreach { fr =>
+            val (r, g, b) = PpmCodec.channelSums(fr)
+            sr += r; sg += g; sb += b
+          }
+          MediaDecoded(docId, payload.length.toLong, "P6",
+            head.width.toLong, head.height.toLong, frames.length.toLong,
+            sr, sg, sb,
+            PpmCodec.phashOf(head),
+            PpmCodec.rowLums(head),
+            frames.map(fr => PpmCodec.rowLums(fr).sum).toArray)
+        }
       }
   }
 
-  /** q52: the decode pipeline as a query (sorted, flat schema). */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(spark, dir).toDF().orderBy(col("doc_id"))
+  /** The frame-0 decode seam for the consumers that read only the first
+    * frame (perceptual hash, embedding): synthesize and REALLY decode just
+    * that frame — the "sample before decode" discipline a real video
+    * pipeline uses (never decode 30 frames to fingerprint one). Emits the
+    * compact (doc_id, phash, row_lums) record. */
+  private[graft] def decodeFrame0(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .transform(Tables.fanout)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, text) =>
+          val head = PpmCodec.decode(PpmCodec.encodeFixture(text, 1)).head
+          (docId, PpmCodec.phashOf(head), PpmCodec.rowLums(head),
+            head.height.toLong)
+        }
+      }
+      .toDF("doc_id", "phash", "row_lums", "height")
+  }
 
-  /** q53: frame sampling — expand each media payload into its (stub-decoded)
-    * frame index rows, keeping every k-th frame (deterministic stride
-    * sampling; the Spark shape of video frame extraction: generator + narrow
-    * projection, no shuffle until the consumer aggregates).
-    */
+  /** q52: decoded media features — REAL header facts (magic, dimensions,
+    * frame count all come from the parse) plus exact per-channel means over
+    * every frame's raster. The oracle recomputes the pixel sums from the
+    * same md5-derived bytes, so a decoder bug anywhere (header scan, raster
+    * offset math, channel interleave) breaks the hash. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.pround
+    val px = col("width") * col("height") * col("n_frames")
+    decodeMedia(spark, dir).toDF()
+      .select(col("doc_id"), col("byte_len"), col("magic"),
+        col("width"), col("height"), col("n_frames"),
+        pround(col("sum_r") / px.cast("double"), 4).as("mean_r"),
+        pround(col("sum_g") / px.cast("double"), 4).as("mean_g"),
+        pround(col("sum_b") / px.cast("double"), 4).as("mean_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q53: frame sampling — expand each decoded animation into its frame
+    * rows, keep every k-th frame (deterministic stride sampling; the Spark
+    * shape of video frame extraction: generator + narrow projection, no
+    * shuffle until the consumer aggregates). The per-frame statistic is the
+    * REAL mean pixel luminance of that frame's raster. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.pround
     val stride = 5
-    mediaFeatures(spark, dir)
-      .select(col("doc_id"), col("n_frames"),
-        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+    decodeMedia(spark, dir).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("frame_lums")))
+      .withColumnRenamed("pos", "frame_idx")
       .filter(col("frame_idx") % stride === 0)
-      .select(col("doc_id"), col("frame_idx"),
-        // stub frame fingerprint: deterministic per (doc, frame)
-        substring(md5(concat(col("doc_id"), lit(":"), col("frame_idx"))), 1, 8).as("frame_sig"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        pround(col("col") /
+          (col("width") * col("height") * lit(1000L)).cast("double"), 4)
+          .as("lum_mean"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
@@ -148,12 +201,10 @@ object Multimodal {
                                     ci: org.apache.spark.sql.Column) =
     md5(text.substr(ci * ChunkSize + 1, lit(ChunkSize)).cast("binary")).as("chunk_md5")
 
-  // ---- q133: banded-hamming perceptual near-dup over decoded features ----
+  // ---- q133: banded-hamming perceptual near-dup over decoded pixels ----
 
-  val MediaDim = 16          // decoded feature vector width (one cell per chunk)
   val MediaBands = 4         // 4 × 12-bit bands over the 48-bit phash
   val MediaBandBits = 12
-  val MediaPlanes: Int = MediaBands * MediaBandBits
   val MediaMaxHamming = 3    // < MediaBands ⇒ banding is pigeonhole-complete
   /** Hot band-bucket cap (q41's skew lever at the distinct-value level).
     * Session-overridable via `graft.media.maxBucket` — ONE resolution point
@@ -161,82 +212,51 @@ object Multimodal {
     * conf'd comparison run never silently diverges; DedupSpec forces the
     * uncapped path with it to prove banding completeness against brute
     * force. NOTE the cap is ACTIVE at the oracle SFs here (unlike q41):
-    * short payloads leave tail cells empty, so structurally-similar
-    * fingerprints pile onto shared band values — the oracle carries the
-    * same bdf filter, so the capped semantics are what hash-matches. */
+    * short documents render to short images whose hash rows past the image
+    * height are all-zero, so structurally-similar fingerprints pile onto
+    * shared band values — the oracle carries the same bdf filter, so the
+    * capped semantics are what hash-matches. */
   val MediaMaxBucket = 32
 
   private[graft] def resolvedMediaCap(spark: SparkSession): Int =
     spark.conf.getOption("graft.media.maxBucket").map(_.toInt)
       .getOrElse(MediaMaxBucket)
 
-  case class MediaVec(doc_id: Long, v: Array[Double])
-
-  /** STUB feature extractor — stands in for the model forward pass /
-    * thumbnail decode (no codecs in this environment). Each of the
-    * [[MediaDim]] components summarizes one [[ChunkSize]]-char cell of the
-    * payload (md5-derived value in [-1, 1]), so payloads sharing most cells
-    * get vectors agreeing on most components — the block-hash structure a
-    * real perceptual feature map has, derived deterministically so the
-    * DuckDB oracle reproduces the whole pipeline. */
-  def decodeVecStub(r: MediaRecord): MediaVec = {
-    val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-    val v = Array.tabulate(MediaDim) { i =>
-      val from = math.min(i * ChunkSize, text.length)
-      val until = math.min((i + 1) * ChunkSize, text.length)
-      val h = h48Bytes((text.substring(from, until) + ":" + i).getBytes("UTF-8"))
-      ((h % 2001) - 1000) / 1000.0
-    }
-    MediaVec(r.doc_id, v)
-  }
-
-  /** The decode seam for q133: per-partition feature extraction (the q52
-    * mapPartitions pattern — one decoder context per partition). */
-  private[graft] def mediaVecs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir).as[MediaRecord]
-      .mapPartitions(_.map(decodeVecStub)).toDF()
-  }
-
-  /** Per-document 48-bit perceptual hash: [[graft.functions.SignSketch]]
-    * over the decoded feature vector ("mplane" hyperplanes), band values
-    * folded into one fingerprint. */
-  private[graft] def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
-    val bands = graft.functions.SignSketch(
-      col("v"), "mplane", MediaBands, MediaBandBits, MediaDim)
-    val phash = (0 until MediaBands)
-      .map(b => element_at(bands, b + 1) * lit(1L << (b * MediaBandBits)))
-      .reduce(_ + _)
-    mediaVecs(spark, dir).select(col("doc_id"), phash.as("phash"))
-  }
+  /** Per-document 48-bit perceptual hash of the decoded first frame:
+    * [[PpmCodec.phashOf]]'s row-luminance-profile quantization, computed
+    * inside the decode seam — real pixel math over the parsed raster, laid
+    * out so [[mediaNearPairsOf]]'s contiguous 12-bit band extraction reads
+    * interleaved row groups (see phashOf's scaladoc). */
+  private[graft] def mediaPhash(spark: SparkSession, dir: String): DataFrame =
+    decodeFrame0(spark, dir).select(col("doc_id"), col("phash"))
 
   /** q133: multimodal banded-hamming near-dup — the media twin of q37's
     * SimHash tier, completing the multimodal dedup ladder (q90/q124 are
-    * hash-EXACT chunk dedup; this catches payloads whose decoded features
-    * differ in a few cells). Pipeline: decode seam → [[MediaDim]]-dim
-    * feature vector per payload → sign-LSH 48-bit phash ([[MediaBands]]
-    * bands) → banded candidate join at the DISTINCT-fingerprint level
-    * (q37's collapse seam: identical payloads share one value, so band
-    * buckets are quadratic only in distinct collisions) with q41's
-    * hot-bucket cap → exact-Hamming verify ≤ [[MediaMaxHamming]] →
-    * membership joins expand value pairs back to document pairs (plus the
-    * Hamming-0 pairs via the direct fingerprint self-join).
+    * hash-EXACT chunk dedup; this catches payloads whose decoded pixels
+    * differ in a few rows). Pipeline: decode seam → REAL per-row pixel
+    * luminance profile of the parsed first frame → quantized 48-bit phash
+    * ([[PpmCodec.phashOf]], [[MediaBands]] interleaved bands) → banded
+    * candidate join at the DISTINCT-fingerprint level (q37's collapse
+    * seam: identical rasters share one value, so band buckets are
+    * quadratic only in distinct collisions) with q41's hot-bucket cap →
+    * exact-Hamming verify ≤ [[MediaMaxHamming]] → membership joins expand
+    * value pairs back to document pairs (plus the Hamming-0 pairs via the
+    * direct fingerprint self-join).
     *
     * Completeness: Hamming ≤ 3 over 4 bands shares ≥1 band by pigeonhole,
     * so banding loses nothing below the cut (DedupSpec proves the pair set
-    * equals driver brute-force Hamming when the bucket cap is inactive —
-    * and pins that it IS inactive at the oracle SFs, the q41 contract).
+    * equals driver brute-force Hamming when the bucket cap is inactive).
     * The cap is part of the oracle-checked semantics: a bucket with more
     * than [[MediaMaxBucket]] distinct fingerprints drops whole, bounding
     * candidates linearly; band width grows as log2(n) at real scale (the
     * q41 lever, same reasoning).
     *
-    * Scale shape: payloads never shuffle — the decode projection is
-    * narrow; only 48-bit fingerprints reach the banding exchange, at
+    * Scale shape: raster bytes never shuffle — they live inside the decode
+    * seam; only 48-bit fingerprints reach the banding exchange, at
     * distinct-value granularity; the expansion joins move (value, doc_id)
-    * memberships. All arithmetic is md5-derived integers and exact ±1.0
-    * dots, so the DuckDB oracle hash-matches the full pipeline including
-    * the stub decode (the q52 discipline).
+    * memberships. All pixel sums are exact integers, so the DuckDB oracle
+    * hash-matches the full pipeline including the decoded statistics (the
+    * q52 discipline).
     */
   def mediaNearDup(spark: SparkSession, dir: String): DataFrame =
     mediaNearPairsOf(mediaPhash(spark, dir).localCheckpoint())
@@ -317,24 +337,31 @@ object Multimodal {
 
   val EmbedDim = 8
 
+  /** Mid-scale luminance constant the embedding components center on: the
+    * expected row sum of a uniform-random 16-px row (16·127.5·1000). */
+  val RowLumMid = 2040000L
+
   /** q67: media → embedding → kNN, the end-to-end multimodal retrieval
-    * shape (extract a feature vector from each payload, then search it).
-    * The "model forward pass" is a deterministic stub like [[decodeStub]]
-    * (md5-derived components in [-1, 1] — no codecs/models in this
-    * environment), but the pipeline is the real one: per-payload vector
-    * extraction as a narrow codegen'd projection, norms precomputed,
-    * bounded query set broadcast against the corpus, per-partition top-k.
-    * Every step is integer-derived so the DuckDB oracle hash-matches the
-    * whole pipeline including the extracted vectors.
+    * shape (extract a feature vector from each decoded payload, then
+    * search it). The embedding is REAL pixel math: the first frame's
+    * row-luminance profile, nearest-neighbor–resampled to [[EmbedDim]]
+    * components (the fixed-size resize every visual embedding starts
+    * with), centered and scaled to ~[-1, 1] by [[RowLumMid]]. The pipeline
+    * is the production one: per-payload extraction inside the decode seam,
+    * norms precomputed, bounded query set broadcast against the corpus,
+    * per-partition top-k. All sums are exact integers so the DuckDB oracle
+    * hash-matches the whole pipeline including the extracted vectors.
     */
   def mediaEmbedKnn(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.PortableHash.{h48, pround}
+    import graft.functions.PortableHash.pround
     import graft.functions.DotProduct
-    val d = Tables.documents(spark, dir)
-      .transform(Tables.fanout)
-    val vec = array((0 until EmbedDim).map { i =>
-      ((h48(concat(col("text"), lit(s":$i"))) % 2001) - 1000).cast("double") / 1000.0
+    val d = decodeFrame0(spark, dir)
+    val vec = array((0 until EmbedDim).map { j =>
+      // nearest-neighbor resample: component j reads source row ⌊j·H/8⌋
+      val src = floor(lit(j) * col("height") / lit(EmbedDim)).cast("int")
+      (element_at(col("row_lums"), src + 1) - lit(RowLumMid)).cast("double") /
+        lit(RowLumMid.toDouble)
     }: _*)
     val vecs = d.select(col("doc_id"), vec.as("v"))
       .withColumn("norm", sqrt(DotProduct(col("v"), col("v"))))

@@ -161,31 +161,27 @@ class DedupSpec extends SparkSpec {
     // nothing at Hamming ≤ 3 (pigeonhole), so with the hot-bucket cap
     // inactive the pair set must equal all-pairs brute force over the
     // per-document fingerprints computed independently on the driver.
-    import graft.multimodal.Multimodal
+    import graft.multimodal.{Multimodal, PpmCodec}
     val phashes = Multimodal.mediaPhash(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    // driver twin of the whole stub pipeline: decode → vector → sign-LSH
+    // driver twin of the whole pipeline: fixture synthesis → REAL PPM
+    // decode → row-luminance profile → quantized phash (the decoder's own
+    // correctness against hand-built byte streams lives in PpmCodecSpec)
     val docs = Tables.documents(spark, sf001).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
-    val w = graft.functions.SignSketch.weights(
-      "mplane", Multimodal.MediaPlanes, Multimodal.MediaDim)
     val driverPh = docs.map { case (id, text) =>
-      val v = Multimodal.decodeVecStub(
-        Multimodal.MediaRecord(id, text.getBytes("UTF-8"))).v
-      var ph = 0L
-      for (p <- 0 until Multimodal.MediaPlanes) {
-        var acc = 0.0
-        for (i <- 0 until Multimodal.MediaDim) acc += v(i) * w(p * Multimodal.MediaDim + i)
-        if (!(acc < 0)) ph |= 1L << p
-      }
-      (id, ph)
+      val nf = (1L + graft.functions.H48.hash(text.getBytes("UTF-8")) % 30).toInt
+      val frames = PpmCodec.decode(PpmCodec.encodeFixture(text, nf))
+      assert(frames.length == nf && frames.head.width == 16)
+      (id, PpmCodec.phashOf(frames.head))
     }
     assert(phashes.sorted.toSeq == driverPh.sorted.toSeq,
-      "mapPartitions decode + SignSketch must equal the driver pipeline")
+      "mapPartitions decode seam must equal the driver decode pipeline")
     // Completeness law needs the hot-bucket cap OFF (it is ACTIVE even at
-    // this SF: short payloads leave tail cells empty, so structurally-close
-    // fingerprints share band values) — force the uncapped path through the
-    // same conf lever the oracle resolves (the q102/q41 spec pattern).
+    // this SF: short documents render to short images whose tail hash rows
+    // are zero, so structurally-close fingerprints share band values) —
+    // force the uncapped path through the same conf lever the oracle
+    // resolves (the q102/q41 spec pattern).
     val brute = (for {
       (a, pa) <- driverPh; (b, pb) <- driverPh
       if a < b && java.lang.Long.bitCount(pa ^ pb) <= Multimodal.MediaMaxHamming
@@ -196,32 +192,27 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       finally spark.conf.unset("graft.media.maxBucket")
     assert(uncapped == brute, s"uncapped=${uncapped.size} brute=${brute.size}")
-    assert(brute.exists(_._3 > 0), "fixture should have non-identical near pairs")
-    // Capped (default) semantics: the driver twin applies the same
-    // drop-over-cap-buckets-whole rule at the distinct-value level
-    val distinctPh = driverPh.map(_._2).distinct.toList
-    val bucketOf: Map[(Int, Long), List[Long]] = distinctPh
-      .flatMap(ph => (0 until Multimodal.MediaBands).toList
-        .map(b => ((b, (ph >> (b * Multimodal.MediaBandBits)) & 0xfff), ph)))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
-    assert(bucketOf.values.map(_.length).max > Multimodal.MediaMaxBucket,
-      "fixture should trip the cap so this law is non-trivial")
-    val keptValuePairs: Set[(Long, Long)] = bucketOf.values.toList
-      .filter(_.length <= Multimodal.MediaMaxBucket)
-      .flatMap(vs => for {
-        x <- vs; y <- vs
-        if x < y && java.lang.Long.bitCount(x ^ y) <= Multimodal.MediaMaxHamming
-      } yield (x, y)).toSet
-    val byPh: Map[Long, List[Long]] =
-      driverPh.toList.groupBy(_._2).map { case (k, vs) => k -> vs.map(_._1) }
-    val cappedBrute = (keptValuePairs.toList.flatMap { case (x, y) =>
-      for (a <- byPh(x); b <- byPh(y))
-        yield (math.min(a, b), math.max(a, b), java.lang.Long.bitCount(x ^ y).toLong)
-    } ++ byPh.values.toList.flatMap(ids =>
-      for (a <- ids; b <- ids if a < b) yield (a, b, 0L))).toSet
-    val got = Multimodal.mediaNearDup(spark, sf001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == cappedBrute, s"got=${got.size} cappedBrute=${cappedBrute.size}")
+    // Capped (default) semantics on a SYNTHETIC fingerprint set that
+    // provably trips the cap: 40 hot phashes are pairwise Hamming-close but
+    // share ONLY over-cap band buckets (bands 1–3, value 0, bucket 42 > 32)
+    // — the cap must drop every such pair whole; the one planted pair (A,
+    // B) shares an in-cap band-0 bucket of size 2 at Hamming 1 and must be
+    // the ONLY emission. The capped machinery is thereby exercised
+    // end-to-end, independent of whether the corpus trips it at this SF.
+    import spark.implicits._
+    val phA = 1L
+    val phB = 1L | (1L << 24)
+    val hot = (0 until 40).map(i => (i + 2).toLong)  // band-0 values 2..41
+    val synth = ((100L, phA) +: (101L, phB) +:
+      hot.zipWithIndex.map { case (ph, i) => (200L + i, ph) })
+      .toDF("doc_id", "phash")
+    assert(hot.exists(x => hot.exists(y =>
+        x < y && java.lang.Long.bitCount(x ^ y) <= Multimodal.MediaMaxHamming)),
+      "hot cluster must contain Hamming-close pairs the cap then drops")
+    val cappedGot = Multimodal.mediaNearPairsOf(synth.localCheckpoint())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cappedGot == Set((100L, 101L, 1L)),
+      s"cap must drop hot-bucket pairs whole and keep the planted pair: $cappedGot")
   }
 
   test("exact dedup keeps the minimum doc_id per content hash") {

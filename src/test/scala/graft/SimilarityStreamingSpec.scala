@@ -148,17 +148,35 @@ class SimilarityStreamingSpec extends SparkSpec {
     assert(d.nonEmpty)
   }
 
-  test("multimodal decode pipeline matches the expression-only metadata path") {
+  test("multimodal decode pipeline: parsed header facts and pixel means are " +
+       "consistent with the codec contract") {
+    import graft.multimodal.PpmCodec
     val feat = Multimodal.mediaFeatures(spark, sf001).collect()
-    val meta = Multimodal.mediaMetadata(spark, sf001).collect()
-    assert(feat.length == meta.length)
-    val metaByIds = meta.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feat.length == docs.size)
     feat.foreach { f =>
-      val m = metaByIds(f.getAs[Long]("doc_id"))
-      assert(f.getAs[Long]("byte_len") == m.getAs[Long]("byte_len"))
-      assert(f.getAs[String]("magic") == m.getAs[String]("magic"))
-      assert(f.getAs[Long]("width") >= 64 && f.getAs[Long]("width") < 64 + 1857)
-      assert(f.getAs[Long]("n_frames") >= 1 && f.getAs[Long]("n_frames") <= 30)
+      val h = PpmCodec.FixtureH.toLong
+      val nf = f.getAs[Long]("n_frames")
+      assert(f.getAs[String]("magic") == "P6", "magic must come from a real parse")
+      assert(f.getAs[Long]("width") == 16L && f.getAs[Long]("height") == h)
+      assert(nf >= 1 && nf <= 30)
+      // byte_len is the full multi-frame stream the decoder consumed
+      assert(f.getAs[Long]("byte_len") ==
+        nf * (11 + h.toString.length + h * 48))
+      Seq("mean_r", "mean_g", "mean_b").foreach { c =>
+        val v = f.getAs[Double](c)
+        assert(v >= 0.0 && v <= 255.0, s"$c out of byte range: $v")
+      }
+    }
+    // frame sampling reads REAL per-frame rasters: stride-5 indices only,
+    // per-frame mean luminance inside the byte range
+    val frames = Multimodal.frameSample(spark, sf001).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getAs[Long]("frame_idx") % 5 == 0)
+      val lm = r.getAs[Double]("lum_mean")
+      assert(lm >= 0.0 && lm <= 255.0)
     }
   }
 
