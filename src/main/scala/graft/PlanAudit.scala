@@ -623,6 +623,22 @@ object PlanAudit {
       (if (q153ok) "OK (GD pass: bucket agg is the only hash exchange, join-free codegen lookup scoring off the featurized base; final inference plans zero hash exchanges)"
        else s"CHECK: gdEx=${q153gEx.mkString(",")} gdJoin=${q153gplan.contains("Join")} " +
             s"finalEx=${q153Ex.mkString(",")} finalJoin=${q153plan.contains("Join")}"))
+    // q155 HTML main-content extraction: a PURE NARROW projection — the
+    // block extractor runs inside one codegen span over the synthesized
+    // page column, no join, and the only exchange is the presentation sort
+    val q155 = SparkEntry.queries("q155_html_extract")(spark, dir)
+    q155.collect()
+    val q155plan = q155.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q155ex = "Exchange".r.findAllIn(q155plan).size
+    val q155lines = q155plan.linesIterator
+      .filter(_.contains("main_content(")).toSeq
+    val q155ok = q155ex <= 1 && !q155plan.contains("hashpartitioning") &&
+      !q155plan.contains("Join") && q155lines.nonEmpty &&
+      q155lines.forall(_.matches(""".*\*\(\d+\).*"""))
+    report(s"[audit] q155 html main content " +
+      (if (q155ok) "OK (narrow codegen'd extraction; presentation sort is the only exchange)"
+       else s"CHECK: exchanges=$q155ex extractLines=${q155lines.size}"))
     // q154 snapshot diff: every exchange must carry an id or a uniform
     // content-hash key (the full-outer id join + the rank-paired move
     // detection over the orphan slice); nothing may degenerate to a

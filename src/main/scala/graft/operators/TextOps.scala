@@ -2781,4 +2781,85 @@ object TextOps {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
        |FROM r WHERE rank <= $RetrTopK
        |ORDER BY query_id, rank""".stripMargin
+
+  // ------------- q155: HTML main-content extraction (bs4/lxml tier) -------
+
+  /** q155: main-content extraction over an HTML column — the corpus-prep
+    * tier between q99's single-XPath field extraction and q151's
+    * line-level boilerplate pass (the reference ships bs4 + lxml for
+    * exactly this, real_estate_backend/requirements.txt:10-11). Every
+    * document is rendered as a chrome-wrapped page (the q99/q151 fixture
+    * discipline: nav bar, link-saturated "related" sidebar, short teaser,
+    * link-heavy footer — all deterministic, mirrored in the oracle) and
+    * [[graft.functions.HtmlMainContent]]'s text-density/link-density block
+    * extractor must recover exactly the article paragraphs: the nav items
+    * are too short, the sidebar and footer too link-dense, and the teaser
+    * survives only when the document's first three tokens reach the
+    * [[graft.functions.HtmlBlocks.MinBlockChars]] length floor — a
+    * per-document decision the oracle re-derives.
+    *
+    * Scale shape: a narrow per-row codegen'd projection (q59/q148's plan)
+    * — the page never leaves the scan's codegen span, no exchange before
+    * the presentation sort. PlanAudit pins it.
+    */
+  def htmlMainContent(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HtmlBlockCount, HtmlMainContent}
+    val d = Tables.documents(spark, dir).transform(Tables.fanout)
+    val w = tokens(col("text"))
+    val n = size(w)
+    val k = floor((n + lit(1)) / lit(2)).cast("int")
+    val p1 = concat_ws(" ", slice(w, lit(1), k))
+    val p2 = concat_ws(" ", slice(w, k + 1, n - k))
+    val teaser = concat_ws(" ", slice(w, lit(1), lit(3)))
+    val page = concat(
+      lit("<html><head><title>Property report</title></head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/archive\">Archive "),
+      (col("doc_id") % 10).cast("string"),
+      lit("</a></li><li><a href=\"/contact\">Contact</a></li></ul></nav>" +
+        "<div class=\"sidebar\"><p>Related: " +
+        "<a href=\"/r1\">read our full archive of property reports</a> " +
+        "<a href=\"/r2\">subscribe to the weekly digest</a></p></div>" +
+        "<article><p>"),
+      p1, lit("</p><p>"), p2,
+      lit("</p></article><p>"), teaser,
+      lit("</p><footer><p>(c) 2026 <a href=\"/terms\">Terms</a> " +
+        "<a href=\"/privacy\">Privacy</a> <a href=\"/imprint\">Imprint</a>" +
+        "</p></footer></body></html>"))
+    d.select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        HtmlBlockCount(col("page"), keptOnly = false).as("n_blocks"),
+        HtmlBlockCount(col("page"), keptOnly = true).as("n_kept"),
+        length(HtmlMainContent(col("page"))).cast("long").as("main_chars"),
+        h48(HtmlMainContent(col("page"))).as("main_h48"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q155 oracle: the fixture page's block set is known in closed form
+    * (5 chrome blocks — all dropped: nav items under the length floor, the
+    * sidebar and footer over the 0.4 link-density cut — plus the two
+    * article halves and the teaser), so the keep rule re-derives per
+    * document from the same token arithmetic. */
+  def htmlMainContentSql: String = {
+    val minC = graft.functions.HtmlBlocks.MinBlockChars
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS w FROM documents),
+       |s AS (SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS k FROM t),
+       |b AS (SELECT doc_id,
+       |  array_to_string(w[1:k], ' ') AS p1,
+       |  CASE WHEN n > k THEN array_to_string(w[k+1:n], ' ') ELSE '' END AS p2,
+       |  array_to_string(w[1:3], ' ') AS teaser FROM s),
+       |d AS (SELECT doc_id, p1, p2, teaser,
+       |  (CASE WHEN length(p1) >= $minC THEN [p1] ELSE [] END ||
+       |   CASE WHEN length(p2) >= $minC THEN [p2] ELSE [] END ||
+       |   CASE WHEN length(teaser) >= $minC THEN [teaser] ELSE [] END) AS kept
+       |  FROM b)
+       |SELECT doc_id,
+       |  CAST(5 + (p1 <> '')::INT + (p2 <> '')::INT + (teaser <> '')::INT AS BIGINT) AS n_blocks,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+       |       AS BIGINT) AS main_chars,
+       |  ${graft.functions.PortableHash.h48Sql(
+             "coalesce(array_to_string(kept, chr(10)), '')")} AS main_h48
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
 }

@@ -45,7 +45,11 @@ object GraftExtensions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo("graft.functions.MinHashSig", "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children(0),
-        intArg(children(1)), longArg(children(2)), intArg(children(3)))))
+        intArg(children(1)), longArg(children(2)), intArg(children(3)))),
+    (FunctionIdentifier("main_content"),
+      new ExpressionInfo("graft.functions.HtmlMainContent", "main_content"),
+      (children: Seq[Expression]) =>
+        graft.functions.HtmlMainContent(children.head)))
 
   /** SQL-side shape/permutation arguments must be literals (they size the
     * generated code); evaluated once at resolution.
