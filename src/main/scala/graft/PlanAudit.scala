@@ -623,6 +623,22 @@ object PlanAudit {
       (if (q153ok) "OK (GD pass: bucket agg is the only hash exchange, join-free codegen lookup scoring off the featurized base; final inference plans zero hash exchanges)"
        else s"CHECK: gdEx=${q153gEx.mkString(",")} gdJoin=${q153gplan.contains("Join")} " +
             s"finalEx=${q153Ex.mkString(",")} finalJoin=${q153plan.contains("Join")}"))
+    // q156 incremental re-process: the composed diff→dedup pipeline stays
+    // on id/content-hash exchange keys end to end (the q154 contract plus
+    // the keeper hash aggregate); no product joins anywhere
+    val q156 = SparkEntry.queries("q156_incremental_reprocess")(spark, dir)
+    q156.collect()
+    val q156plan = q156.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q156Ex = "Exchange hashpartitioning\\(([a-zA-Z_0-9]+)".r
+      .findAllMatchIn(q156plan).map(_.group(1)).toSet
+    val q156ok = q156Ex.subsetOf(Set("old_id", "new_id", "md5_a", "md5_b",
+        "h", "doc_id", "content_md5")) &&
+      !q156plan.contains("CartesianProduct") &&
+      !q156plan.contains("BroadcastNestedLoopJoin")
+    report(s"[audit] q156 incremental reprocess " +
+      (if (q156ok) s"OK (id/content-hash exchanges only: ${q156Ex.mkString("{", ",", "}")})"
+       else s"CHECK: exchanges=${q156Ex.mkString(",")}"))
     // q155 HTML main-content extraction: a PURE NARROW projection — the
     // block extractor runs inside one codegen span over the synthesized
     // page column, no join, and the only exchange is the presentation sort

@@ -130,6 +130,7 @@ object SparkEntry {
     "q153_classifier_train"  -> (TextOps.classifierTrain _),
     "q154_snapshot_diff"     -> (TextOps.snapshotDiff _),
     "q155_html_extract"      -> (TextOps.htmlMainContent _),
+    "q156_incremental_reprocess" -> (TextOps.incrementalReprocess _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1145,6 +1146,7 @@ object SparkEntry {
     "q153_classifier_train" -> TextOps.classifierTrainSql,
     "q154_snapshot_diff" -> TextOps.snapshotDiffSql,
     "q155_html_extract" -> TextOps.htmlMainContentSql,
+    "q156_incremental_reprocess" -> TextOps.incrementalReprocessSql,
     "q150_cluster_split" ->
       s"""WITH RECURSIVE $SimhashCteBody,
          |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),

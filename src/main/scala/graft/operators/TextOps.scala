@@ -434,8 +434,11 @@ object TextOps {
 
   /** The q154 oracle: the same synthesis rules and the same rank-paired
     * move detection. */
-  def snapshotDiffSql: String =
-    s"""WITH a AS (SELECT doc_id, text FROM documents),
+  /** The q154 CTE chain (snapshot synthesis + rank-paired diff) up to the
+    * `st(old_id, new_id, status)` relation — factored so q156's composed
+    * re-process oracle reuses the identical diff rules. */
+  private def snapshotDiffCteBody: String =
+    s"""a AS (SELECT doc_id, text FROM documents),
        |b AS (SELECT CASE WHEN doc_id % 13 <> 2 AND doc_id % 19 = 5
        |             THEN doc_id + $SnapRekeyOffset ELSE doc_id END AS doc_id,
        |        CASE WHEN doc_id % 13 = 2 THEN text || ' rev2' ELSE text END AS text
@@ -451,8 +454,8 @@ object TextOps {
        |ac AS (SELECT new_id, md5_b AS h,
        |         row_number() OVER (PARTITION BY md5_b ORDER BY new_id) AS rn
        |       FROM j WHERE old_id IS NULL),
-       |mv AS (SELECT dc.old_id, ac.new_id FROM dc FULL OUTER JOIN ac USING (h, rn))
-       |SELECT old_id, new_id, status FROM (
+       |mv AS (SELECT dc.old_id, ac.new_id FROM dc FULL OUTER JOIN ac USING (h, rn)),
+       |st AS (
        |  SELECT old_id, new_id, 'unchanged' AS status FROM j WHERE md5_a = md5_b
        |  UNION ALL
        |  SELECT old_id, new_id, 'modified' FROM j
@@ -463,8 +466,98 @@ object TextOps {
        |  UNION ALL
        |  SELECT old_id, CAST(NULL AS BIGINT), 'deleted' FROM mv WHERE new_id IS NULL
        |  UNION ALL
-       |  SELECT CAST(NULL AS BIGINT), new_id, 'added' FROM mv WHERE old_id IS NULL)
+       |  SELECT CAST(NULL AS BIGINT), new_id, 'added' FROM mv WHERE old_id IS NULL)""".stripMargin
+
+  def snapshotDiffSql: String =
+    s"""WITH $snapshotDiffCteBody
+       |SELECT old_id, new_id, status FROM st
        |ORDER BY coalesce(old_id, new_id), status""".stripMargin
+
+  /** q156: the incremental-crawl composition q154 exists for — consume the
+    * snapshot diff so that ONLY changed documents are re-processed through
+    * the downstream tier (here: the exact-dedup fingerprint index, q34's
+    * layer), and the carried + fresh pieces compose to exactly what a full
+    * recompute over snapshot B would build:
+    *
+    *  - `unchanged` / `moved` documents CARRY their fingerprint from
+    *    snapshot A's index (content identical by the diff's definition —
+    *    only the id is remapped for moves); their text is never touched;
+    *  - `added` / `modified` documents — the diff's changed slice, tiny
+    *    between adjacent crawls — are hashed fresh;
+    *  - the union is re-keyed once (min-id keeper per content hash), giving
+    *    each B document its dup verdict.
+    *
+    * CorpusOpsSpec proves the composition THEOREM: this result is
+    * bit-identical to running the full exact-dedup over snapshot B from
+    * scratch (carried hashes are sound because `unchanged`∕`moved` mean
+    * content-equal; the status partition covers every B document exactly
+    * once). The oracle exploits the same theorem: statuses come from the
+    * q154 CTE chain, fingerprints from the direct full recompute.
+    *
+    * Scale shape: the diff machinery is q154's (audited); the carried arm
+    * joins compact (id, hash) pairs — at scale, A's index is the persisted
+    * table a crawl store maintains, so the only corpus-text work is the
+    * changed slice; every exchange is keyed on doc ids or uniform content
+    * hashes; the keeper aggregate partial-aggregates map-side.
+    */
+  def incrementalReprocess(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir).transform(Tables.fanout)
+      .select(col("doc_id"), col("text"))
+    // same id-band collision guard as q154 (the synthesis offsets relocate
+    // re-keyed/new ids above the source id space)
+    val mx = a.agg(max(col("doc_id"))).head()
+    require(mx.isNullAt(0) || mx.getLong(0) < SnapRekeyOffset,
+      s"incrementalReprocess: doc_id ${mx.get(0)} >= SnapRekeyOffset " +
+        s"$SnapRekeyOffset would collide with synthesized snapshot-B ids")
+    incrementalReprocessOf(a, snapshotB(a))
+  }
+
+  /** Core of q156 over arbitrary (doc_id, text) snapshots. */
+  private[graft] def incrementalReprocessOf(a: DataFrame, b: DataFrame): DataFrame = {
+    // one diff pass, checkpointed: statuses feed the carried arm, the
+    // changed arm and the final projection (the q154 multi-consumer rule)
+    val st = snapshotDiffOf(a, b)
+      .filter(col("new_id").isNotNull)
+      .select(col("old_id"), col("new_id"), col("status"))
+      .localCheckpoint()
+    // carried arm: snapshot A's fingerprint index (persisted in production;
+    // computed inline here — the q111 discipline), id-remapped by the diff
+    val aIdx = a.select(col("doc_id").as("old_id"), md5(col("text")).as("content_md5"))
+    val carried = st.filter(col("status").isin("unchanged", "moved"))
+      .join(aIdx, Seq("old_id"))
+      .select(col("new_id"), col("content_md5"))
+    // fresh arm: ONLY the changed slice touches snapshot-B text
+    val changed = st.filter(col("status").isin("added", "modified"))
+      .select(col("new_id"))
+    val fresh = b.join(changed, b("doc_id") === changed("new_id"))
+      .select(col("new_id"), md5(col("text")).as("content_md5"))
+    val idx = carried.unionAll(fresh)
+    val keepers = idx.groupBy(col("content_md5"))
+      .agg(min(col("new_id")).as("keeper_doc_id"))
+    idx.join(keepers, Seq("content_md5"))
+      .join(st.select(col("new_id"), col("status")), Seq("new_id"))
+      .select(col("new_id").as("doc_id"), col("status"),
+        col("status").isin("added", "modified").as("recomputed"),
+        col("content_md5"), col("keeper_doc_id"),
+        (col("keeper_doc_id") =!= col("new_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q156 oracle: q154's diff chain for statuses; fingerprints from the
+    * direct full recompute over B (equal to the composed form by the
+    * theorem the spec proves). */
+  def incrementalReprocessSql: String =
+    s"""WITH $snapshotDiffCteBody,
+       |stb AS (SELECT new_id, status FROM st WHERE new_id IS NOT NULL),
+       |keep AS (SELECT md5_b AS content_md5, min(new_id) AS keeper_doc_id
+       |         FROM bh GROUP BY 1)
+       |SELECT bh.new_id AS doc_id, stb.status,
+       |  stb.status IN ('added', 'modified') AS recomputed,
+       |  bh.md5_b AS content_md5, keep.keeper_doc_id,
+       |  keep.keeper_doc_id <> bh.new_id AS is_dup
+       |FROM bh JOIN stb USING (new_id)
+       |JOIN keep ON keep.content_md5 = bh.md5_b
+       |ORDER BY doc_id""".stripMargin
 
   /** q31: language ID — n-gram/stopword-hit heuristic with a deterministic
     * argmax tie-break (en > es > de > und).

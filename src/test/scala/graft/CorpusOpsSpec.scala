@@ -762,4 +762,37 @@ class CorpusOpsSpec extends SparkSpec {
       assert(q150Tot == q68Tot, s"corpus mass drifted: $q150Tot vs $q68Tot")
     } finally { assign.unpersist(); () }
   }
+
+  test("q156 composition theorem: diff-driven re-process of only the changed " +
+       "slice equals the full exact-dedup recompute over snapshot B") {
+    val a = Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val composed = TextOps.incrementalReprocess(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getString(3), r.getLong(4), r.getBoolean(5)))
+    // full recompute twin on the driver: md5 + min-id keeper over ALL of B
+    val bRows = TextOps.snapshotB(a).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val full = bRows.map { case (id, t) => id -> md5Hex(t) }.toMap
+    val keeper = full.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1).min).toMap
+    assert(composed.length == bRows.length, "every B doc gets a verdict")
+    composed.foreach { case (id, status, recomputed, h, keep, isDup) =>
+      assert(h == full(id), s"doc $id: composed hash differs from recompute")
+      assert(keep == keeper(h), s"doc $id: keeper differs from recompute")
+      assert(isDup == (keep != id))
+      assert(recomputed == (status == "added" || status == "modified"))
+    }
+    // the savings are real AND the recomputed slice is a small minority
+    val n = composed.length
+    val nRecomputed = composed.count(_._3)
+    assert(nRecomputed > 0, "fixture exercises the fresh arm")
+    assert(nRecomputed < n / 2,
+      s"changed slice should be the minority: $nRecomputed of $n")
+    assert(composed.exists(t => !t._3), "fixture exercises the carried arm")
+    // (exact-dup content in B exists at sf0.01+ but not at this SF — the
+    // keeper equality above is the load-bearing check either way)
+  }
 }
