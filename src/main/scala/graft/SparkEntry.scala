@@ -1728,14 +1728,21 @@ object SparkEntry {
     },
     "q135_bpe_encode" -> {
       val fin = s"w${TextOps.BpeMerges}"
+      val tokN = "coalesce(w.w_tokens, octet_length(encode(d.word)))"
       s"""WITH $bpeChainSql,
          |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS w_tokens FROM $fin),
-         |dt AS (SELECT doc_id, n_chars, unnest(${PortableHash.tokensSql("lower(text)")}) AS word
-         |       FROM documents),
-         |dv AS (SELECT doc_id, n_chars, word FROM dt WHERE length(word) >= 1)
-         |SELECT d.doc_id, count(*) AS n_words, CAST(sum(w.w_tokens) AS BIGINT) AS n_tokens,
-         |  ${PortableHash.proundSql("max(d.n_chars) * 1.0 / sum(w.w_tokens)", 4)} AS chars_per_token
-         |FROM dv d JOIN wt w USING (word)
+         |aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 3 THEN text || ' w' || doc_id || 'x'
+         |       ELSE text END AS enc_text FROM documents),
+         |dt AS (SELECT doc_id, CAST(length(enc_text) AS BIGINT) AS n_chars_enc,
+         |       unnest(${PortableHash.tokensSql("lower(enc_text)")}) AS word
+         |       FROM aug),
+         |dv AS (SELECT doc_id, n_chars_enc, word FROM dt WHERE length(word) >= 1)
+         |SELECT d.doc_id, count(*) AS n_words,
+         |  CAST(sum($tokN) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN w.w_tokens IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  ${PortableHash.proundSql(s"max(d.n_chars_enc) * 1.0 / sum($tokN)", 4)} AS chars_per_token
+         |FROM dv d LEFT JOIN wt w USING (word)
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },

@@ -2347,9 +2347,11 @@ object TextOps {
     * corpus and report per-document token accounting (the train → apply
     * lifecycle seam, like q118's codebook feeding q55's search). The
     * trained artifact is the final segmented VOCABULARY, so encoding is a
-    * join: token stream ⋈ (word → post-merge token count) on the uniform
-    * word key, then one per-document hash aggregate. Emits words, BPE
-    * tokens, and chars-per-token — the compression ratio a tokenizer
+    * LEFT join: token stream ⋈ (word → post-merge token count) on the
+    * uniform word key — out-of-vocabulary words take the GPT-2 byte
+    * fallback (one token per UTF-8 byte; encode is TOTAL, no <unk>) — then
+    * one per-document hash aggregate. Emits words, BPE tokens, OOV word
+    * count, and chars-per-token — the compression ratio a tokenizer
     * trainer tracks to decide vocabulary size.
     *
     * Scale shape: training is q134's (vocab-sized rounds); encode is one
@@ -2362,14 +2364,31 @@ object TextOps {
     val d = Tables.documents(spark, dir).transform(Tables.fanout)
     val (_, vocab) = bpeLearnOf(spark, d)
     val wt = vocab.select(col("word"), size(col("syms")).cast("long").as("w_tokens"))
-    val tok = d.select(col("doc_id"), col("n_chars"),
-        explode(tokens(lower(col("text")))).as("word"))
+    // OOV fixture: the harness corpus is a CLOSED 31-word vocabulary, so a
+    // crawl's genuinely-new tail vocabulary is synthesized — documents with
+    // doc_id % 7 = 3 carry one marker word the trained tokenizer has never
+    // seen (deterministic, oracle-mirrored). Byte fallback (the GPT-2
+    // detail that makes encode TOTAL — the 256 single-byte tokens are
+    // always in vocabulary) segments an unseen word into its UTF-8 bytes:
+    // one token per byte, no <unk>, and the bytes reassemble the word
+    // exactly (the round-trip law CorpusOpsSpec pins).
+    val enc = when(col("doc_id") % 7 === 3,
+      concat(col("text"), lit(" w"), col("doc_id").cast("string"), lit("x")))
+      .otherwise(col("text"))
+    val tok = d.select(col("doc_id"),
+        length(enc).cast("long").as("n_chars_enc"),
+        explode(tokens(lower(enc))).as("word"))
       .filter(length(col("word")) >= 1)
-    tok.join(wt, "word")
-      .groupBy(col("doc_id"), col("n_chars"))
-      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
-      .select(col("doc_id"), col("n_words"), col("n_tokens"),
-        pround(col("n_chars") * lit(1.0) / col("n_tokens"), 4).as("chars_per_token"))
+    tok.join(wt, Seq("word"), "left")
+      .select(col("doc_id"), col("n_chars_enc"),
+        coalesce(col("w_tokens"), octet_length(col("word")).cast("long"))
+          .as("tok_n"),
+        col("w_tokens").isNull.cast("long").as("oov"))
+      .groupBy(col("doc_id"), col("n_chars_enc"))
+      .agg(count(lit(1)).as("n_words"), sum(col("tok_n")).as("n_tokens"),
+        sum(col("oov")).as("n_oov"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_oov"),
+        pround(col("n_chars_enc") * lit(1.0) / col("n_tokens"), 4).as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
 

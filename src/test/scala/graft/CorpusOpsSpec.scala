@@ -471,21 +471,42 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(compounds,
       "no merge built on a previous round's symbol — fixture too shallow")
-    // q135 encode law: per-document (n_words, n_tokens, chars/token) must
-    // equal the reference segmentation applied to each document's tokens
-    val refEncode = docRows.flatMap { case (id, text, nChars) =>
-      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+    // q135 encode law: per-document (n_words, n_tokens, n_oov, chars/token)
+    // must equal the reference segmentation applied to each document's
+    // tokens — with the synthesized OOV marker taking the GPT-2 byte
+    // fallback (one token per UTF-8 byte; the round-trip law: those bytes
+    // reassemble the word exactly, so encode is total AND lossless)
+    val refEncode = docRows.flatMap { case (id, text, _) =>
+      val encText = if (id % 7 == 3) s"$text w${id}x" else text
+      val ws = encText.trim.split("\\s+").filter(_.nonEmpty)
       if (ws.isEmpty) None
       else {
-        val nTok = ws.map(w => wordSyms(w).length.toLong).sum
-        Some((id, ws.length.toLong, nTok,
-          math.floor(nChars * 1.0 / nTok * 1e4 + 0.5) / 1e4))
+        val per = ws.map { w =>
+          wordSyms.get(w) match {
+            case Some(syms) => (syms.length.toLong, 0L)
+            case None =>
+              val bytes = w.getBytes("UTF-8")
+              assert(new String(bytes, "UTF-8") == w,
+                "byte fallback must round-trip the OOV word")
+              (bytes.length.toLong, 1L)
+          }
+        }
+        val nTok = per.map(_._1).sum
+        Some((id, ws.length.toLong, nTok, per.map(_._2).sum,
+          math.floor(encText.length * 1.0 / nTok * 1e4 + 0.5) / 1e4))
       }
     }.sortBy(_._1).toSeq
     val gotEnc = TextOps.bpeEncode(spark, sf001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
     assert(gotEnc == refEncode,
       s"encode mismatch: got ${gotEnc.take(3)} ref ${refEncode.take(3)}")
+    // the fallback arm is really exercised: OOV rows present, only on the
+    // marker docs
+    assert(gotEnc.exists(_._4 > 0), "fixture has no OOV rows")
+    gotEnc.foreach { case (id, _, _, nOov, _) =>
+      assert(nOov == (if (id % 7 == 3) 1L else 0L), s"doc $id oov=$nOov")
+    }
     // merges must actually shorten the corpus: total BPE tokens < total
     // initial symbols (chars + terminals)
     val initialSyms = docRows.flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
