@@ -892,7 +892,17 @@ object TextOps {
       .map(_.toLong).getOrElse(HotListMaxDriver)
     // strategy pick off the MEASURED hot-list size (see [[HotListMaxDriver]])
     val nHot = hotDf.count()
-    val (sh, sig) = if (nHot <= maxDriver) {
+    val (sh, sig) = if (nHot == 0) {
+      // the cap measured INACTIVE (q36's default at every harness SF): the
+      // capped pipeline degenerates to the plain one by definition — skip
+      // the membership probe and the capped signature expression entirely
+      // (trivially value-identical: nothing is dropped; DedupSpec pins the
+      // capped == uncapped law on exactly this corpus)
+      val sig = d.select(col("doc_id"),
+          graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
+        .filter(size(col("sg")) > 0)
+      (shAll.cache(), sig)
+    } else if (nHot <= maxDriver) {
       // driver path: the hot list collects once and feeds BOTH the
       // verification filter and the capped signature expression as a sorted
       // long[] probed inside codegen — zero extra exchanges
