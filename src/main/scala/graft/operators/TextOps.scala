@@ -2926,7 +2926,10 @@ object TextOps {
     */
   def htmlMainContent(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{HtmlBlockCount, HtmlMainContent}
-    val d = Tables.documents(spark, dir).transform(Tables.fanout)
+    // no fanout: the q59/q147/q148 narrow-projection family — the block
+    // scan is microseconds per page, and the single-exchange plan (the
+    // presentation sort) is the contract PlanAudit pins
+    val d = Tables.documents(spark, dir)
     val w = tokens(col("text"))
     val n = size(w)
     val k = floor((n + lit(1)) / lit(2)).cast("int")
