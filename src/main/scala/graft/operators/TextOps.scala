@@ -333,9 +333,25 @@ object TextOps {
     * second is derived deterministically (the q149/q151 fixture pattern:
     * documented, and mirrored verbatim in the oracle). Precedence is
     * removed > modified > re-keyed; genuinely-new documents get fresh ids
-    * and fresh content. */
+    * and fresh content. Re-keyed ids land at +R, new ids at +2R where
+    * R = [[snapRekeyOffsetOf]] — the harness band [[SnapRekeyOffset]]
+    * whenever it already clears the source id space (small-scale oracle
+    * outputs stay byte-stable), else derived from max(doc_id) so large-id
+    * corpora (the ×20 tiled probe reaches 1.9e9) can never silently
+    * collide with the synthesized bands (a real pre-round-14 bug the
+    * collision guard surfaced). */
   val SnapRekeyOffset = 1000000000L
   val SnapNewOffset   = 2000000000L
+
+  /** The snapshot-B band width for a concrete snapshot (see above); the
+    * oracle computes the identical `GREATEST(1e9, max(doc_id)+1)`. */
+  private[graft] def snapRekeyOffsetOf(a: DataFrame): Long = {
+    val mx = a.agg(max(col("doc_id"))).head()
+    val m = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    require(m < Long.MaxValue / 4,
+      s"snapshot banding: doc_id $m too large to relocate without overflow")
+    math.max(SnapRekeyOffset, m + 1)
+  }
 
   /** q154: corpus snapshot diff — the dataset-versioning primitive an
     * incremental 100 TB pipeline runs between crawls: classify every
@@ -365,31 +381,26 @@ object TextOps {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.documents(spark, dir).transform(Tables.fanout)
       .select(col("doc_id"), col("text"))
-    // The synthesis offsets relocate re-keyed/new ids into disjoint bands
-    // above the source id space; an id ≥ SnapRekeyOffset would collide
-    // with a relocated one and silently corrupt the diff classes (the
-    // oracle would mirror the same corruption). Fail loudly instead —
-    // one max() over a single int column, a stats read at scale.
-    val mx = a.agg(max(col("doc_id"))).head()
-    require(mx.isNullAt(0) || mx.getLong(0) < SnapRekeyOffset,
-      s"snapshotDiff: doc_id ${mx.get(0)} >= SnapRekeyOffset $SnapRekeyOffset " +
-        "would collide with synthesized snapshot-B ids")
     snapshotDiffOf(a, snapshotB(a))
   }
 
   /** Snapshot-B synthesis (see [[SnapRekeyOffset]] rules) — factored so the
-    * spec asserts the diff against the same planted ground truth. */
+    * spec asserts the diff against the same planted ground truth. The band
+    * width comes from [[snapRekeyOffsetOf]] (one max() over a single int
+    * column — a stats read at scale), so relocated ids can never collide
+    * with source ids. */
   private[graft] def snapshotB(a: DataFrame): DataFrame = {
+    val r = snapRekeyOffsetOf(a)
     val removed  = col("doc_id") % 17 === 3
     val modified = col("doc_id") % 13 === 2
     val rekeyed  = col("doc_id") % 19 === 5
     a.filter(!removed).select(
-        when(!modified && rekeyed, col("doc_id") + SnapRekeyOffset)
+        when(!modified && rekeyed, col("doc_id") + r)
           .otherwise(col("doc_id")).as("doc_id"),
         when(modified, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")).as("text"))
       .unionAll(a.filter(col("doc_id") % 23 === 7).select(
-        (col("doc_id") + SnapNewOffset).as("doc_id"),
+        (col("doc_id") + 2L * r).as("doc_id"),
         concat(lit("new "), col("text")).as("text")))
   }
 
@@ -439,12 +450,14 @@ object TextOps {
     * re-process oracle reuses the identical diff rules. */
   private def snapshotDiffCteBody: String =
     s"""a AS (SELECT doc_id, text FROM documents),
+       |mo AS (SELECT GREATEST(CAST($SnapRekeyOffset AS BIGINT), max(doc_id) + 1) AS r
+       |       FROM a),
        |b AS (SELECT CASE WHEN doc_id % 13 <> 2 AND doc_id % 19 = 5
-       |             THEN doc_id + $SnapRekeyOffset ELSE doc_id END AS doc_id,
+       |             THEN doc_id + mo.r ELSE doc_id END AS doc_id,
        |        CASE WHEN doc_id % 13 = 2 THEN text || ' rev2' ELSE text END AS text
-       |      FROM a WHERE doc_id % 17 <> 3
+       |      FROM a, mo WHERE doc_id % 17 <> 3
        |      UNION ALL
-       |      SELECT doc_id + $SnapNewOffset, 'new ' || text FROM a WHERE doc_id % 23 = 7),
+       |      SELECT doc_id + 2 * mo.r, 'new ' || text FROM a, mo WHERE doc_id % 23 = 7),
        |ah AS (SELECT doc_id AS old_id, md5(text) AS md5_a FROM a),
        |bh AS (SELECT doc_id AS new_id, md5(text) AS md5_b FROM b),
        |j AS (SELECT * FROM ah FULL OUTER JOIN bh ON ah.old_id = bh.new_id),
@@ -503,12 +516,6 @@ object TextOps {
   def incrementalReprocess(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.documents(spark, dir).transform(Tables.fanout)
       .select(col("doc_id"), col("text"))
-    // same id-band collision guard as q154 (the synthesis offsets relocate
-    // re-keyed/new ids above the source id space)
-    val mx = a.agg(max(col("doc_id"))).head()
-    require(mx.isNullAt(0) || mx.getLong(0) < SnapRekeyOffset,
-      s"incrementalReprocess: doc_id ${mx.get(0)} >= SnapRekeyOffset " +
-        s"$SnapRekeyOffset would collide with synthesized snapshot-B ids")
     incrementalReprocessOf(a, snapshotB(a))
   }
 
@@ -878,12 +885,19 @@ object TextOps {
     */
   def minhashCappedOf(spark: SparkSession, d: DataFrame,
       dfCap: Int = MaxShingleDf): DataFrame = {
+    // cached BEFORE the hot-list probe runs: the probe's aggregate then
+    // materializes the distinct shingle rows as a side effect, and every
+    // downstream consumer (sizes, the verification joins, the cap screen)
+    // reads the cache instead of re-running the corpus-sized explosion —
+    // previously the probe scanned an uncached shAll and the pipeline
+    // rebuilt it from scratch (one full extra pass per query)
     val shAll = d.select(col("doc_id"),
         explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
       .distinct()
+      .cache()
     // cached: the strategy-pick count below and the chosen path's consumer
     // (driver collect OR distributed anti-join) must not each re-run the
-    // corpus-sized shingle explosion + aggregate behind it
+    // aggregate behind it
     val hotDf = shAll.groupBy(col("shash")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select(col("shash"))
@@ -901,7 +915,7 @@ object TextOps {
       val sig = d.select(col("doc_id"),
           graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
         .filter(size(col("sg")) > 0)
-      (shAll.cache(), sig)
+      (shAll, sig)
     } else if (nHot <= maxDriver) {
       // driver path: the hot list collects once and feeds BOTH the
       // verification filter and the capped signature expression as a sorted
