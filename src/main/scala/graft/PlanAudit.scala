@@ -623,6 +623,19 @@ object PlanAudit {
       (if (q153ok) "OK (GD pass: bucket agg is the only hash exchange, join-free codegen lookup scoring off the featurized base; final inference plans zero hash exchanges)"
        else s"CHECK: gdEx=${q153gEx.mkString(",")} gdJoin=${q153gplan.contains("Join")} " +
             s"finalEx=${q153Ex.mkString(",")} finalJoin=${q153plan.contains("Join")}"))
+    // q157 audio decode: the per-partition decode seam (PCM bytes never
+    // leave it) feeding fixed-width statistics — presentation sort is the
+    // only exchange
+    val q157 = SparkEntry.queries("q157_audio_features")(spark, dir)
+    q157.collect()
+    val q157plan = q157.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q157ex = "Exchange".r.findAllIn(q157plan).size
+    val q157ok = q157ex <= 1 && !q157plan.contains("hashpartitioning") &&
+      !q157plan.contains("Join") && q157plan.contains("MapPartitions")
+    report(s"[audit] q157 audio decode seam " +
+      (if (q157ok) "OK (MapPartitions decode; presentation sort is the only exchange)"
+       else s"CHECK: exchanges=$q157ex mapPartitions=${q157plan.contains("MapPartitions")}"))
     // q156 incremental re-process: the composed diff→dedup pipeline stays
     // on id/content-hash exchange keys end to end (the q154 contract plus
     // the keeper hash aggregate); no product joins anywhere

@@ -82,7 +82,8 @@ object ScaleBench {
     "q150_cluster_split", "q151_boilerplate_lines", "q152_index_maintenance",
     "q153_classifier_train", "q154_snapshot_diff",
     // round-14 additions (new queries + the reworked media decode/q52)
-    "q155_html_extract", "q156_incremental_reprocess", "q52_media_features")
+    "q155_html_extract", "q156_incremental_reprocess", "q52_media_features",
+    "q157_audio_features")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

@@ -131,6 +131,7 @@ object SparkEntry {
     "q154_snapshot_diff"     -> (TextOps.snapshotDiff _),
     "q155_html_extract"      -> (TextOps.htmlMainContent _),
     "q156_incremental_reprocess" -> (TextOps.incrementalReprocess _),
+    "q157_audio_features"    -> (Multimodal.audioFeatures _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1147,6 +1148,37 @@ object SparkEntry {
     "q154_snapshot_diff" -> TextOps.snapshotDiffSql,
     "q155_html_extract" -> TextOps.htmlMainContentSql,
     "q156_incremental_reprocess" -> TextOps.incrementalReprocessSql,
+    "q157_audio_features" -> {
+      def hv(c: String) =
+        s"(ascii($c) - 48 - CASE WHEN ascii($c) >= 97 THEN 39 ELSE 0 END)"
+      // byte 2o   = hex chars 4o+1..4o+2, byte 2o+1 = chars 4o+3..4o+4;
+      // little-endian signed int16
+      val v = s"(${hv("substr(h, 4*o+1, 1)")} * 16 + ${hv("substr(h, 4*o+2, 1)")}" +
+        s" + 256 * (${hv("substr(h, 4*o+3, 1)")} * 16 + ${hv("substr(h, 4*o+4, 1)")}))"
+      s"""WITH src AS (SELECT doc_id, text,
+         |  32 + ${PortableHash.h48Sql("text")} % 97 AS nb FROM documents),
+         |bl AS (SELECT doc_id, text, nb,
+         |       unnest(generate_series(0, nb - 1)) AS k FROM src),
+         |hx AS (SELECT doc_id, nb, k, md5(text || ':wav:' || k) AS h FROM bl),
+         |sm AS (SELECT doc_id, nb, k * 8 + o AS i,
+         |    CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END AS s
+         |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o) go),
+         |lg AS (SELECT doc_id, nb, i, s,
+         |       lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps FROM sm),
+         |st AS (SELECT doc_id, CAST(max(nb) AS BIGINT) AS nb,
+         |    CAST(count(*) AS BIGINT) AS n_samples,
+         |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+         |    CAST(max(abs(s)) AS BIGINT) AS peak,
+         |    CAST(SUM(CASE WHEN ps IS NOT NULL AND
+         |      ((ps < 0 AND s >= 0) OR (ps >= 0 AND s < 0)) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS zero_crossings
+         |  FROM lg GROUP BY doc_id)
+         |SELECT doc_id, CAST(56 + 16 * nb AS BIGINT) AS byte_len,
+         |  CAST(1 AS BIGINT) AS channels, CAST(8000 AS BIGINT) AS sample_rate,
+         |  n_samples, CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms,
+         |  energy, peak, zero_crossings
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
     "q150_cluster_split" ->
       s"""WITH RECURSIVE $SimhashCteBody,
          |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),

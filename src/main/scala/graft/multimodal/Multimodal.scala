@@ -142,6 +142,43 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** q157: audio decode + feature extraction — the audio leg of the
+    * multimodal tier ([[WavCodec]], the [[PpmCodec]] discipline applied to
+    * RIFF/WAVE): synthesize each document's fixture clip (mono PCM16 with
+    * a LIST chunk the parser must skip), REALLY decode it — container
+    * walk, fmt validation, PCM extraction — and emit exact-integer sample
+    * statistics (squared energy, peak amplitude, zero crossings) plus the
+    * parsed header facts. The oracle recomputes every sample from the
+    * mirrored md5 fixture, so a decoder bug anywhere (chunk walk,
+    * little-endian int16 signing, alignment pad) breaks the hash.
+    *
+    * Scale shape: the decode seam is per-partition (`mapPartitions`); PCM
+    * bytes never leave it — only fixed-width statistics reach the
+    * presentation sort, the single exchange (PlanAudit pins it).
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, text) =>
+          val nb = WavCodec.fixtureBlocksOf(
+            graft.functions.H48.hash(text.getBytes("UTF-8")))
+          val payload = WavCodec.encodeFixture(text, nb)     // FIXTURE
+          val clip = WavCodec.decode(payload)                // REAL decode
+          val (energy, peak, zc) = WavCodec.stats(clip)
+          (docId, payload.length.toLong, clip.channels.toLong,
+            clip.sampleRate.toLong, clip.samples.length.toLong,
+            clip.samples.length.toLong * 1000L / clip.sampleRate,
+            energy, peak, zc)
+        }
+      }
+      .toDF("doc_id", "byte_len", "channels", "sample_rate", "n_samples",
+        "duration_ms", "energy", "peak", "zero_crossings")
+      .orderBy(col("doc_id"))
+  }
+
   /** q51: pure-expression metadata extraction over the binary column —
     * the plan-level (codegen) path for cheap metadata, no decode needed.
     */
