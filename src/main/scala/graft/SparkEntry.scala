@@ -492,12 +492,17 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
     "q25_range_join" ->
       """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
-        |             FROM orders GROUP BY 1, 2)
-        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |             FROM orders GROUP BY 1, 2),
+        |reb AS (SELECT o_custkey, o_orderkey,
+        |          TIMESTAMP '2024-01-01 00:00:00'
+        |            + (o_orderkey % 28) * INTERVAL 1 DAY
+        |            + (o_custkey % 24) * INTERVAL 1 HOUR AS o_ts
+        |        FROM ord)
+        |SELECT o_custkey, o_orderkey, o_ts,
         |  count(*) AS n_events_next_day, round(sum(value), 2) AS sum_value
-        |FROM ord o JOIN events e
+        |FROM reb o JOIN events e
         |  ON o.o_custkey = e.user_id
-        | AND e.ts >= o.o_orderdate AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+        | AND e.ts >= o.o_ts AND e.ts < o.o_ts + INTERVAL 1 DAY
         |GROUP BY 1, 2, 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q26_cube_pricing" ->
       """SELECT l_returnflag, o_orderpriority,
@@ -1483,7 +1488,8 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q05_anti_join_inactive" ->
       """SELECT c_custkey, c_name, floor((c_acctbal) * 1e2 + 0.5) / 1e2 AS c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-01')
         |ORDER BY c_custkey""".stripMargin,
     "q06_geo_expand" ->
       """SELECT r_name AS region_name, n_name AS nation_name

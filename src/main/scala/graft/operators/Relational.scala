@@ -142,11 +142,20 @@ object Relational {
   }
 
   /** q05: anti join — the rejection channel of J1/F2: customers with no
-    * orders (NOT EXISTS).
+    * order activity in a probe month (NOT EXISTS against the March-1995
+    * order slice). The slice is what makes the query NON-VACUOUS: every
+    * customer has orders somewhere in 1995–2001, so the unrestricted form
+    * kept 0 rows at every tested scale and the anti-join's output path was
+    * never exercised (round-14 verdict). Restricting the right side to one
+    * month keeps ~88% of customers while preserving the LeftAnti plan shape
+    * PlanAudit pins; the month filter pushes down to the orders scan.
     */
   def antiJoinInactive(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp_ntz")
+        && col("o_orderdate") < lit("1995-04-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), pround(col("c_acctbal"), 2).as("c_acctbal"))
       .orderBy(col("c_custkey"))

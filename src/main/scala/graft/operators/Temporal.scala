@@ -54,17 +54,30 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
-  /** q25: range join — events landing within 1 day after an order by the same
-    * customer (equi-key first, range predicate second → hash join + filter,
-    * never a cross product).
+  /** q25: range join — events landing within 1 day after an order action by
+    * the same customer (equi-key first, range predicate second → hash join +
+    * filter, never a cross product).
+    *
+    * The raw date domains can never overlap (orders 1995–2001, events Jan
+    * 2024), so the order date is REBASED deterministically into the events
+    * window before the join: day-of-month from `o_orderkey % 28`, hour from
+    * `o_custkey % 24` — a fixed, oracle-mirrored projection that keeps the
+    * operator shape (hash join on the customer key + interval range filter)
+    * while producing real matches at every scale. Until round 15 this query
+    * passed VACUOUSLY (0 rows at every tested SF); the rebase is what makes
+    * the range semantics actually exercised.
     */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val o = dedupedOrders(spark, dir)
+      .withColumn("o_ts",
+        expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'" +
+          " + (o_orderkey % 28) * INTERVAL '1' DAY" +
+          " + (o_custkey % 24) * INTERVAL '1' HOUR"))
     o.join(e, o("o_custkey") === e("user_id")
-        && e("ts") >= o("o_orderdate")
-        && e("ts") < o("o_orderdate") + expr("INTERVAL 1 DAY"))
-      .groupBy(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        && e("ts") >= o("o_ts")
+        && e("ts") < o("o_ts") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("o_custkey"), col("o_orderkey"), col("o_ts"))
       .agg(count(lit(1)).as("n_events_next_day"),
            round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
