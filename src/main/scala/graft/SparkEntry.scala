@@ -132,6 +132,7 @@ object SparkEntry {
     "q155_html_extract"      -> (TextOps.htmlMainContent _),
     "q156_incremental_reprocess" -> (TextOps.incrementalReprocess _),
     "q157_audio_features"    -> (Multimodal.audioFeatures _),
+    "q158_hot_shingle_index" -> (TextOps.hotShingleIndex _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1184,6 +1185,12 @@ object SparkEntry {
          |  energy, peak, zero_crossings
          |FROM st ORDER BY doc_id""".stripMargin
     },
+    "q158_hot_shingle_index" ->
+      s"""$ShingleCtes
+         |SELECT shash, CAST(count(*) AS BIGINT) AS df
+         |FROM shr GROUP BY shash
+         |HAVING count(*) > ${operators.TextOps.HotIndexMinDf}
+         |ORDER BY shash""".stripMargin,
     "q150_cluster_split" ->
       s"""WITH RECURSIVE $SimhashCteBody,
          |p2 AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3),

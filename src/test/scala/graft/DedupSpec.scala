@@ -43,6 +43,26 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"capped LSH=${got.size} exact=${expected.size}")
   }
 
+  test("the hot-df index derives every consumer's hot list exactly (q158 asset law)") {
+    // The q158 asset materializes (shash, df) at df > HotIndexMinDf; every
+    // capped pipeline derives its df>cap hot list by FILTERING the asset.
+    // Valid iff filtering the asset at any cap ≥ the floor equals filtering
+    // the full df aggregate at that cap — checked at the boundary cap (the
+    // floor itself) and both production caps (q102's 20, q36's 128).
+    val full = TextOps.shingleRowsShared(spark, sf01)
+      .groupBy(col("shash")).agg(count(lit(1)).as("df"))
+    for (cap <- Seq(TextOps.HotIndexMinDf, TextOps.MaxShingleDf, TextOps.DefaultDfCap)) {
+      val direct = full.filter(col("df") > cap)
+        .select("shash").collect().map(_.getLong(0)).toSet
+      val derived = TextOps.hotDfIndex(spark, sf01).filter(col("df") > cap)
+        .select("shash").collect().map(_.getLong(0)).toSet
+      assert(derived == direct, s"cap $cap: derived=${derived.size} direct=${direct.size}")
+    }
+    // the asset itself must be non-vacuous at harness scale — an empty
+    // index would make q158 the same class of vacuous pass q25 was
+    assert(TextOps.hotDfIndex(spark, sf01).count() > 0)
+  }
+
   test("q102's two hot-list strategies are bit-identical on a gate-tripping corpus") {
     import spark.implicits._
     // 30 docs share a boilerplate banner, so every boilerplate shingle has
