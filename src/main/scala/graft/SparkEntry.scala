@@ -1162,27 +1162,33 @@ object SparkEntry {
       val v = s"(${hv("substr(h, 4*o+1, 1)")} * 16 + ${hv("substr(h, 4*o+2, 1)")}" +
         s" + 256 * (${hv("substr(h, 4*o+3, 1)")} * 16 + ${hv("substr(h, 4*o+4, 1)")}))"
       s"""WITH src AS (SELECT doc_id, text,
-         |  32 + ${PortableHash.h48Sql("text")} % 97 AS nb FROM documents),
-         |bl AS (SELECT doc_id, text, nb,
+         |  32 + ${PortableHash.h48Sql("text")} % 97 AS nb,
+         |  CASE WHEN ${PortableHash.h48Sql("text")} % 4 = 0 THEN 2 ELSE 1 END AS ch
+         |FROM documents),
+         |bl AS (SELECT doc_id, text, nb, ch,
          |       unnest(generate_series(0, nb - 1)) AS k FROM src),
-         |hx AS (SELECT doc_id, nb, k, md5(text || ':wav:' || k) AS h FROM bl),
-         |sm AS (SELECT doc_id, nb, k * 8 + o AS i,
+         |hx AS (SELECT doc_id, nb, ch, k, md5(text || ':wav:' || k) AS h FROM bl),
+         |sm AS (SELECT doc_id, nb, ch, k * 8 + o AS i,
          |    CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END AS s
          |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o) go),
-         |lg AS (SELECT doc_id, nb, i, s,
-         |       lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps FROM sm),
+         |lg AS (SELECT doc_id, nb, ch, i, s,
+         |       lag(s) OVER (PARTITION BY doc_id, i % ch ORDER BY i) AS ps FROM sm),
          |st AS (SELECT doc_id, CAST(max(nb) AS BIGINT) AS nb,
-         |    CAST(count(*) AS BIGINT) AS n_samples,
+         |    CAST(max(ch) AS BIGINT) AS ch,
+         |    CAST(count(*) AS BIGINT) AS n_tot,
          |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
          |    CAST(max(abs(s)) AS BIGINT) AS peak,
          |    CAST(SUM(CASE WHEN ps IS NOT NULL AND
          |      ((ps < 0 AND s >= 0) OR (ps >= 0 AND s < 0)) THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS zero_crossings
+         |      AS BIGINT) AS zero_crossings,
+         |    CAST(SUM(CASE WHEN i % ch = 0 THEN CAST(s AS BIGINT) * s ELSE 0 END)
+         |      AS BIGINT) AS energy_ch0
          |  FROM lg GROUP BY doc_id)
          |SELECT doc_id, CAST(56 + 16 * nb AS BIGINT) AS byte_len,
-         |  CAST(1 AS BIGINT) AS channels, CAST(8000 AS BIGINT) AS sample_rate,
-         |  n_samples, CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms,
-         |  energy, peak, zero_crossings
+         |  ch AS channels, CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(n_tot // ch AS BIGINT) AS n_samples,
+         |  CAST((n_tot // ch) * 1000 // 8000 AS BIGINT) AS duration_ms,
+         |  energy, peak, zero_crossings, energy_ch0
          |FROM st ORDER BY doc_id""".stripMargin
     },
     "q158_hot_shingle_index" ->

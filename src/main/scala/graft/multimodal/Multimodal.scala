@@ -163,19 +163,23 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (docId, text) =>
-          val nb = WavCodec.fixtureBlocksOf(
-            graft.functions.H48.hash(text.getBytes("UTF-8")))
-          val payload = WavCodec.encodeFixture(text, nb)     // FIXTURE
+          val h = graft.functions.H48.hash(text.getBytes("UTF-8"))
+          val nb = WavCodec.fixtureBlocksOf(h)
+          val ch = WavCodec.fixtureChannelsOf(h)             // ~25% stereo
+          val payload = WavCodec.encodeFixture(text, nb, ch) // FIXTURE
           val clip = WavCodec.decode(payload)                // REAL decode
-          val (energy, peak, zc) = WavCodec.stats(clip)
+          val st = WavCodec.stats(clip)
+          // n_samples counts FRAMES (samples per channel) — that is what
+          // duration is made of; energy_ch0 is the interleaving canary
+          val frames = clip.samples.length.toLong / clip.channels
           (docId, payload.length.toLong, clip.channels.toLong,
-            clip.sampleRate.toLong, clip.samples.length.toLong,
-            clip.samples.length.toLong * 1000L / clip.sampleRate,
-            energy, peak, zc)
+            clip.sampleRate.toLong, frames,
+            frames * 1000L / clip.sampleRate,
+            st.energy, st.peak, st.zeroCrossings, st.energyCh0)
         }
       }
       .toDF("doc_id", "byte_len", "channels", "sample_rate", "n_samples",
-        "duration_ms", "energy", "peak", "zero_crossings")
+        "duration_ms", "energy", "peak", "zero_crossings", "energy_ch0")
       .orderBy(col("doc_id"))
   }
 
@@ -249,10 +253,12 @@ object Multimodal {
     * conf'd comparison run never silently diverges; DedupSpec forces the
     * uncapped path with it to prove banding completeness against brute
     * force. NOTE the cap is ACTIVE at the oracle SFs here (unlike q41):
-    * short documents render to short images whose hash rows past the image
-    * height are all-zero, so structurally-similar fingerprints pile onto
-    * shared band values — the oracle carries the same bdf filter, so the
-    * capped semantics are what hash-matches. */
+    * every fixture frame is a full 16 rows, but a document shorter than 16
+    * characters leaves its tail slices EMPTY, and empty slices hash to the
+    * same md5 digests in every such document — identical pixel rows, hence
+    * identical hash rows, so short-document fingerprints pile onto shared
+    * band values — the oracle carries the same bdf filter, so the capped
+    * semantics are what hash-matches. */
   val MediaMaxBucket = 32
 
   private[graft] def resolvedMediaCap(spark: SparkSession): Int =

@@ -83,8 +83,13 @@ object PpmCodec {
     if (pos >= b.length || !Character.isWhitespace(b(pos).toChar))
       fail("missing raster separator")
     pos += 1
-    val n = w * h * 3
-    if (pos + n > b.length) fail(s"truncated raster: need $n bytes, have ${b.length - pos}")
+    // raster size in LONG: spec-conforming huge headers (w·h·3 > 2³¹) would
+    // overflow Int and could wrap to a small positive n, silently mis-sizing
+    // the raster and desyncing the concatenated-frame walk — fail loudly
+    val nL = 3L * w * h
+    if (nL > b.length - pos)
+      fail(s"truncated raster: need $nL bytes, have ${b.length - pos}")
+    val n = nL.toInt   // safe: ≤ remaining buffer length, an Int
     val px = java.util.Arrays.copyOfRange(b, pos, pos + n)
     (Frame(w, h, mv, px), pos + n)
   }
@@ -145,8 +150,11 @@ object PpmCodec {
 
   /** 48-bit row-luminance-profile perceptual hash of a decoded frame:
     * quantize each of the first [[PhashRows]] row sums against the three
-    * [[Taus]] cuts (rows past the image height contribute zero bits — a
-    * short image hashes as itself, not as resampled noise).
+    * [[Taus]] cuts. A frame SHORTER than [[PhashRows]] rows contributes
+    * zero bits for the missing rows (it hashes as itself, not as resampled
+    * noise) — note the FIXTURE never produces one (every fixture frame is
+    * a full 16 rows; its short-document degeneracy is empty tail slices
+    * hashing to shared digests, see Multimodal.MediaMaxBucket).
     *
     * Bit LAYOUT is interleaved across the 4 LSH bands the consumer
     * (Multimodal.mediaNearPairsOf) extracts as contiguous 12-bit fields:

@@ -70,7 +70,13 @@ object WavCodec {
       pos = body + sz.toInt + (sz.toInt & 1)   // word alignment pad
     }
     (fmt, data) match {
-      case (Some((ch, rate, bits)), Some(s)) => Clip(ch, rate, bits, s)
+      case (Some((ch, rate, bits)), Some(s)) =>
+        // PCM frames interleave one sample per channel — a data chunk that
+        // is not frame-aligned means the fmt/data pair is inconsistent and
+        // every per-channel statistic downstream would silently desync
+        if (s.length % ch != 0)
+          fail(s"data chunk holds ${s.length} samples, not a multiple of $ch channels")
+        Clip(ch, rate, bits, s)
       case (None, _) => fail("missing fmt chunk")
       case (_, None) => fail("missing data chunk")
     }
@@ -78,26 +84,40 @@ object WavCodec {
 
   // ---------------------------------------------------- real sample stats
 
+  /** Exact-integer sample statistics of one clip — see [[stats]]. `energy`
+    * and `peak` range over ALL samples (channel-agnostic by definition);
+    * `zeroCrossings` is summed over per-channel sign-change counts;
+    * `energyCh0` is channel 0's energy alone — the interleaving canary (a
+    * decoder that mixes channels changes it even when the totals agree). */
+  final case class SampleStats(energy: Long, peak: Long,
+                               zeroCrossings: Long, energyCh0: Long)
+
   /** Exact-integer sample statistics of a decoded clip: total squared
-    * energy, peak amplitude, and zero crossings (a sign change between
-    * consecutive samples; `s ≥ 0` is the positive class, so silence →
-    * non-negative counts once). All longs — no float accumulation order
-    * for the two engines to disagree on. */
-  def stats(c: Clip): (Long, Long, Long) = {
-    var energy = 0L; var peak = 0L; var zc = 0L
+    * energy, peak amplitude, zero crossings, and channel-0 energy. PCM
+    * interleaves channels frame by frame, so a crossing is a sign change
+    * between CONSECUTIVE SAMPLES OF THE SAME CHANNEL (stride = channel
+    * count); counting over the raw interleaved series would compare L
+    * against R and invent crossings neither channel has. `s ≥ 0` is the
+    * positive class, so silence → non-negative counts once per channel.
+    * All longs — no float accumulation order for the two engines to
+    * disagree on. */
+  def stats(c: Clip): SampleStats = {
+    var energy = 0L; var peak = 0L; var zc = 0L; var e0 = 0L
+    val ch = c.channels
     var i = 0
     while (i < c.samples.length) {
       val s = c.samples(i).toLong
       energy += s * s
+      if (i % ch == 0) e0 += s * s
       val a = math.abs(s)
       if (a > peak) peak = a
-      if (i > 0) {
-        val p = c.samples(i - 1).toLong
+      if (i >= ch) {
+        val p = c.samples(i - ch).toLong
         if ((p < 0 && s >= 0) || (p >= 0 && s < 0)) zc += 1
       }
       i += 1
     }
-    (energy, peak, zc)
+    SampleStats(energy, peak, zc, e0)
   }
 
   // ------------------------------------------------------ FIXTURE encode
@@ -110,13 +130,23 @@ object WavCodec {
     * samples — sub-second clips at 8 kHz). */
   def fixtureBlocksOf(h48: Long): Int = 32 + (h48 % 97).toInt
 
-  /** FIXTURE — the harness's stand-in for real audio files: a mono PCM16
-    * WAV at [[FixtureRate]] Hz whose sample block k is the 16 bytes of
+  /** Stereo gate for the fixture corpus: documents whose h48 is divisible
+    * by 4 render 2-channel clips (~25% of the corpus), the rest mono — so
+    * both channel layouts are exercised end-to-end by q157's oracle, not
+    * just by hand-built spec bytes. */
+  def fixtureChannelsOf(h48: Long): Int = if (h48 % 4 == 0) 2 else 1
+
+  /** FIXTURE — the harness's stand-in for real audio files: a PCM16 WAV at
+    * [[FixtureRate]] Hz whose sample block k is the 16 bytes of
     * md5(text ":wav:" k) read as 8 little-endian int16s, with a LIST/INFO
     * chunk between fmt and data so the decoder's chunk skipping is
-    * exercised on every document. Deterministic and mirrored in the
-    * oracle. */
-  def encodeFixture(text: String, nBlocks: Int): Array[Byte] = {
+    * exercised on every document. `channels` writes the fmt facts (count,
+    * byte rate, block align); the SAME digest byte stream is then read as
+    * interleaved frames, so a stereo clip's per-channel series differ from
+    * its interleaved series and the decoder's de-interleaving is what the
+    * oracle checks. Deterministic and mirrored in the oracle. */
+  def encodeFixture(text: String, nBlocks: Int, channels: Int = 1): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"fixture channels: $channels")
     val md = java.security.MessageDigest.getInstance("MD5")
     val dataLen = nBlocks * BlockSamples * 2
     val out = new java.io.ByteArrayOutputStream(44 + 12 + dataLen)
@@ -129,7 +159,8 @@ object WavCodec {
     out.write("RIFF".getBytes(ascii)); w32(4 + 24 + 12 + 8 + dataLen)
     out.write("WAVE".getBytes(ascii))
     out.write("fmt ".getBytes(ascii)); w32(16)
-    w16(1); w16(1); w32(FixtureRate); w32(FixtureRate * 2L); w16(2); w16(16)
+    w16(1); w16(channels); w32(FixtureRate)
+    w32(FixtureRate * 2L * channels); w16(2 * channels); w16(16)
     out.write("LIST".getBytes(ascii)); w32(4); out.write("INFO".getBytes(ascii))
     out.write("data".getBytes(ascii)); w32(dataLen)
     var k = 0
