@@ -3051,17 +3051,39 @@ object TextOps {
     // scan is microseconds per page, and the single-exchange plan (the
     // presentation sort) is the contract PlanAudit pins
     val d = Tables.documents(spark, dir)
-    val w = tokens(col("text"))
+    d.select(col("doc_id"), htmlFixturePage(col("doc_id"), col("text")).as("page"))
+      .select(col("doc_id"),
+        HtmlBlockCount(col("page"), keptOnly = false).as("n_blocks"),
+        HtmlBlockCount(col("page"), keptOnly = true).as("n_kept"),
+        length(HtmlMainContent(col("page"))).cast("long").as("main_chars"),
+        h48(HtmlMainContent(col("page"))).as("main_h48"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q155 fixture page for one document — factored so the spec can
+    * drive it with MARKUP-BEARING texts the harness corpus lacks. */
+  private[graft] def htmlFixturePage(docId: Column, text: Column): Column = {
+    val w = tokens(text)
     val n = size(w)
     val k = floor((n + lit(1)) / lit(2)).cast("int")
-    val p1 = concat_ws(" ", slice(w, lit(1), k))
-    val p2 = concat_ws(" ", slice(w, k + 1, n - k))
-    val teaser = concat_ws(" ", slice(w, lit(1), lit(3)))
-    val page = concat(
+    // Escape '&' then '<' when EMBEDDING document text into the page — a
+    // corpus token containing '<'+letter, '</', or a literal entity string
+    // would otherwise be parsed as markup / decoded by HtmlBlocks while the
+    // oracle treats the paragraph strings as opaque. The extractor decodes
+    // the same enumerated entity set on the way out, so the recovered main
+    // content is byte-identical to the raw token strings and the oracle
+    // needs no mirroring — escaping round-trips ('&nbsp;' → '&amp;nbsp;' →
+    // '&nbsp;'), and the length floor is applied to DECODED block text.
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;")
+    val p1 = esc(concat_ws(" ", slice(w, lit(1), k)))
+    val p2 = esc(concat_ws(" ", slice(w, k + 1, n - k)))
+    val teaser = esc(concat_ws(" ", slice(w, lit(1), lit(3))))
+    concat(
       lit("<html><head><title>Property report</title></head><body>" +
         "<nav><ul><li><a href=\"/\">Home</a></li>" +
         "<li><a href=\"/archive\">Archive "),
-      (col("doc_id") % 10).cast("string"),
+      (docId % 10).cast("string"),
       lit("</a></li><li><a href=\"/contact\">Contact</a></li></ul></nav>" +
         "<div class=\"sidebar\"><p>Related: " +
         "<a href=\"/r1\">read our full archive of property reports</a> " +
@@ -3072,13 +3094,6 @@ object TextOps {
       lit("</p><footer><p>(c) 2026 <a href=\"/terms\">Terms</a> " +
         "<a href=\"/privacy\">Privacy</a> <a href=\"/imprint\">Imprint</a>" +
         "</p></footer></body></html>"))
-    d.select(col("doc_id"), page.as("page"))
-      .select(col("doc_id"),
-        HtmlBlockCount(col("page"), keptOnly = false).as("n_blocks"),
-        HtmlBlockCount(col("page"), keptOnly = true).as("n_kept"),
-        length(HtmlMainContent(col("page"))).cast("long").as("main_chars"),
-        h48(HtmlMainContent(col("page"))).as("main_h48"))
-      .orderBy(col("doc_id"))
   }
 
   /** The q155 oracle: the fixture page's block set is known in closed form

@@ -74,6 +74,32 @@ class HtmlExtractSpec extends SparkSpec {
       s"fixture should exercise BOTH keep and drop decisions: $variety")
   }
 
+  test("markup-bearing corpus tokens survive the page synthesis verbatim") {
+    import spark.implicits._
+    // Every token here would be parsed as markup or decoded as an entity if
+    // embedded raw: '<b' opens an inline tag, '</p>' would close the article
+    // paragraph early, '&amp;'/'&nbsp;' would decode to '&'/' '. The
+    // synthesis escapes '&' and '<', the extractor decodes on the way out,
+    // so the recovered main content must be byte-identical to the raw text.
+    val hostile = "price <b>is</b> 3<4 &amp; still &nbsp; rising </p> " +
+      "closing <script>alert(1)</script> token salad filler words here"
+    val df = Seq((1L, hostile)).toDF("doc_id", "text")
+    val page = df.select(
+      TextOps.htmlFixturePage(col("doc_id"), col("text")).as("p"))
+      .head().getString(0)
+    val main = HtmlBlocks.parse(page).filter(_.kept).map(_.text)
+    val w = hostile.trim.split("\\s+").toSeq
+    val k = (w.length + 1) / 2
+    val expected = Seq(w.take(k).mkString(" "), w.drop(k).mkString(" "),
+      w.take(3).mkString(" ")).filter(_.length >= HtmlBlocks.MinBlockChars)
+    assert(main == expected.toVector,
+      s"main=$main\nexpected=$expected")
+    // and the block census is the closed-form chrome + article arithmetic —
+    // no phantom blocks opened by corpus markup
+    assert(HtmlBlocks.parse(page).length ==
+      5 + Seq(w.take(k), w.drop(k), w.take(3)).count(_.nonEmpty))
+  }
+
   test("main_content is callable from SQL after install and matches the Column API") {
     graft.plans.GraftExtensions.install(spark)
     Tables.documents(spark, sf001).createOrReplaceTempView("docs_html")
