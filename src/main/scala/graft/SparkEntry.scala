@@ -133,6 +133,7 @@ object SparkEntry {
     "q156_incremental_reprocess" -> (TextOps.incrementalReprocess _),
     "q157_audio_features"    -> (Multimodal.audioFeatures _),
     "q158_hot_shingle_index" -> (TextOps.hotShingleIndex _),
+    "q159_incremental_neardup" -> (TextOps.incrementalNearDedup _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1154,6 +1155,7 @@ object SparkEntry {
     "q154_snapshot_diff" -> TextOps.snapshotDiffSql,
     "q155_html_extract" -> TextOps.htmlMainContentSql,
     "q156_incremental_reprocess" -> TextOps.incrementalReprocessSql,
+    "q159_incremental_neardup" -> TextOps.incrementalNearDedupSql,
     "q157_audio_features" -> {
       def hv(c: String) =
         s"(ascii($c) - 48 - CASE WHEN ascii($c) >= 97 THEN 39 ELSE 0 END)"

@@ -562,6 +562,126 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q159: the NEAR-dup tier composed over the snapshot diff — the missing
+    * arm of q156 (which carries exact md5 fingerprints only): the diff's
+    * changed slice (`added` ∪ `modified`) enters q111's admission screen
+    * against the CARRIED corpus index (`unchanged` ∪ `moved` documents,
+    * whose MinHash signatures, shingle sets and md5s ride from snapshot A's
+    * persisted index with only an id remap — their text is never touched).
+    * Each changed document gets q111's verdict: `exact` (md5 match in the
+    * carried corpus), `near` (shares a band AND exact-verified Jaccard ≥
+    * 0.8, integer arithmetic), or `new`, with the lowest matching carried
+    * id as `match_doc`.
+    *
+    * Composition theorem (CorpusOpsSpec): because carried content is
+    * byte-identical between snapshots by the diff's definition, this equals
+    * the same admission run against a FULL recompute of snapshot B's index
+    * — bit-identical, proven by building both forms.
+    *
+    * 100 TB shape: signatures are computed ONLY for the changed slice (tiny
+    * between adjacent crawls); the carried side is the persisted index
+    * relation (id remap is a doc_id-keyed projection join); the candidate
+    * join probes uniform (band_idx, band_sig) keys with the changed side as
+    * the small (broadcast-able) probe — the corpus index never re-shuffles
+    * per crawl.
+    */
+  def incrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir).transform(Tables.fanout)
+      .select(col("doc_id"), col("text"))
+    incrementalNearDedupOf(a, snapshotB(a, Some(snapRekeyOffsetShared(spark, dir))))
+  }
+
+  /** Core of q159 over arbitrary (doc_id, text) snapshots. `carryFromA`
+    * selects the production form (index entries ride from snapshot A); the
+    * spec flips it to false to build the full-recompute twin the
+    * composition theorem compares against. */
+  private[graft] def incrementalNearDedupOf(a: DataFrame, b: DataFrame,
+      carryFromA: Boolean = true): DataFrame = {
+    val st = snapshotDiffOf(a, b)
+      .filter(col("new_id").isNotNull)
+      .select(col("old_id"), col("new_id"), col("status"))
+      .localCheckpoint()
+    val isCarried = col("status").isin("unchanged", "moved")
+    val isChanged = col("status").isin("added", "modified")
+
+    // ---- carried corpus index: md5 + distinct shingles + signature, keyed
+    // by the B-space id. Production: a persisted relation from snapshot A's
+    // run, joined only for the id remap. The spec's full-recompute twin
+    // reads the same content out of B directly (identical by the diff).
+    def indexOf(src: DataFrame, key: String): (DataFrame, DataFrame, DataFrame) = {
+      val sh = src.select(col(key).as("k"),
+          explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
+        .distinct()
+      val sig = src.select(col(key).as("k"),
+          graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
+        .filter(size(col("sg")) > 0)
+      val m = src.select(col(key).as("k"), md5(col("text")).as("content_md5"))
+      (sh, sig, m)
+    }
+    val carriedIds = st.filter(isCarried).select(col("old_id"), col("new_id"))
+    val (cSh, cSig, cMd5) =
+      if (carryFromA) {
+        val (aSh, aSig, aMd5) = indexOf(a.select(col("doc_id").as("old_id"), col("text")), "old_id")
+        def remap(d: DataFrame) = d.withColumnRenamed("k", "old_id")
+          .join(carriedIds, Seq("old_id")).drop("old_id")
+          .withColumnRenamed("new_id", "doc_id")
+        (remap(aSh), remap(aSig), remap(aMd5))
+      } else {
+        val ids = carriedIds.select(col("new_id"))
+        val src = b.join(ids, b("doc_id") === ids("new_id")).select(b("doc_id"), col("text"))
+        val (s1, s2, s3) = indexOf(src, "doc_id")
+        def rk(d: DataFrame) = d.withColumnRenamed("k", "doc_id")
+        (rk(s1), rk(s2), rk(s3))
+      }
+
+    // ---- changed slice: the ONLY documents whose text is processed fresh
+    val changedIds = st.filter(isChanged).select(col("new_id"))
+    val changed = b.join(changedIds, b("doc_id") === changedIds("new_id"))
+      .select(b("doc_id"), col("text"))
+    val (nShRaw, nSigRaw, nMd5Raw) = indexOf(changed, "doc_id")
+    val nSh = nShRaw.withColumnRenamed("k", "doc_id").cache()
+    val nSig = nSigRaw.withColumnRenamed("k", "doc_id")
+    val nMd5 = nMd5Raw.withColumnRenamed("k", "doc_id")
+    val cShC = cSh.cache()
+
+    // ---- exact layer (q111's): carried md5 → min id, probed by the slice
+    val corpusMd5 = cMd5.groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val exact = nMd5.join(corpusMd5, Seq("content_md5"), "left")
+      .select(col("doc_id"), col("exact_match"))
+
+    // ---- near layer (q111's): changed bands probe carried bands
+    def bandsOf(sig: DataFrame) = sig
+      .select(col("doc_id"), posexplode(array(bandSigCols(col("sg")): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
+    val cand = bandsOf(nSig).as("n")
+      .join(bandsOf(cSig).as("c"),
+        col("n.band_idx") === col("c.band_idx") && col("n.band_sig") === col("c.band_sig"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val nSz = nSh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz_n"))
+    val cSz = cShC.groupBy(col("doc_id")).agg(count(lit(1)).as("sz_c"))
+    val inter = cand
+      .join(nSh.select(col("doc_id").as("new_id"), col("shash")), "new_id")
+      .join(cShC.select(col("doc_id").as("corpus_id"), col("shash")), Seq("corpus_id", "shash"))
+      .groupBy(col("new_id"), col("corpus_id")).agg(count(lit(1)).as("n_inter"))
+    val near = inter
+      .join(nSz.withColumnRenamed("doc_id", "new_id"), "new_id")
+      .join(cSz.withColumnRenamed("doc_id", "corpus_id"), "corpus_id")
+      .filter(col("n_inter") * 5 >= (col("sz_n") + col("sz_c") - col("n_inter")) * 4)
+      .groupBy(col("new_id")).agg(min(col("corpus_id")).as("near_match"))
+
+    st.filter(isChanged).select(col("new_id").as("doc_id"), col("status"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q156 oracle: q154's diff chain for statuses; fingerprints from the
     * direct full recompute over B (equal to the composed form by the
     * theorem the spec proves). */
@@ -576,6 +696,53 @@ object TextOps {
        |  keep.keeper_doc_id <> bh.new_id AS is_dup
        |FROM bh JOIN stb USING (new_id)
        |JOIN keep ON keep.content_md5 = bh.md5_b
+       |ORDER BY doc_id""".stripMargin
+
+  /** The q159 oracle: the diff chain for roles, then q111's admission over
+    * snapshot B's content (the composition theorem makes carried-from-A and
+    * recomputed-from-B the same relation — the oracle takes the B form, the
+    * engine ships the A form, and the spec proves them bit-identical). */
+  def incrementalNearDedupSql: String =
+    s"""WITH $snapshotDiffCteBody,
+       |stb AS (SELECT new_id, status FROM st WHERE new_id IS NOT NULL),
+       |inc AS (SELECT new_id, status IN ('added', 'modified') AS incoming FROM stb),
+       |tokb AS (SELECT doc_id, ${tokensSql("text")} AS w FROM b),
+       |shlb AS (SELECT doc_id, ${shinglesSql("w")} AS shs FROM tokb),
+       |shrb AS (SELECT DISTINCT doc_id, ${h48Sql("s")} % $M31 AS shash
+       |         FROM (SELECT doc_id, unnest(shs) AS s FROM shlb) u),
+       |hslb AS (SELECT doc_id, list(DISTINCT shash) AS hs FROM shrb GROUP BY doc_id),
+       |sigb AS (SELECT doc_id, hs,
+       |  [list_min([${permutedSql("j", "h")} for h in hs]) for j in generate_series(0, 63)] AS sg
+       |FROM hslb),
+       |bandsb AS (SELECT doc_id, bi,
+       |  array_to_string([CAST(sg[bi * 4 + k + 1] AS VARCHAR) for k in generate_series(0, 3)], ':') AS band_sig
+       |FROM sigb CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bi) g),
+       |md5b AS (SELECT doc_id, md5(text) AS m FROM b),
+       |cmd AS (SELECT m, min(doc_id) AS exact_match
+       |        FROM md5b JOIN inc ON inc.new_id = md5b.doc_id
+       |        WHERE NOT incoming GROUP BY m),
+       |ex AS (SELECT md5b.doc_id, cmd.exact_match
+       |       FROM md5b JOIN inc ON inc.new_id = md5b.doc_id
+       |       LEFT JOIN cmd USING (m) WHERE incoming),
+       |cnd AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+       |        FROM bandsb n JOIN inc rn ON rn.new_id = n.doc_id AND rn.incoming
+       |        JOIN bandsb c ON n.bi = c.bi AND n.band_sig = c.band_sig
+       |        JOIN inc rc ON rc.new_id = c.doc_id AND NOT rc.incoming),
+       |ver AS (SELECT new_id, corpus_id,
+       |  CAST(len(list_filter(hn.hs, h -> list_contains(hc.hs, h))) AS BIGINT) AS n_inter,
+       |  CAST(len(hn.hs) AS BIGINT) AS sz_n, CAST(len(hc.hs) AS BIGINT) AS sz_c
+       |FROM cnd JOIN hslb hn ON hn.doc_id = new_id
+       |         JOIN hslb hc ON hc.doc_id = corpus_id),
+       |nr AS (SELECT new_id, min(corpus_id) AS near_match FROM ver
+       |       WHERE n_inter * 5 >= (sz_n + sz_c - n_inter) * 4 GROUP BY new_id)
+       |SELECT s.new_id AS doc_id, s.status,
+       |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+       |       WHEN nr.near_match IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS verdict,
+       |  coalesce(ex.exact_match, nr.near_match) AS match_doc
+       |FROM stb s JOIN ex ON ex.doc_id = s.new_id
+       |LEFT JOIN nr ON nr.new_id = s.new_id
+       |WHERE s.status IN ('added', 'modified')
        |ORDER BY doc_id""".stripMargin
 
   /** q31: language ID — n-gram/stopword-hit heuristic with a deterministic

@@ -816,4 +816,45 @@ class CorpusOpsSpec extends SparkSpec {
     // (exact-dup content in B exists at sf0.01+ but not at this SF — the
     // keeper equality above is the load-bearing check either way)
   }
+
+  test("q159 composition theorem: carried-from-A near-dup admission equals the " +
+       "full-recompute twin, and every verdict class is reachable") {
+    import spark.implicits._
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "uno dos tres cuatro cinco seis siete ocho nueve diez once doce").split(" ")
+    val t1 = base.mkString(" ")                                  // carried, unchanged
+    val t3 = base.reverse.mkString(" ")                          // carried, re-keyed (moved)
+    val t3near = (base.reverse.dropRight(1) :+ "CHANGED").mkString(" ")
+    val a = Seq(
+      (1L, t1),
+      (2L, "short doomed row that only exists to be deleted from snapshot B"),
+      (3L, t3),
+      (7L, "this document will be modified in snapshot B with a tail marker")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (1L,  t1),                    // unchanged → carried
+      (30L, t3),                    // moved (same content, new id) → carried
+      (4L,  t1),                    // added, EXACT copy of carried doc 1
+      (5L,  t3near),                // added, NEAR dup of carried doc 30 (J = 35/37)
+      (6L,  "entirely novel content with no counterpart in the carried corpus at all " +
+            "padded out with several extra filler tokens"),      // added → new
+      (7L,  "this document will be modified in snapshot B with a tail marker rev2")
+    ).toDF("doc_id", "text")
+    def run(carry: Boolean) = TextOps.incrementalNearDedupOf(a, b, carryFromA = carry)
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val composed = run(carry = true)
+    val recomputed = run(carry = false)
+    assert(composed == recomputed,
+      s"composition theorem: composed=$composed recomputed=$recomputed")
+    val byId = composed.map(t => t._1 -> t).toMap
+    assert(byId(4L) == ((4L, "added", "exact", 1L)), s"got ${byId(4L)}")
+    assert(byId(5L) == ((5L, "added", "near", 30L)),
+      s"near verdict must point at the REMAPPED carried id: ${byId(5L)}")
+    assert(byId(6L)._3 == "new" && byId(6L)._4 == -1L)
+    assert(byId(7L)._2 == "modified" && byId(7L)._3 == "new")
+    assert(composed.map(_._1).toSet == Set(4L, 5L, 6L, 7L),
+      "exactly the changed slice gets verdicts")
+  }
 }
