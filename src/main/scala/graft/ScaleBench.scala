@@ -83,7 +83,9 @@ object ScaleBench {
     "q153_classifier_train", "q154_snapshot_diff",
     // round-14 additions (new queries + the reworked media decode/q52)
     "q155_html_extract", "q156_incremental_reprocess", "q52_media_features",
-    "q157_audio_features")
+    "q157_audio_features",
+    // round-15 additions
+    "q158_hot_shingle_index", "q159_incremental_neardup")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {
