@@ -636,6 +636,31 @@ object PlanAudit {
     report(s"[audit] q157 audio decode seam " +
       (if (q157ok) "OK (MapPartitions decode; presentation sort is the only exchange)"
        else s"CHECK: exchanges=$q157ex mapPartitions=${q157plan.contains("MapPartitions")}"))
+    // q158 hot-shingle df index: ONE uniform-key hash aggregate over the
+    // shingle relation — partial map-side, no joins anywhere (the asset
+    // build must stay a single aggregate at any corpus size)
+    val q158 = SparkEntry.queries("q158_hot_shingle_index")(spark, dir)
+    q158.collect()
+    val q158plan = q158.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q158ok = q158plan.contains("HashAggregate") && !q158plan.contains("Join")
+    report(s"[audit] q158 hot-shingle index " +
+      (if (q158ok) "OK (single hash-aggregate asset build, join-free)"
+       else s"CHECK: hashAgg=${q158plan.contains("HashAggregate")} join=${q158plan.contains("Join")}"))
+    // q159 incremental near-dup admission: every join is keyed (ids, content
+    // hashes, band signatures) — no product joins; the carried index remap
+    // and the candidate probe must never degenerate to a cartesian
+    val q159 = SparkEntry.queries("q159_incremental_neardup")(spark, dir)
+    q159.collect()
+    val q159plan = q159.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q159ok = !q159plan.contains("CartesianProduct") &&
+      !q159plan.contains("BroadcastNestedLoopJoin") &&
+      q159plan.contains("HashAggregate")
+    report(s"[audit] q159 incremental near-dup " +
+      (if (q159ok) "OK (keyed joins only, no product join in the admission pipeline)"
+       else s"CHECK: cartesian=${q159plan.contains("CartesianProduct")} " +
+            s"bnlj=${q159plan.contains("BroadcastNestedLoopJoin")}"))
     // q156 incremental re-process: the composed diff→dedup pipeline stays
     // on id/content-hash exchange keys end to end (the q154 contract plus
     // the keeper hash aggregate); no product joins anywhere

@@ -533,11 +533,17 @@ object Analytics {
     val base = 15L * r0 / 100L
     var rank = edgesDeg.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(r0)).localCheckpoint()
-    // Checkpoint every 4th iteration, not every one: a 4-iteration lazy
-    // plan re-reads the checkpointed edge list through ONE reused exchange
-    // (ReusedExchange dedupes the identical src-keyed subtree), so the
-    // measured cost is ~0.30 s per iteration vs 0.36 s checkpoint-per-step,
-    // while lineage depth stays bounded (the q118 Lloyd-loop concern).
+    // Checkpoint every `ckptEvery`-th iteration, not every one: a multi-
+    // iteration lazy plan re-reads the checkpointed edge list through ONE
+    // reused exchange (ReusedExchange dedupes the identical src-keyed
+    // subtree), so the measured cost is ~0.30 s per iteration vs 0.36 s
+    // checkpoint-per-step, while lineage depth stays bounded (the q118
+    // Lloyd-loop concern). Conf `graft.pr.ckptEvery` tunes the block size;
+    // 4 is the measured optimum at sf0.1 (round 15, warm clean-JVM min:
+    // 4.00 s at 4 vs 4.44 s at 2 vs 4.99 s at 8 — past 4 the deeper lazy
+    // plan's re-planned join tree costs more than the saved checkpoint).
+    val ckptEvery = spark.conf.getOption("graft.pr.ckptEvery")
+      .map(_.toInt).getOrElse(4)
     for (k <- 1 to PrIters) {
       val it = edgesDeg.join(rank, edgesDeg("src") === rank("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
@@ -545,7 +551,7 @@ object Analytics {
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(s * 85) div 100")).as("rank"))
-      rank = if (k % 4 == 0 || k == PrIters) it.localCheckpoint() else it
+      rank = if (k % ckptEvery == 0 || k == PrIters) it.localCheckpoint() else it
     }
     rank.select(col("node"), col("rank").as("rank_fp"),
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"))

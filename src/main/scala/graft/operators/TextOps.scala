@@ -588,15 +588,22 @@ object TextOps {
   def incrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.documents(spark, dir).transform(Tables.fanout)
       .select(col("doc_id"), col("text"))
-    incrementalNearDedupOf(a, snapshotB(a, Some(snapRekeyOffsetShared(spark, dir))))
+    // snapshot A IS the corpus, so its shingle relation is the shared
+    // per-corpus asset (q158's discipline) — value-identical to computing
+    // it from `a` (same scan, same fanout, same distinct)
+    incrementalNearDedupOf(a, snapshotB(a, Some(snapRekeyOffsetShared(spark, dir))),
+      sharedAShingles = Some(shingleRowsShared(spark, dir)))
   }
 
   /** Core of q159 over arbitrary (doc_id, text) snapshots. `carryFromA`
     * selects the production form (index entries ride from snapshot A); the
     * spec flips it to false to build the full-recompute twin the
-    * composition theorem compares against. */
+    * composition theorem compares against. `sharedAShingles` substitutes the
+    * memoized corpus shingle asset for snapshot A's explosion when A is the
+    * corpus itself (the dir-level entry point). */
   private[graft] def incrementalNearDedupOf(a: DataFrame, b: DataFrame,
-      carryFromA: Boolean = true): DataFrame = {
+      carryFromA: Boolean = true,
+      sharedAShingles: Option[DataFrame] = None): DataFrame = {
     val st = snapshotDiffOf(a, b)
       .filter(col("new_id").isNotNull)
       .select(col("old_id"), col("new_id"), col("status"))
@@ -621,7 +628,10 @@ object TextOps {
     val carriedIds = st.filter(isCarried).select(col("old_id"), col("new_id"))
     val (cSh, cSig, cMd5) =
       if (carryFromA) {
-        val (aSh, aSig, aMd5) = indexOf(a.select(col("doc_id").as("old_id"), col("text")), "old_id")
+        val (aShBuilt, aSig, aMd5) = indexOf(a.select(col("doc_id").as("old_id"), col("text")), "old_id")
+        val aSh = sharedAShingles
+          .map(_.select(col("doc_id").as("k"), col("shash")))
+          .getOrElse(aShBuilt)
         def remap(d: DataFrame) = d.withColumnRenamed("k", "old_id")
           .join(carriedIds, Seq("old_id")).drop("old_id")
           .withColumnRenamed("new_id", "doc_id")

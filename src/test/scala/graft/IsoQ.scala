@@ -12,6 +12,11 @@ object IsoQ {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional 4th arg: comma-separated k=v session confs (VerifyOne's form)
+    if (args.length > 3 && args(3).nonEmpty)
+      args(3).split(",").foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      }
     names.foreach { name =>
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
