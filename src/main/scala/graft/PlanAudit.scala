@@ -647,6 +647,18 @@ object PlanAudit {
     report(s"[audit] q158 hot-shingle index " +
       (if (q158ok) "OK (single hash-aggregate asset build, join-free)"
        else s"CHECK: hashAgg=${q158plan.contains("HashAggregate")} join=${q158plan.contains("Join")}"))
+    // q160 canonical-URL dedup: a narrow codegen'd projection (url_canon
+    // inside the scan span) into ONE uniform-key hash aggregate — no joins
+    val q160 = SparkEntry.queries("q160_url_dedup")(spark, dir)
+    q160.collect()
+    val q160plan = q160.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q160ok = q160plan.contains("HashAggregate") && !q160plan.contains("Join") &&
+      q160plan.contains("url_canon")
+    report(s"[audit] q160 url dedup " +
+      (if (q160ok) "OK (codegen'd url_canon projection into one hash aggregate, join-free)"
+       else s"CHECK: hashAgg=${q160plan.contains("HashAggregate")} " +
+            s"join=${q160plan.contains("Join")} urlCanon=${q160plan.contains("url_canon")}"))
     // q159 incremental near-dup admission: every join is keyed (ids, content
     // hashes, band signatures) — no product joins; the carried index remap
     // and the candidate probe must never degenerate to a cartesian

@@ -85,7 +85,7 @@ object ScaleBench {
     "q155_html_extract", "q156_incremental_reprocess", "q52_media_features",
     "q157_audio_features",
     // round-15 additions
-    "q158_hot_shingle_index", "q159_incremental_neardup")
+    "q158_hot_shingle_index", "q159_incremental_neardup", "q160_url_dedup")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

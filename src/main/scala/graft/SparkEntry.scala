@@ -134,6 +134,7 @@ object SparkEntry {
     "q157_audio_features"    -> (Multimodal.audioFeatures _),
     "q158_hot_shingle_index" -> (TextOps.hotShingleIndex _),
     "q159_incremental_neardup" -> (TextOps.incrementalNearDedup _),
+    "q160_url_dedup"         -> (TextOps.urlDedup _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1156,6 +1157,7 @@ object SparkEntry {
     "q155_html_extract" -> TextOps.htmlMainContentSql,
     "q156_incremental_reprocess" -> TextOps.incrementalReprocessSql,
     "q159_incremental_neardup" -> TextOps.incrementalNearDedupSql,
+    "q160_url_dedup" -> TextOps.urlDedupSql,
     "q157_audio_features" -> {
       def hv(c: String) =
         s"(ascii($c) - 48 - CASE WHEN ascii($c) >= 97 THEN 39 ELSE 0 END)"

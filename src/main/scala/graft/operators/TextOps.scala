@@ -933,6 +933,86 @@ object TextOps {
       .select(col("shash"), col("df"))
       .orderBy(col("shash"))
 
+  /** q160: canonical-URL dedup — the crawl tier BEFORE any content hashing:
+    * re-crawls reach the same page through scheme/host case variants,
+    * default ports, `www.` aliases, tracking parameters and fragments, and
+    * every alias admitted as a distinct document re-runs the whole
+    * downstream pipeline on it. The corpus carries no URL column, so one is
+    * SYNTHESIZED deterministically per document (the q149/q151/q155 fixture
+    * discipline — six alias forms per page id, oracle-mirrored verbatim):
+    * five of the six variants canonicalize to the same http URL (case,
+    * `:80`, `www.`, `utm_*`/`fbclid`/`ref` params, fragments all collapse;
+    * the surviving params sort), the sixth is a genuinely different origin
+    * (https + cdn host). [[graft.functions.UrlCanonicalize]] is the native
+    * codegen'd recipe (RFC 3986 §6 syntax normalization + tracking strip).
+    *
+    * Scale shape: narrow per-row projection into ONE uniform-key hash
+    * aggregate on the canonical string — map-side partials, no skew (page
+    * ids are unique), nothing driver-side.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val u = expr(
+      """CASE doc_id % 6
+        | WHEN 0 THEN 'HTTP://WWW.Example.COM:80/p/' || CAST(doc_id div 6 AS STRING) ||
+        |   '?utm_source=crawler&b=2&a=1#frag'
+        | WHEN 1 THEN 'http://example.com/p/' || CAST(doc_id div 6 AS STRING) || '?a=1&b=2'
+        | WHEN 2 THEN 'http://Example.com:80/p/' || CAST(doc_id div 6 AS STRING) ||
+        |   '?b=2&a=1&fbclid=x' || CAST(doc_id div 6 AS STRING)
+        | WHEN 3 THEN 'http://www.example.com/p/' || CAST(doc_id div 6 AS STRING) ||
+        |   '?a=1&utm_medium=email&b=2'
+        | WHEN 4 THEN 'https://cdn.example.com/p/' || CAST(doc_id div 6 AS STRING) || '?a=1&b=2'
+        | ELSE 'http://example.com/p/' || CAST(doc_id div 6 AS STRING) || '?a=1&b=2&ref=home#sec'
+        |END""".stripMargin)
+    d.select(col("doc_id"), graft.functions.UrlCanonicalize(u).as("curl"))
+      .groupBy(col("curl"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
+      .select(col("curl").as("canonical_url"), col("n_docs"), col("keeper_doc_id"))
+      .orderBy(col("canonical_url"))
+  }
+
+  /** The q160 oracle: the same six-alias synthesis, canonicalized by the
+    * regexp mirror of [[graft.functions.UrlCanon.canon]] (fragment strip,
+    * scheme/host lowercase, default-port and `www.` drop, tracking-param
+    * filter + byte sort — `coalesce(array_to_string(...), '')` guards the
+    * all-params-dropped case, the round-14 DuckDB NULL gotcha). */
+  def urlDedupSql: String =
+    """WITH urls AS (SELECT doc_id,
+      |  CASE doc_id % 6
+      |   WHEN 0 THEN 'HTTP://WWW.Example.COM:80/p/' || CAST(doc_id // 6 AS VARCHAR) ||
+      |     '?utm_source=crawler&b=2&a=1#frag'
+      |   WHEN 1 THEN 'http://example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2'
+      |   WHEN 2 THEN 'http://Example.com:80/p/' || CAST(doc_id // 6 AS VARCHAR) ||
+      |     '?b=2&a=1&fbclid=x' || CAST(doc_id // 6 AS VARCHAR)
+      |   WHEN 3 THEN 'http://www.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) ||
+      |     '?a=1&utm_medium=email&b=2'
+      |   WHEN 4 THEN 'https://cdn.example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2'
+      |   ELSE 'http://example.com/p/' || CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2&ref=home#sec'
+      |  END AS u FROM documents),
+      |f AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS v FROM urls),
+      |p AS (SELECT doc_id,
+      |   lower(regexp_extract(v, '^([A-Za-z]+)://', 1)) AS sch,
+      |   lower(regexp_extract(v, '^[A-Za-z]+://([^/?#]*)', 1)) AS hp,
+      |   regexp_extract(v, '^[A-Za-z]+://[^/?#]*([^?]*)', 1) AS pth,
+      |   regexp_extract(v, '\?(.*)$', 1) AS q
+      | FROM f),
+      |h AS (SELECT doc_id, sch, pth, q,
+      |   CASE WHEN sch = 'http' AND hp LIKE '%:80' THEN substr(hp, 1, length(hp) - 3)
+      |        WHEN sch = 'https' AND hp LIKE '%:443' THEN substr(hp, 1, length(hp) - 4)
+      |        ELSE hp END AS hp2 FROM p),
+      |h2 AS (SELECT doc_id, sch, pth, q,
+      |   CASE WHEN hp2 LIKE 'www.%' THEN substr(hp2, 5) ELSE hp2 END AS host FROM h),
+      |qq AS (SELECT doc_id, sch, host,
+      |   CASE WHEN pth = '' THEN '/' ELSE pth END AS pth,
+      |   coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |     x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=') OR
+      |               starts_with(x, 'gclid=') OR starts_with(x, 'ref=')))), '&'), '') AS sq
+      | FROM h2),
+      |canon AS (SELECT doc_id, sch || '://' || host || pth ||
+      |   CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS curl FROM qq)
+      |SELECT curl AS canonical_url, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+      |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q35: exact n-gram Jaccard near-dup pairs via an inverted-index join —
     * pairs share ≥1 shingle, intersection counted per pair, Jaccard ≥ 0.5
     * decided with *integer* arithmetic (3·|∩| ≥ |A|+|B| ⇔ J ≥ 0.5), so both

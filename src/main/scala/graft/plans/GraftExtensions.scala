@@ -49,7 +49,11 @@ object GraftExtensions {
     (FunctionIdentifier("main_content"),
       new ExpressionInfo("graft.functions.HtmlMainContent", "main_content"),
       (children: Seq[Expression]) =>
-        graft.functions.HtmlMainContent(children.head)))
+        graft.functions.HtmlMainContent(children.head)),
+    (FunctionIdentifier("url_canon"),
+      new ExpressionInfo("graft.functions.UrlCanonicalize", "url_canon"),
+      (children: Seq[Expression]) =>
+        graft.functions.UrlCanonicalize(children.head)))
 
   /** SQL-side shape/permutation arguments must be literals (they size the
     * generated code); evaluated once at resolution.
