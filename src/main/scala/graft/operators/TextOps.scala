@@ -358,12 +358,21 @@ object TextOps {
     * column) — q154 and q156 both need the band width, and round 14 paid a
     * separate post-fanout aggregate in each. At scale this is a parquet
     * footer-stats read of one int64 column, paid once per corpus version. */
-  private val offsetCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
-  private def snapRekeyOffsetShared(spark: SparkSession, dir: String): Long =
-    offsetCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir),
+  private val sessionOffsets =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+  private def snapRekeyOffsetShared(spark: SparkSession, dir: String): Long = {
+    val m = sessionOffsets.synchronized {
+      var x = sessionOffsets.get(spark)
+      if (x == null) {
+        x = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        sessionOffsets.put(spark, x)
+      }
+      x
+    }
+    m.computeIfAbsent(dir,
       _ => snapRekeyOffsetOf(Tables.documents(spark, dir).select(col("doc_id"))))
+  }
 
   /** q154: corpus snapshot diff — the dataset-versioning primitive an
     * incremental 100 TB pipeline runs between crawls: classify every
@@ -877,8 +886,24 @@ object TextOps {
   // invocation leaked its own corpus-sized cache — both fixed here).
   // -------------------------------------------------------------------------
 
-  private val assetCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  /** Per-SESSION asset maps, keyed by the session OBJECT through a weak
+    * identity map (SparkSession does not override equals, so WeakHashMap
+    * semantics are identity semantics here): `identityHashCode` alone can
+    * alias after a stopped session is GC'd and its hash is recycled, which
+    * would hand a new session DataFrames bound to a dead one; weak keys
+    * also let a closed session's memoized frames be collected instead of
+    * pinned for the JVM's life. */
+  private val sessionAssets =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  private def assetMapOf(spark: SparkSession) = sessionAssets.synchronized {
+    var m = sessionAssets.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+      sessionAssets.put(spark, m)
+    }
+    m
+  }
 
   /** Re-register caching if a `spark.catalog.clearCache()` since the asset
     * was built dropped it — Bench clears caches before EVERY timed query
@@ -893,8 +918,7 @@ object TextOps {
 
   private def memoAsset(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
-    ensureCached(assetCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, tag), _ => build))
+    ensureCached(assetMapOf(spark).computeIfAbsent((dir, tag), _ => build))
 
   /** The distinct (doc_id, shash) shingle relation as a SHARED cached asset —
     * one explosion per (session, corpus), read by q35/q36/q38/q101/q102 and
@@ -1150,14 +1174,23 @@ object TextOps {
     * uncached, and e.g. the band self-join would recompute the signature
     * pipeline once per side. Access re-arms every level. */
   private final case class PairsAsset(frame: DataFrame, internals: Seq[DataFrame])
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Long), PairsAsset]()
+  private val sessionPairs =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Int, Long), PairsAsset]]()
+  private def pairsMapOf(spark: SparkSession) = sessionPairs.synchronized {
+    var m = sessionPairs.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), PairsAsset]()
+      sessionPairs.put(spark, m)
+    }
+    m
+  }
 
   private def pairsShared(spark: SparkSession, dir: String, cap: Int): DataFrame = {
     val maxDriver = spark.conf.getOption("graft.minhash.hotListMaxDriver")
       .map(_.toLong).getOrElse(HotListMaxDriver)
-    val asset = pairsCache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, cap, maxDriver), _ => {
+    val asset = pairsMapOf(spark).computeIfAbsent(
+      (dir, cap, maxDriver), _ => {
         val tracker = scala.collection.mutable.ArrayBuffer[DataFrame]()
         val frame =
           if (cap > HotIndexMinDf)
