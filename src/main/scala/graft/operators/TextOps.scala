@@ -1193,16 +1193,25 @@ object TextOps {
       (dir, cap, maxDriver), _ => {
         val tracker = scala.collection.mutable.ArrayBuffer[DataFrame]()
         val frame =
-          if (cap > HotIndexMinDf)
+          if (cap > HotIndexMinDf) {
+            // the SHARED frames are consumed inside the captured plan, so
+            // they must re-arm with this asset (access-time re-arm of the
+            // memoAsset entries only happens when those entries are read,
+            // which later consumers of THIS asset never do directly)
+            tracker += shingleRowsShared(spark, dir)
+            tracker += hotDfIndex(spark, dir)
             minhashCappedOf(spark,
               Tables.documents(spark, dir).transform(Tables.fanout), cap,
               sharedIndex = Some((shingleRowsShared(spark, dir), hotDfIndex(spark, dir))),
               cacheTracker = Some(tracker))
-          else if (cap > 0)
+          } else if (cap > 0)
             minhashCappedOf(spark,
               Tables.documents(spark, dir).transform(Tables.fanout), cap,
               cacheTracker = Some(tracker))
-          else minhashUncapped(spark, dir, Some(tracker))
+          else {
+            tracker += shingleRowsShared(spark, dir)
+            minhashUncapped(spark, dir, Some(tracker))
+          }
         PairsAsset(frame.cache(), tracker.toSeq)
       })
     asset.internals.foreach(ensureCached)
