@@ -70,6 +70,21 @@ object UrlCanon {
     p.startsWith("utm_") || p.startsWith("fbclid=") ||
       p.startsWith("gclid=") || p.startsWith("ref=")
 
+  /** Unsigned byte-lexicographic `<` over the UTF-8 encodings — DuckDB's
+    * binary collation, which the q160 oracle's `list_sort` applies. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Canonicalize one URL string (see the class scaladoc for the recipe).
     * Structural index scan, no regex — byte-equal to the oracle's
     * regexp_extract mirror on every `scheme://host[:port]path[?q][#f]`
@@ -101,8 +116,12 @@ object UrlCanon {
     val path = if (path0.isEmpty) "/" else path0
     val query = if (qi >= 0) tail.substring(qi + 1) else ""
     // -1 keeps trailing empties so '' round-trips to '' (the oracle's
-    // string_split has the same contract)
-    val kept = query.split("&", -1).filterNot(isTracking).sorted
+    // string_split has the same contract). Sort by UTF-8 BYTES, not
+    // String's UTF-16 code units: the two orders diverge for
+    // supplementary-plane params vs U+E000..U+FFFF (surrogates sort below
+    // those code points in UTF-16 but above them as UTF-8 bytes), and the
+    // oracle's list_sort is DuckDB's binary UTF-8 collation.
+    val kept = query.split("&", -1).filterNot(isTracking).sortWith(utf8Lt)
     val sq = kept.mkString("&")
     UTF8String.fromString(
       sch + "://" + host + path + (if (sq.nonEmpty) "?" + sq else ""))

@@ -543,7 +543,16 @@ object Analytics {
     // 4.00 s at 4 vs 4.44 s at 2 vs 4.99 s at 8 — past 4 the deeper lazy
     // plan's re-planned join tree costs more than the saved checkpoint).
     val ckptEvery = spark.conf.getOption("graft.pr.ckptEvery")
-      .map(_.toInt).getOrElse(4)
+      .map { v =>
+        val n = try v.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft.pr.ckptEvery must be a positive integer, got '$v'") }
+        // 0 would divide-by-zero the block test; a negative value would
+        // silently disable every intermediate checkpoint (unbounded lineage
+        // — the exact concern this block size exists to bound)
+        require(n >= 1, s"graft.pr.ckptEvery must be >= 1, got $n")
+        n
+      }.getOrElse(4)
     for (k <- 1 to PrIters) {
       val it = edgesDeg.join(rank, edgesDeg("src") === rank("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))

@@ -999,7 +999,13 @@ object TextOps {
     * regexp mirror of [[graft.functions.UrlCanon.canon]] (fragment strip,
     * scheme/host lowercase, default-port and `www.` drop, tracking-param
     * filter + byte sort — `coalesce(array_to_string(...), '')` guards the
-    * all-params-dropped case, the round-14 DuckDB NULL gotcha). */
+    * all-params-dropped case, the round-14 DuckDB NULL gotcha). The mirror
+    * is valid ONLY over well-formed `scheme://...` inputs (which the
+    * synthesis above guarantees): for a non-URL string the engine's
+    * passthrough branch returns it fragment-stripped unchanged, while this
+    * regexp chain would emit a mangled `'://'`-prefixed string — a
+    * fixture-general oracle would need an explicit `NOT LIKE '%://%'`
+    * passthrough arm. */
   def urlDedupSql: String =
     """WITH urls AS (SELECT doc_id,
       |  CASE doc_id % 6

@@ -31,6 +31,18 @@ class UrlCanonSpec extends SparkSpec {
     assert(c("http://e.com/p?b=utm_x&a=1") == "http://e.com/p?a=1&b=utm_x")
   }
 
+  test("param sort is UTF-8 byte order (DuckDB binary collation), not UTF-16") {
+    // U+10000 (surrogate pair, UTF-8 f0 90 80 80) vs U+FFFD (UTF-8 ef bf bd):
+    // UTF-16 code units order the surrogate (0xD800) BELOW 0xFFFD, but the
+    // UTF-8 bytes order it ABOVE — the oracle's list_sort is byte order.
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "�"
+    assert(c(s"http://e.com/p?$supp=1&$bmp=2") == s"http://e.com/p?$bmp=2&$supp=1")
+    // and Scala's default String ordering would have produced the reverse,
+    // so this case pins the divergence the byte sort exists to close
+    assert(List(supp, bmp).sorted == List(supp, bmp))
+  }
+
   test("canonicalization is idempotent (canon ∘ canon = canon)") {
     val urls = Seq(
       "HTTP://WWW.Example.COM:80/p/7?utm_source=x&b=2&a=1#frag",
