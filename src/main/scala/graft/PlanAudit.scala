@@ -20,6 +20,10 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // audit the BUILD plans: with the asset layer on, the shingle-tier
+      // pipelines collapse to artifact scans and every shape assertion
+      // below would be vacuous
+      .config(graft.assets.AssetStore.DirConf, "")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"

@@ -358,21 +358,11 @@ object TextOps {
     * column) — q154 and q156 both need the band width, and round 14 paid a
     * separate post-fanout aggregate in each. At scale this is a parquet
     * footer-stats read of one int64 column, paid once per corpus version. */
-  private val sessionOffsets =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
-  private def snapRekeyOffsetShared(spark: SparkSession, dir: String): Long = {
-    val m = sessionOffsets.synchronized {
-      var x = sessionOffsets.get(spark)
-      if (x == null) {
-        x = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-        sessionOffsets.put(spark, x)
-      }
-      x
-    }
-    m.computeIfAbsent(dir,
-      _ => snapRekeyOffsetOf(Tables.documents(spark, dir).select(col("doc_id"))))
-  }
+  private val offsetMemo =
+    new graft.assets.AssetStore.SessionMemo[String, java.lang.Long]
+  private def snapRekeyOffsetShared(spark: SparkSession, dir: String): Long =
+    offsetMemo.getOrBuild(spark, dir)(
+      snapRekeyOffsetOf(Tables.documents(spark, dir).select(col("doc_id"))))
 
   /** q154: corpus snapshot diff — the dataset-versioning primitive an
     * incremental 100 TB pipeline runs between crawls: classify every
@@ -886,24 +876,20 @@ object TextOps {
   // invocation leaked its own corpus-sized cache — both fixed here).
   // -------------------------------------------------------------------------
 
-  /** Per-SESSION asset maps, keyed by the session OBJECT through a weak
-    * identity map (SparkSession does not override equals, so WeakHashMap
-    * semantics are identity semantics here): `identityHashCode` alone can
-    * alias after a stopped session is GC'd and its hash is recycled, which
-    * would hand a new session DataFrames bound to a dead one; weak keys
-    * also let a closed session's memoized frames be collected instead of
-    * pinned for the JVM's life. */
-  private val sessionAssets =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
-  private def assetMapOf(spark: SparkSession) = sessionAssets.synchronized {
-    var m = sessionAssets.get(spark)
-    if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-      sessionAssets.put(spark, m)
-    }
-    m
-  }
+  /** Per-SESSION asset memo (weak identity keys + context-stop removal —
+    * see [[graft.assets.AssetStore.SessionMemo]] for the lifecycle
+    * contract). Since round 16 the memo is only the in-process HANDLE: with
+    * persistence enabled (the default) the memoized frame is a parquet scan
+    * of the on-disk artifact published through
+    * [[graft.assets.AssetStore.loadOrBuild]], so a cold session over the
+    * same corpus version loads the index instead of re-aggregating it. */
+  private val assetMemo =
+    new graft.assets.AssetStore.SessionMemo[(String, String), DataFrame]
+
+  /** Artifact layout version for the shingle-tier assets — bump whenever
+    * [[shingleRows]] / [[hotDfIndex]] / the pair pipeline change what they
+    * compute, so stale artifacts from older code can never be served. */
+  private[graft] val ShingleAssetVersion = 1
 
   /** Re-register caching if a `spark.catalog.clearCache()` since the asset
     * was built dropped it — Bench clears caches before EVERY timed query
@@ -918,13 +904,21 @@ object TextOps {
 
   private def memoAsset(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
-    ensureCached(assetMapOf(spark).computeIfAbsent((dir, tag), _ => build))
+    ensureCached(assetMemo.getOrBuild(spark, (dir, tag))(
+      graft.assets.AssetStore.loadOrBuild(spark, dir, tag, ShingleAssetVersion) {
+        // persistence disabled → the memoized frame is the computed plan
+        // itself and must cache (the round-15 contract); enabled → the
+        // build executes exactly once into the artifact write and the
+        // memoized frame is the scan, cached by ensureCached at access
+        if (graft.assets.AssetStore.assetsRoot(spark).isEmpty) build.cache()
+        else build
+      }))
 
-  /** The distinct (doc_id, shash) shingle relation as a SHARED cached asset —
-    * one explosion per (session, corpus), read by q35/q36/q38/q101/q102 and
-    * the slope-probe volume evidence. */
+  /** The distinct (doc_id, shash) shingle relation as a SHARED asset —
+    * one explosion per corpus VERSION (persisted), read by
+    * q35/q36/q38/q101/q102 and the slope-probe volume evidence. */
   private[graft] def shingleRowsShared(spark: SparkSession, dir: String): DataFrame =
-    memoAsset(spark, dir, "shingles")(shingleRows(spark, dir).cache())
+    memoAsset(spark, dir, "shingles")(shingleRows(spark, dir))
 
   /** Materialization floor of the hot-shingle df index: the asset keeps every
     * shingle with df > this, and each consumer derives its own hot list by
@@ -942,8 +936,7 @@ object TextOps {
     memoAsset(spark, dir, "hotdf")(
       shingleRowsShared(spark, dir)
         .groupBy(col("shash")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > HotIndexMinDf)
-        .cache())
+        .filter(col("df") > HotIndexMinDf))
 
   /** q158: the hot-shingle df index BUILD — the oracle-checked
     * materialization of the asset every capped MinHash pipeline consumes
@@ -1162,7 +1155,10 @@ object TextOps {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val cap = resolvedDfCap(spark)
     dfCapUsed = Some(cap)
-    pairsShared(spark, dir, cap)
+    // the shared asset is ordered at BUILD time, but a parquet artifact
+    // scan carries no order guarantee — re-assert the output contract here
+    // (a no-op sort when the memo-only frame is already ordered)
+    pairsShared(spark, dir, cap).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The verified ≥0.8 near-dup pair relation as a SHARED per-(session,
@@ -1180,46 +1176,51 @@ object TextOps {
     * uncached, and e.g. the band self-join would recompute the signature
     * pipeline once per side. Access re-arms every level. */
   private final case class PairsAsset(frame: DataFrame, internals: Seq[DataFrame])
-  private val sessionPairs =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, Int, Long), PairsAsset]]()
-  private def pairsMapOf(spark: SparkSession) = sessionPairs.synchronized {
-    var m = sessionPairs.get(spark)
-    if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), PairsAsset]()
-      sessionPairs.put(spark, m)
-    }
-    m
-  }
+  private val pairsMemo =
+    new graft.assets.AssetStore.SessionMemo[(String, Int, Long), PairsAsset]
 
   private def pairsShared(spark: SparkSession, dir: String, cap: Int): DataFrame = {
     val maxDriver = spark.conf.getOption("graft.minhash.hotListMaxDriver")
       .map(_.toLong).getOrElse(HotListMaxDriver)
-    val asset = pairsMapOf(spark).computeIfAbsent(
-      (dir, cap, maxDriver), _ => {
+    def buildPairs(tracker: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame =
+      if (cap > HotIndexMinDf) {
+        // the SHARED frames are consumed inside the captured plan, so
+        // they must re-arm with this asset (access-time re-arm of the
+        // memoAsset entries only happens when those entries are read,
+        // which later consumers of THIS asset never do directly)
+        tracker += shingleRowsShared(spark, dir)
+        tracker += hotDfIndex(spark, dir)
+        minhashCappedOf(spark,
+          Tables.documents(spark, dir).transform(Tables.fanout), cap,
+          sharedIndex = Some((shingleRowsShared(spark, dir), hotDfIndex(spark, dir))),
+          cacheTracker = Some(tracker))
+      } else if (cap > 0)
+        minhashCappedOf(spark,
+          Tables.documents(spark, dir).transform(Tables.fanout), cap,
+          cacheTracker = Some(tracker))
+      else {
+        tracker += shingleRowsShared(spark, dir)
+        minhashUncapped(spark, dir, Some(tracker))
+      }
+    val asset = pairsMemo.getOrBuild(spark, (dir, cap, maxDriver)) {
+      if (graft.assets.AssetStore.assetsRoot(spark).isDefined) {
+        // persisted form: the verified pair relation is an on-disk artifact
+        // (keyed by every conf that changes its content); the frame handed
+        // to consumers is its scan, so there are no corpus-sized internal
+        // stages to re-arm — the signature→band→verify pipeline ran exactly
+        // once, into the artifact write (or in a previous job entirely)
         val tracker = scala.collection.mutable.ArrayBuffer[DataFrame]()
-        val frame =
-          if (cap > HotIndexMinDf) {
-            // the SHARED frames are consumed inside the captured plan, so
-            // they must re-arm with this asset (access-time re-arm of the
-            // memoAsset entries only happens when those entries are read,
-            // which later consumers of THIS asset never do directly)
-            tracker += shingleRowsShared(spark, dir)
-            tracker += hotDfIndex(spark, dir)
-            minhashCappedOf(spark,
-              Tables.documents(spark, dir).transform(Tables.fanout), cap,
-              sharedIndex = Some((shingleRowsShared(spark, dir), hotDfIndex(spark, dir))),
-              cacheTracker = Some(tracker))
-          } else if (cap > 0)
-            minhashCappedOf(spark,
-              Tables.documents(spark, dir).transform(Tables.fanout), cap,
-              cacheTracker = Some(tracker))
-          else {
-            tracker += shingleRowsShared(spark, dir)
-            minhashUncapped(spark, dir, Some(tracker))
-          }
-        PairsAsset(frame.cache(), tracker.toSeq)
-      })
+        val frame = graft.assets.AssetStore.loadOrBuild(
+          spark, dir, s"pairs_cap${cap}_hld$maxDriver", ShingleAssetVersion)(
+          buildPairs(tracker))
+        PairsAsset(frame, Seq.empty)
+      } else {
+        // memo-only form (round-15 contract): remember the internal cache
+        // points so access can re-arm them after a clearCache
+        val tracker = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        PairsAsset(buildPairs(tracker).cache(), tracker.toSeq)
+      }
+    }
     asset.internals.foreach(ensureCached)
     ensureCached(asset.frame)
   }
@@ -1299,7 +1300,8 @@ object TextOps {
     * capped shingle sets (both engines mirror the same capped pipeline).
     */
   def minhashCapped(spark: SparkSession, dir: String): DataFrame =
-    pairsShared(spark, dir, MaxShingleDf)
+    // asset scans carry no order guarantee — re-assert the output contract
+    pairsShared(spark, dir, MaxShingleDf).orderBy(col("doc_a"), col("doc_b"))
 
   /** Core of q102 over an arbitrary (doc_id, text) relation — exposed so
     * DedupSpec can prove the two hot-list strategies bit-identical on a

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions.col
+import graft.assets.AssetStore
+import graft.operators.TextOps
+
+/** The persisted corpus-index asset layer (round 16):
+  *  - build ≡ load bit-identical for every consumer (the DedupSpec-law
+  *    form of "both paths oracle-checked");
+  *  - a COLD session over the same corpus version loads the on-disk
+  *    artifact without re-aggregating the corpus (no build, no documents
+  *    scan in the consumer plan);
+  *  - the corpus signature invalidates artifacts when the corpus changes;
+  *  - the bench-loop storage-hygiene gate: repeated clearCache→consume
+  *    passes hold executor storage steady (one cache per asset, no growth).
+  */
+class AssetStoreSpec extends SparkSpec {
+
+  // a spec-private asset root so this suite controls exactly what exists
+  private lazy val specRoot =
+    Files.createTempDirectory("graft_assets_spec").toString
+
+  test("build path and load path yield bit-identical consumer results") {
+    // memo-only twin (persistence off) = the pure computed plan
+    val off = spark.newSession()
+    off.conf.set(AssetStore.DirConf, "")
+    val pure = TextOps.hotShingleIndex(off, sf001).collect().map(_.toString).sorted
+    val purePairs = TextOps.minhashLshPairs(off, sf001).collect().map(_.toString).sorted
+
+    // persisted build (fresh root → this session BUILDS the artifacts)
+    val b = spark.newSession()
+    b.conf.set(AssetStore.DirConf, specRoot)
+    val before = AssetStore.buildCount.get()
+    val built = TextOps.hotShingleIndex(b, sf001).collect().map(_.toString).sorted
+    val builtPairs = TextOps.minhashLshPairs(b, sf001).collect().map(_.toString).sorted
+    assert(AssetStore.buildCount.get() > before, "expected artifact builds")
+    assert(built.toSeq == pure.toSeq)
+    assert(builtPairs.toSeq == purePairs.toSeq)
+    assert(built.nonEmpty && builtPairs.nonEmpty, "vacuous law")
+  }
+
+  test("a cold session reuses the on-disk asset without re-aggregating the corpus") {
+    // ensure the artifacts exist (previous test ordering not assumed)
+    val warm = spark.newSession()
+    warm.conf.set(AssetStore.DirConf, specRoot)
+    TextOps.hotShingleIndex(warm, sf001).collect()
+    TextOps.minhashLshPairs(warm, sf001).collect()
+
+    val cold = spark.newSession()   // fresh memo identity, fresh runtime conf
+    cold.conf.set(AssetStore.DirConf, specRoot)
+    val before = AssetStore.buildCount.get()
+    val idx = TextOps.hotShingleIndex(cold, sf001)
+    val rows = idx.collect()
+    assert(rows.nonEmpty)
+    assert(AssetStore.buildCount.get() == before,
+      "cold session must not rebuild an existing artifact")
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_assets_spec"),
+      s"consumer plan should scan the asset artifact:\n$plan")
+    assert(!plan.contains("documents"),
+      s"consumer plan must not re-read (or re-aggregate) the corpus:\n$plan")
+  }
+
+  test("corpus signature tracks the file inventory (stale artifacts can never serve)") {
+    val dir = Files.createTempDirectory("graft_sig_corpus")
+    val f = dir.resolve("documents.parquet")
+    Files.copy(Paths.get(s"$sf001/documents.parquet"), f,
+      StandardCopyOption.REPLACE_EXISTING)
+    val s1 = spark.newSession()
+    val sigA = AssetStore.corpusSignature(s1, dir.toString)
+    // same inventory, different session → same signature (deterministic)
+    assert(AssetStore.corpusSignature(spark.newSession(), dir.toString) == sigA)
+    // regenerate the corpus (length+mtime change) → signature must move
+    Files.write(f, Files.readAllBytes(Paths.get(s"$sf001/documents.parquet")) ++
+      Array[Byte](0))
+    f.toFile.setLastModified(f.toFile.lastModified() + 73000)
+    val sigB = AssetStore.corpusSignature(spark.newSession(), dir.toString)
+    assert(sigB != sigA, "signature must change when the corpus is regenerated")
+  }
+
+  test("bench-loop hygiene: clearCache→consume passes hold storage steady") {
+    val s = spark.newSession()
+    s.conf.set(AssetStore.DirConf, specRoot)
+    val sizes = (1 to 3).map { _ =>
+      s.catalog.clearCache()
+      TextOps.hotShingleIndex(s, sf001).count()
+      TextOps.minhashLshPairs(s, sf001).count()
+      TextOps.shingleRowsShared(s, sf001).count()
+      s.sparkContext.getPersistentRDDs.size
+    }
+    // pass 1 arms the access-time caches; every later pass must re-arm the
+    // SAME set — growth here is the round-14 cache-accumulation class
+    assert(sizes(1) == sizes(2),
+      s"cached-RDD count grew across bench passes: $sizes")
+  }
+
+  test("SessionMemo lifecycle: context-stop removal releases a session's entries") {
+    val memo = new AssetStore.SessionMemo[String, String]
+    val s = spark.newSession()
+    assert(memo.getOrBuild(s, "k")("v1") == "v1")
+    assert(memo.getOrBuild(s, "k")("v2") == "v1") // memoized
+    assert(memo.entryCount(s) == 1)
+    // the ApplicationEnd listener calls exactly this removal hook; the
+    // shared test context cannot be stopped mid-suite, so the hook is
+    // asserted directly
+    memo.dropSession(s)
+    assert(memo.entryCount(s) == 0)
+  }
+}
