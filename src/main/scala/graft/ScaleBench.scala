@@ -189,6 +189,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the scale probes measure the BUILD plans: with the persisted asset
+    // layer on, q36/q38/q101/q102's pipelines would collapse to a parquet
+    // scan of whichever JVM built the artifact first, and the slope rows
+    // would grade artifact I/O instead of the signature→band→verify plan
+    spark.conf.set(graft.assets.AssetStore.DirConf, "")
     // if events carries TIMESTAMP(NANOS), read it as raw long so the tiled
     // copy round-trips as plain INT64 nanos; Tables.normalizeEventTs probes
     // the tiled layout either way (micros layouts are unaffected)
@@ -381,18 +386,14 @@ object SlopeProbe {
   /** Documented by-design superlinear harness instantiations — each entry
     * must name the production growth lever that keeps the real deployment
     * linear. An allowlisted query still reports its measured slope. */
-  val Allowlist: Map[String, String] = Map(
-    // q36 was allowlisted here through round 13 (uncapped hot-shingle
-    // baseline, slope 1.67); round 14 made the df cap default-on
-    // (graft.minhash.dfCap = 128, TextOps.DefaultDfCap), so it now earns a
-    // real verdict — the uncapped form survives behind dfCap=0 for
-    // DedupSpec's equivalence law only.
-    "q126_semantic_dedup" ->
-      ("SemDeDup with harness-pinned K=16 so the oracle reproduces the " +
-       "codebook: intra-cluster pair work is n^2/K by construction at " +
-       "fixed K; production scales K with n (constant cluster width) — " +
-       "MEASURED by this probe's q126_scaled_k row (K=16@x10 vs K=32@x20, " +
-       "a real pass/fail verdict), not just documented"))
+  val Allowlist: Map[String, String] = Map()
+  // EMPTY since round 16. History: q36 lived here through round 13
+  // (uncapped hot-shingle baseline, slope 1.67) until round 14 made the df
+  // cap default-on (TextOps.DefaultDfCap); q126 lived here through round 15
+  // (pinned K=16 → pair work n²/K at fixed K) until round 16 made the
+  // MEASURED K ∝ n rule the shipped default (SimilarityOps
+  // .SemDedupClusterWidth — the oracle renders the recorded K), so the
+  // probe now grades q126's default form on a real verdict.
 
   /** Queries whose OUTPUT legitimately grows superlinearly under the
     * decorrelated tiling (so time may track the answer, not the data):
@@ -428,6 +429,10 @@ object SlopeProbe {
     * compounding per doubling — while weather drift does not compound). */
   val OutputBoundTolerance = 1.15
 
+  /** t10 floor below which the first ×10 run is treated as an UNTIMED warm
+    * pass (cold JIT dominates sub-½-second rows — q160 round 15). */
+  val SubSecondWarmFloor = 0.5
+
   def main(args: Array[String]): Unit = {
     val loadBefore = LoadEvidence.loadavg
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
@@ -450,8 +455,19 @@ object SlopeProbe {
     }
 
     val rows = ScaleBench.selectedQueries.flatMap { name =>
+      // Warm-up rule (round 16): for sub-½-second queries the first run is
+      // dominated by cold-JIT/planning constants, not data — q160's 0.18 s
+      // t10 read slope 2.196 in round 15 and cost a confirmation pass. The
+      // first ×10 run doubles as the detector: if it comes back under the
+      // floor, discard it as an UNTIMED warm pass and measure from the
+      // warmed state; heavier queries keep it as their r1 (no extra cost).
+      val warmProbe = time(name, d10)
+      val r1Opt = warmProbe match {
+        case Some((t, _)) if t < SubSecondWarmFloor => time(name, d10)
+        case other => other
+      }
       val probe = for {
-        (r1, n10) <- time(name, d10)
+        (r1, n10) <- r1Opt
         (r2, n20) <- time(name, d20)
         (r3, _)   <- time(name, d10)
       } yield {
@@ -524,44 +540,12 @@ object SlopeProbe {
       probe
     }
 
-    // K ∝ n lever measurement: q126's allowlist entry documents that
-    // production SemDeDup scales the codebook with the corpus so cluster
-    // width — and intra-cluster pair work — stays constant. Demonstrate it
-    // instead of asserting it: K=16 at ×10 vs K=32 at ×20 (double data,
-    // double K) must hold the slope at data-linear, unlike the pinned-K
-    // harness query whose pair stage is n²/K by construction. Recorded as
-    // its own row with a REAL pass/fail verdict (a fail gates the exit).
-    val scaledRow =
-      if (!ScaleBench.selectedQueries.contains("q126_semantic_dedup")) Seq.empty
-      else {
-        def timeScaled(dir: String, k0: Int): Option[(Double, Long)] = {
-          spark.catalog.clearCache(); System.gc()
-          val t0 = System.nanoTime()
-          try {
-            val n = graft.operators.SimilarityOps.semanticDedupK(spark, dir, k0).count()
-            Some(((System.nanoTime() - t0) / 1e9, n))
-          } catch { case e: Throwable =>
-            errors += s"q126_scaled_k: ${e.getClass.getSimpleName}"; None }
-        }
-        val probe = for {
-          (r1, n10) <- timeScaled(d10, 16)
-          (r2, n20) <- timeScaled(d20, 32)
-          (r3, _)   <- timeScaled(d10, 16)
-        } yield {
-          var t10 = math.min(r1, r3)
-          var t20 = r2
-          if (t20 / t10 > SlopeThreshold) {
-            timeScaled(d10, 16).foreach { case (r, _) => t10 = math.min(t10, r) }
-            timeScaled(d20, 32).foreach { case (r, _) => t20 = math.min(t20, r) }
-          }
-          val slope = t20 / t10
-          val verdict = if (slope <= SlopeThreshold) "pass" else "fail"
-          System.err.println(f"[slope] q126_scaled_k (K prop n) t10=$t10%7.2f t20=$t20%7.2f slope=$slope%5.2f  $verdict")
-          ("q126_scaled_k", t10, t20, n10, n20, slope, verdict)
-        }
-        if (probe.isEmpty) System.err.println(s"[slope] q126_scaled_k FAILED to run")
-        probe.toSeq
-      }
+    // (round 16) the q126_scaled_k lever row retired: K ∝ n is now
+    // q126_semantic_dedup's DEFAULT (SimilarityOps.resolvedSemK), so the
+    // standing q126 row above IS the levered measurement at both tilings
+    // (it resolves K=16@×10, K=32@×20 — the exact constants this probe
+    // measured as a separate row in rounds 14-15).
+    val scaledRow: Seq[(String, Double, Double, Long, Long, Double, String)] = Seq.empty
 
     // Band-width ∝ log2(n) lever measurement: q41's output-bound entry
     // documents that production keeps band-bucket occupancy constant by

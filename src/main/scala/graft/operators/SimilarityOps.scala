@@ -1033,7 +1033,7 @@ object SimilarityOps {
     * the slice's lowest-[[IvfK]] vec_ids — on the dense full corpus that IS
     * the historical `vec_id < IvfK` rule, and on a slice it is what
     * [[trainedCodebookOf]] computes. */
-  def kmeansCteBodySqlOf(eWhere: String): String = {
+  def kmeansCteBodySqlOf(eWhere: String, k: Int = IvfK): String = {
     import graft.functions.PortableHash.proundSql
     val whereClause = if (eWhere.isEmpty) "" else s" WHERE $eWhere"
     val g = "(SELECT unnest(generate_series(1, 64)) AS i) g"
@@ -1059,7 +1059,7 @@ object SimilarityOps {
     }.mkString(",\n")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$whereClause),
        |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
-       |       WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $IvfK)),
+       |       WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
        |$blocks""".stripMargin
   }
 
@@ -1264,14 +1264,43 @@ object SimilarityOps {
         >= SemDedupThreshold)
       .select(col("vec_a"), col("vec_b"))
 
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedupK(spark, dir, IvfK)
+  /** Target mean cluster width of the DEFAULT SemDeDup form: K =
+    * max([[IvfK]], ⌈n / width⌉). The pinned-K harness form was round 15's
+    * ONE remaining slope-allowlist entry (pair work n²/K at fixed K);
+    * rounds 14–15 MEASURED the K ∝ n lever (K=16@×10 vs K=32@×20, slope
+    * data-linear), so round 16 makes it the shipped default. The width is
+    * chosen so every harness SF (≤2000 vectors) keeps K = [[IvfK]] — the
+    * sf0.01 oracle codebook is byte-identical to the pinned-K era — while
+    * the ×10/×20 tiled probes (20k/40k vectors) resolve exactly the
+    * measured 16/32. The oracle renders the RECORDED K
+    * ([[semDedupKUsed]], the q36 dfCap discipline), so both engines train
+    * the same codebook at every corpus size. */
+  val SemDedupClusterWidth = 1250L
 
-  /** [[semanticDedup]] with an explicit codebook size — the K ∝ n
-    * production lever made runnable so SlopeProbe can MEASURE it (K=16 at
-    * ×10 vs K=32 at ×20: double data, double K, constant cluster width —
-    * the slope must stay data-linear). The harness query pins K=[[IvfK]]
-    * so the DuckDB oracle reproduces the codebook CTEs. */
+  /** The K the LAST [[semanticDedup]] plan in this JVM resolved — its
+    * oracle renders against this record. */
+  @volatile private[graft] var semDedupKUsed: Option[Int] = None
+
+  private val embCountMemo =
+    new graft.assets.AssetStore.SessionMemo[String, java.lang.Long]
+  private def embeddingCount(spark: SparkSession, dir: String): Long =
+    embCountMemo.getOrBuild(spark, dir)(
+      Tables.embeddings(spark, dir).count())
+
+  private[graft] def resolvedSemK(spark: SparkSession, dir: String): Int = {
+    val n = embeddingCount(spark, dir)
+    math.max(IvfK, math.ceil(n.toDouble / SemDedupClusterWidth).toInt)
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = resolvedSemK(spark, dir)
+    semDedupKUsed = Some(k)
+    semanticDedupK(spark, dir, k)
+  }
+
+  /** [[semanticDedup]] with an explicit codebook size — the K ∝ n scaling
+    * rule factored so the spec can drive arbitrary K and the default form
+    * above stays a two-liner. */
   def semanticDedupK(spark: SparkSession, dir: String, k0: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = semanticAssigned(spark, dir, k0)
@@ -1303,7 +1332,10 @@ object SimilarityOps {
   def semanticDedupSql: String = {
     import graft.functions.PortableHash.proundSql
     val fin = s"c$KmeansIters"
-    s"""WITH RECURSIVE $kmeansCteBodySql,
+    // render the K the query actually resolved (IvfK at every harness SF;
+    // larger only under the tiled scale probes, where no oracle runs)
+    val k = semDedupKUsed.getOrElse(IvfK)
+    s"""WITH RECURSIVE ${kmeansCteBodySqlOf("", k)},
        |cn AS (SELECT cluster, cv, sqrt(${dotSql("cv", "cv")}) AS cnorm FROM $fin),
        |vn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS norm FROM e),
        |asg AS (SELECT vec_id, v, norm, cluster,
