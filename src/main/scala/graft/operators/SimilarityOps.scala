@@ -915,14 +915,62 @@ object SimilarityOps {
     * membership counts; both lineage-free K-row local relations.
     */
   private[operators] def trainedCodebook(spark: SparkSession, dir: String,
-      k0: Int = IvfK): (DataFrame, DataFrame) = {
-    val corpus = Tables.embeddings(spark, dir).transform(Tables.fanout)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // lowest-k0 seed rule — the SAME rule the oracle's c0 CTE encodes
-    // (`vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT k)`), so the
-    // two sides agree even on sparse id spaces; on the dense harness corpus
-    // this is the historical `vec_id < k0` set
-    trainedCodebookOf(spark, corpus, corpus.orderBy(col("vec_id")).limit(k0))
+      k0: Int = IvfK): (DataFrame, DataFrame) =
+    codebookAsset(spark, dir, "full", k0) {
+      val corpus = Tables.embeddings(spark, dir).transform(Tables.fanout)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // lowest-k0 seed rule — the SAME rule the oracle's c0 CTE encodes
+      // (`vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT k)`), so the
+      // two sides agree even on sparse id spaces; on the dense harness corpus
+      // this is the historical `vec_id < k0` set
+      trainedCodebookOf(spark, corpus, corpus.orderBy(col("vec_id")).limit(k0))
+    }
+
+  /** Layout version of the persisted codebook artifacts — bump when the
+    * training recipe changes. */
+  private[graft] val CodebookVersion = 1
+
+  private val codebookMemo = new graft.assets.AssetStore.SessionMemo[
+    (String, String, Int), (Array[Long], Array[Array[Double]], Array[(Long, Long)])]
+
+  /** The trained-codebook ASSET (round 16): [[trainedCodebookOf]]'s K-row
+    * result persisted per (corpus version, training slice, K) through
+    * [[graft.assets.AssetStore]], so the Lloyd passes run once per corpus
+    * version — q118 publishes the full-corpus codebook q126 then consumes,
+    * and q152's pre-batch slice codebook survives across maintenance jobs
+    * (its incremental-vs-rebuild argmin passes stay independent; only the
+    * TRAINING is shared). In-session the memo holds driver ARRAYS, so the
+    * rebuilt K-row local relations are lineage-free and clearCache-immune.
+    *
+    * With persistence disabled (PlanAudit, the scale probes) the asset
+    * layer steps aside entirely and every call trains: the probes grade
+    * training plans, and even a session memo would let a ×10 re-run skip
+    * work its ×20 twin paid, skewing the slope. */
+  private[operators] def codebookAsset(spark: SparkSession, dir: String,
+      sliceTag: String, k0: Int)(
+      train: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    if (graft.assets.AssetStore.assetsRoot(spark).isEmpty) train
+    else {
+      val (cids, cvs, szs) = codebookMemo.getOrBuild(spark, (dir, sliceTag, k0)) {
+        val merged = graft.assets.AssetStore.loadOrBuild(
+            spark, dir, s"codebook_${sliceTag}_k$k0", CodebookVersion) {
+          val (cents, sizes) = train
+          // one row per cluster; memberless clusters carry NULL n_vecs
+          cents.join(sizes, Seq("cluster"), "left")
+        }
+        val rows = merged.select(col("cluster").cast("long"), col("cv"),
+          col("n_vecs").cast("long")).collect()
+        require(rows.length <= 4096,
+          s"codebook artifact unexpectedly large: ${rows.length} rows")
+        val sorted = rows.sortBy(_.getLong(0))
+        (sorted.map(_.getLong(0)),
+         sorted.map(_.getSeq[Double](1).toArray),
+         sorted.filter(!_.isNullAt(2)).map(r => (r.getLong(0), r.getLong(2))))
+      }
+      (cids.zip(cvs).map { case (c, v) => (c, v.toSeq) }.toSeq.toDF("cluster", "cv"),
+       szs.toSeq.toDF("cluster", "n_vecs"))
+    }
   }
 
   /** [[trainedCodebook]] over an ARBITRARY (vec_id, v) relation with
@@ -1128,8 +1176,14 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val isNew = col("vec_id") % 5 === 0
     val corpus = all.filter(!isNew)
-    val seeds = corpus.orderBy(col("vec_id")).limit(IvfK)
-    val (cents, _) = trainedCodebookOf(spark, corpus, seeds)
+    // pre-batch slice codebook as a persisted asset: a maintenance pass
+    // re-trains only when the corpus version moves (exactly the artifact
+    // lifecycle q111/q158 follow); the incremental and rebuild argmin
+    // passes below stay independent of each other — only training is shared
+    val (cents, _) = codebookAsset(spark, dir, "mod5ne0", IvfK) {
+      val seeds = corpus.orderBy(col("vec_id")).limit(IvfK)
+      trainedCodebookOf(spark, corpus, seeds)
+    }
     val (cids, cvs) = collectCodebook(cents, "cluster", "cv")
     val nc = graft.functions.NearestCentroid(col("v"), lit(0.0), cids, cvs,
       byCosine = false)

@@ -591,7 +591,8 @@ object TextOps {
     // per-corpus asset (q158's discipline) — value-identical to computing
     // it from `a` (same scan, same fanout, same distinct)
     incrementalNearDedupOf(a, snapshotB(a, Some(snapRekeyOffsetShared(spark, dir))),
-      sharedAShingles = Some(shingleRowsShared(spark, dir)))
+      sharedAShingles = Some(shingleRowsShared(spark, dir)),
+      sharedABands = Some(bandRowsShared(spark, dir)))
   }
 
   /** Core of q159 over arbitrary (doc_id, text) snapshots. `carryFromA`
@@ -602,7 +603,8 @@ object TextOps {
     * corpus itself (the dir-level entry point). */
   private[graft] def incrementalNearDedupOf(a: DataFrame, b: DataFrame,
       carryFromA: Boolean = true,
-      sharedAShingles: Option[DataFrame] = None): DataFrame = {
+      sharedAShingles: Option[DataFrame] = None,
+      sharedABands: Option[DataFrame] = None): DataFrame = {
     val st = snapshotDiffOf(a, b)
       .filter(col("new_id").isNotNull)
       .select(col("old_id"), col("new_id"), col("status"))
@@ -663,8 +665,18 @@ object TextOps {
     def bandsOf(sig: DataFrame) = sig
       .select(col("doc_id"), posexplode(array(bandSigCols(col("sg")): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
+    // carried band rows ride from the persisted corpus band index when the
+    // caller supplies it (id remap only — the production form); the
+    // signature projection over A is then never executed
+    val cBands = (sharedABands, carryFromA) match {
+      case (Some(bds), true) =>
+        bds.select(col("doc_id").as("old_id"), col("band_idx"), col("band_sig"))
+          .join(carriedIds, Seq("old_id")).drop("old_id")
+          .withColumnRenamed("new_id", "doc_id")
+      case _ => bandsOf(cSig)
+    }
     val cand = bandsOf(nSig).as("n")
-      .join(bandsOf(cSig).as("c"),
+      .join(cBands.as("c"),
         col("n.band_idx") === col("c.band_idx") && col("n.band_sig") === col("c.band_sig"))
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
@@ -937,6 +949,23 @@ object TextOps {
       shingleRowsShared(spark, dir)
         .groupBy(col("shash")).agg(count(lit(1)).as("df"))
         .filter(col("df") > HotIndexMinDf))
+
+  /** The corpus MinHash BAND index as a shared asset: one row per
+    * (doc_id, band_idx, band_sig), the relation every LSH probe joins
+    * against (q111's admission screen, q159's carried side, and — as a
+    * Bloom filter — q112's streaming screen). Built from the narrow
+    * per-row [[graft.functions.MinHashSig]] projection (no shingle
+    * explosion reaches an exchange); persisted beside the corpus so
+    * admission jobs probe the index instead of re-signing 100 TB. */
+  private[graft] def bandRowsShared(spark: SparkSession, dir: String): DataFrame =
+    memoAsset(spark, dir, "bands") {
+      val sig = Tables.documents(spark, dir).transform(Tables.fanout)
+        .select(col("doc_id"),
+          graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
+        .filter(size(col("sg")) > 0)
+      sig.select(col("doc_id"), posexplode(array(bandSigCols(col("sg")): _*)))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
+    }
 
   /** q158: the hot-shingle df index BUILD — the oracle-checked
     * materialization of the asset every capped MinHash pipeline consumes
@@ -1449,12 +1478,20 @@ object TextOps {
     * harness because the test corpus is small.
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
-    incrementalDedupOf(Tables.documents(spark, dir).transform(Tables.fanout))
+    // the corpus IS the dir, so both heavy per-document projections come
+    // from the shared persisted assets (value-identical to inlining them:
+    // same scan, same fanout, same expressions)
+    incrementalDedupOf(Tables.documents(spark, dir).transform(Tables.fanout),
+      sharedShingles = Some(shingleRowsShared(spark, dir)),
+      sharedBands = Some(bandRowsShared(spark, dir)))
 
   /** Core of q111 over an arbitrary (doc_id, text) relation — exposed so
     * CorpusOpsSpec can drive known exact/near/new outcomes synthetically.
-    */
-  def incrementalDedupOf(d: DataFrame): DataFrame = {
+    * `sharedShingles`/`sharedBands` substitute the memoized corpus assets
+    * when `d` is the corpus itself (the dir-level entry point). */
+  def incrementalDedupOf(d: DataFrame,
+      sharedShingles: Option[DataFrame] = None,
+      sharedBands: Option[DataFrame] = None): DataFrame = {
     val isNew = col("doc_id") % 5 === 0
 
     // exact layer: corpus md5 → min doc_id, probed by the incoming batch
@@ -1470,17 +1507,19 @@ object TextOps {
     // the NARROW per-row MinHashSig expression — no explode, no signature
     // shuffle; only the (doc, band) rows ever exchange (the q112 streaming
     // stage shares this exact formulation)
-    val sh = d.select(col("doc_id"),
-        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
-      .distinct().cache()
+    val sh = sharedShingles.getOrElse(
+      d.select(col("doc_id"),
+          explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
+        .distinct().cache())
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val sig = d.select(col("doc_id"),
-        graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
-      .filter(size(col("sg")) > 0)
-    val bandCols = array(bandSigCols(col("sg")): _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandCols))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
-      .cache()
+    val bands = sharedBands.getOrElse {
+      val sig = d.select(col("doc_id"),
+          graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
+        .filter(size(col("sg")) > 0)
+      sig.select(col("doc_id"), posexplode(array(bandSigCols(col("sg")): _*)))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
+        .cache()
+    }
     val cand = bands.filter(isNew).as("n")
       .join(bands.filter(!isNew).as("c"),
         col("n.band_idx") === col("c.band_idx") && col("n.band_sig") === col("c.band_sig"))
