@@ -135,6 +135,7 @@ object SparkEntry {
     "q158_hot_shingle_index" -> (TextOps.hotShingleIndex _),
     "q159_incremental_neardup" -> (TextOps.incrementalNearDedup _),
     "q160_url_dedup"         -> (TextOps.urlDedup _),
+    "q161_docx_template"     -> (Letter.templateInventory _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1158,6 +1159,65 @@ object SparkEntry {
     "q156_incremental_reprocess" -> TextOps.incrementalReprocessSql,
     "q159_incremental_neardup" -> TextOps.incrementalNearDedupSql,
     "q160_url_dedup" -> TextOps.urlDedupSql,
+    // q161: the inventory CTE mirrors the DOCUMENTED template synthesis
+    // layout (Letter.TemplateParagraphRuns — the engine side derives it by
+    // actually parsing the built OOXML container); the render checks reuse
+    // q13's fmt chain verbatim.
+    "q161_docx_template" ->
+      s"""$ReqCte,
+         |valid AS (SELECT * FROM requests WHERE $ValidPred),
+         |joined AS (SELECT v.*, c.c_name FROM valid v JOIN customer c ON v.cust_id = c.c_custkey),
+         |fmt AS (SELECT request_id,
+         |  ${dateSql("report_date")} AS letter_date,
+         |  c_name AS client_name,
+         |  ${curSql("fee")} AS fee_formatted,
+         |  ${pctSql("due_signing")} AS due_signing_pct,
+         |  ${pctSql("due_completion")} AS due_completion_pct,
+         |  'Engagement_Letter_' || translate(c_name, ' /', '__') || '.pdf' AS pdf_filename
+         |FROM joined),
+         |vals AS (
+         |  SELECT 'date' AS placeholder, letter_date AS v FROM fmt
+         |  UNION ALL SELECT 'name', client_name FROM fmt
+         |  UNION ALL SELECT 'address', 'Segment ' || due_signing_pct FROM fmt
+         |  UNION ALL SELECT 'fee', fee_formatted FROM fmt
+         |  UNION ALL SELECT 'due_signing', due_signing_pct FROM fmt
+         |  UNION ALL SELECT 'due_completion', due_completion_pct FROM fmt
+         |  UNION ALL SELECT 'property_under_appraisal', pdf_filename FROM fmt
+         |  UNION ALL SELECT 'parcel_id', CAST(request_id AS VARCHAR) FROM fmt),
+         |counts AS (SELECT placeholder,
+         |    count(CASE WHEN v <> '' THEN 1 END) AS n FROM vals GROUP BY 1),
+         |firstreq AS (SELECT * FROM fmt ORDER BY request_id LIMIT 1),
+         |samples AS (
+         |  SELECT 'date' AS placeholder, letter_date AS s FROM firstreq
+         |  UNION ALL SELECT 'name', client_name FROM firstreq
+         |  UNION ALL SELECT 'address', 'Segment ' || due_signing_pct FROM firstreq
+         |  UNION ALL SELECT 'fee', fee_formatted FROM firstreq
+         |  UNION ALL SELECT 'due_signing', due_signing_pct FROM firstreq
+         |  UNION ALL SELECT 'due_completion', due_completion_pct FROM firstreq
+         |  UNION ALL SELECT 'property_under_appraisal', pdf_filename FROM firstreq
+         |  UNION ALL SELECT 'parcel_id', CAST(request_id AS VARCHAR) FROM firstreq),
+         |inv AS (SELECT * FROM (VALUES
+         |  (1, 'date', 0, TRUE, TRUE),
+         |  (2, 'name', 1, FALSE, TRUE),
+         |  (3, 'address', 2, FALSE, TRUE),
+         |  (4, 'property_under_appraisal', 3, TRUE, TRUE),
+         |  (5, 'parcel_id', 4, TRUE, TRUE),
+         |  (6, 'fee', 5, FALSE, TRUE),
+         |  (7, 'due_signing', 6, FALSE, TRUE),
+         |  (8, 'due_completion', 7, FALSE, TRUE),
+         |  (9, 'initial_1', 8, FALSE, FALSE),
+         |  (10, 'initial_2', 8, TRUE, FALSE),
+         |  (11, 'initial_3', 8, FALSE, FALSE),
+         |  (12, 'customer_signature_name', 9, FALSE, FALSE)
+         |) t(ord, placeholder, paragraph_idx, split_across_runs, supplied))
+         |SELECT CAST(inv.ord AS BIGINT) AS ord, inv.placeholder,
+         |  CAST(inv.paragraph_idx AS BIGINT) AS paragraph_idx,
+         |  inv.split_across_runs, inv.supplied,
+         |  coalesce(counts.n, 0) AS n_rendered_nonblank,
+         |  coalesce(samples.s, '') AS sample_value
+         |FROM inv LEFT JOIN counts USING (placeholder)
+         |LEFT JOIN samples USING (placeholder)
+         |ORDER BY ord""".stripMargin,
     "q157_audio_features" -> {
       def hv(c: String) =
         s"(ascii($c) - 48 - CASE WHEN ascii($c) >= 97 THEN 39 ELSE 0 END)"

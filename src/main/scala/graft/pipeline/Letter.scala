@@ -103,6 +103,90 @@ object Letter {
       .orderBy(col("request_id"))
   }
 
+  /** The synthesized engagement-letter TEMPLATE as paragraph runs — the
+    * q149/q151/q160 fixture discipline applied to S5: a real OOXML package
+    * is BUILT from these runs ([[graft.multimodal.DocxCodec.buildDocx]]),
+    * then PARSED back by the hand-written container codec, and q161's
+    * oracle mirrors this documented layout verbatim. The placeholder schema
+    * is SURVEY §1.3's 12-key set (`templates/template.docx`,
+    * `word/document.xml`), including its run-boundary pathology: real
+    * writers split placeholders across adjacent `<w:r>` runs (the
+    * reference's own file splits `{{parcel_id}}`/`{{initial_2}}`/
+    * `{{initial_3}}`), so four placeholders here are deliberately split —
+    * a parser that fails to merge runs cannot find them at all. */
+  private[graft] val TemplateParagraphRuns: Seq[Seq[String]] = Seq(
+    Seq("Date: ", "{{", "date", "}}"),
+    Seq("Client: {{name}}"),
+    Seq("Address: {{address}}"),
+    Seq("Property under appraisal: {{property", "_under_appraisal}}"),
+    Seq("Parcel ID: {{", "parcel_id}}"),
+    Seq("Fee: {{fee}}"),
+    Seq("Due at signing: {{due_signing}}"),
+    Seq("Due at completion: {{due_completion}}"),
+    Seq("Initials: {{initial_1}} {{init", "ial_2}} {{initial_3}}"),
+    Seq("Signature: {{customer_signature_name}}"))
+
+  /** Placeholders the backend context never supplies (docxtpl renders them
+    * as "" — `report_generator.py:75-86` vs the §1.3 schema). */
+  private[graft] val UnsuppliedKeys =
+    Set("initial_1", "initial_2", "initial_3", "customer_signature_name")
+
+  /** q161: the DOCX template SOURCE made format-honest — parse the real
+    * ZIP/OOXML container (built from [[TemplateParagraphRuns]], the same
+    * synthesize-then-really-decode contract as q52/q157's PPM/WAV tiers),
+    * extract the placeholder inventory ACROSS run boundaries, and check the
+    * render against q13's context: per placeholder, how many of the valid
+    * letters render it non-blank (unsupplied keys render "" — docxtpl's
+    * absent-key behavior) plus the lowest-request sample value.
+    *
+    * Scale shape: the template is ONE driver-side artifact (the reference
+    * loads it once per process, `report_generator.py:57`); the corpus-sized
+    * work is a narrow 8-way value explode over the letters plane into an
+    * 8-key hash aggregate. Nothing else leaves the driver.
+    */
+  def templateInventory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.DocxCodec
+    val parsed = DocxCodec.placeholders(
+      DocxCodec.paragraphRuns(
+        DocxCodec.documentXml(
+          DocxCodec.zipEntries(DocxCodec.buildDocx(TemplateParagraphRuns)))))
+    val inv = parsed.map(p => (p.ord.toLong, p.name, p.paragraphIdx.toLong,
+        p.splitAcrossRuns, !UnsuppliedKeys.contains(p.name)))
+      .toDF("ord", "placeholder", "paragraph_idx", "split_across_runs", "supplied")
+    val ctx = letters(spark, dir)
+    val valueFor: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "date" -> col("letter_date"),
+      "name" -> col("client_name"),
+      "address" -> concat(lit("Segment "), col("due_signing_pct")),
+      "fee" -> col("fee_formatted"),
+      "due_signing" -> col("due_signing_pct"),
+      "due_completion" -> col("due_completion_pct"),
+      "property_under_appraisal" -> col("pdf_filename"),
+      "parcel_id" -> col("request_id").cast("string"))
+    val entries = array(valueFor.map { case (n, v) =>
+      struct(lit(n).as("placeholder"), v.as("v")) }: _*)
+    val counts = ctx.select(explode(entries).as("e"))
+      .select(col("e.placeholder").as("placeholder"), col("e.v").as("v"))
+      .groupBy(col("placeholder"))
+      .agg(count(when(col("v") =!= "", 1)).as("n_rendered_nonblank"))
+    // one sample row (lowest request id) — a bounded driver materialization,
+    // exactly the letter the reference's golden artifact renders
+    val sampleOpt = ctx.orderBy(col("request_id")).limit(1)
+      .select(valueFor.map { case (n, v) => v.as(n) }: _*).collect().headOption
+    val sampleDf = valueFor.map(_._1).zipWithIndex.map { case (n, i) =>
+      (n, sampleOpt.map(r => if (r.isNullAt(i)) "" else r.get(i).toString)
+        .getOrElse(""))
+    }.toDF("placeholder", "sample_value")
+    inv.join(counts, Seq("placeholder"), "left")
+      .join(sampleDf, Seq("placeholder"), "left")
+      .select(col("ord"), col("placeholder"), col("paragraph_idx"),
+        col("split_across_runs"), col("supplied"),
+        coalesce(col("n_rendered_nonblank"), lit(0L)).as("n_rendered_nonblank"),
+        coalesce(col("sample_value"), lit("")).as("sample_value"))
+      .orderBy(col("ord"))
+  }
+
   /** q09: `_format_percent` over the request plane (LOCKED truncation +
     * "" null channel).
     */
