@@ -136,6 +136,7 @@ object SparkEntry {
     "q159_incremental_neardup" -> (TextOps.incrementalNearDedup _),
     "q160_url_dedup"         -> (TextOps.urlDedup _),
     "q161_docx_template"     -> (Letter.templateInventory _),
+    "q162_stream_neardedup"  -> (graft.streaming.DocsStream.streamingIncrementalNearDedup _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1158,6 +1159,8 @@ object SparkEntry {
     "q155_html_extract" -> TextOps.htmlMainContentSql,
     "q156_incremental_reprocess" -> TextOps.incrementalReprocessSql,
     "q159_incremental_neardup" -> TextOps.incrementalNearDedupSql,
+    // q162 = q159 as a stream: same diff, same verdicts, same oracle
+    "q162_stream_neardedup" -> TextOps.incrementalNearDedupSql,
     "q160_url_dedup" -> TextOps.urlDedupSql,
     // q161: the inventory CTE mirrors the DOCUMENTED template synthesis
     // layout (Letter.TemplateParagraphRuns — the engine side derives it by

@@ -360,7 +360,7 @@ object TextOps {
     * footer-stats read of one int64 column, paid once per corpus version. */
   private val offsetMemo =
     new graft.assets.AssetStore.SessionMemo[String, java.lang.Long]
-  private def snapRekeyOffsetShared(spark: SparkSession, dir: String): Long =
+  private[graft] def snapRekeyOffsetShared(spark: SparkSession, dir: String): Long =
     offsetMemo.getOrBuild(spark, dir)(
       snapRekeyOffsetOf(Tables.documents(spark, dir).select(col("doc_id"))))
 

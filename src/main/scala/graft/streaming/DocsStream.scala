@@ -28,7 +28,185 @@ object DocsStream {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
   private val M31 = graft.functions.PortableHash.M31
+  import graft.operators.TextOps
   import graft.operators.TextOps.MinHashPerms
+
+  /** One candidate/base row of the q162 per-document admission group —
+    * scalars only, so the groupByKey exchange never carries arrays. */
+  private[graft] case class AdmRow(doc_id: Long, status: String,
+      exact_match: Option[Long], corpus_id: Option[Long], verified: Boolean)
+  /** One q162 verdict (q159's exact output row). */
+  private[graft] case class AdmVerdict(doc_id: Long, status: String,
+      verdict: String, match_doc: Option[Long])
+
+  /** The carried corpus index a continuous crawl admits against: static
+    * batch relations (in production, the persisted artifacts of snapshot
+    * A's run — id-remapped views of the [[TextOps]] asset layer) plus the
+    * serialized Bloom filter over the band keys. */
+  private[graft] final case class CarriedIndex(
+      md5Min: DataFrame, bands: DataFrame, shingleSets: DataFrame,
+      bloomBytes: Array[Byte])
+
+  private def bloomBytesOf(keys: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col(keyCol))),
+        GraftBridge.expression(lit(expectedItems)),
+        GraftBridge.expression(lit(numBits))).toAggregateExpression())
+    keys.agg(agg.as("bloom")).head.getAs[Array[Byte]]("bloom")
+  }
+
+  private def mightContain(bloomBytes: Array[Byte])(
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(bloomBytes)),
+      GraftBridge.expression(xxhash64(v))))
+  }
+
+  /** Build the carried index for the dir-level q162 (id-remapped views of
+    * the persisted corpus assets), plus the BATCH changed slice — returned
+    * so IncrementalReplaySpec can replay the identical slice through a
+    * MemoryStream in arbitrary micro-batch splits. */
+  private[graft] def carriedIndexFor(spark: SparkSession, dir: String)
+      : (CarriedIndex, DataFrame) = {
+    val a = Tables.documents(spark, dir).transform(Tables.fanout)
+      .select(col("doc_id"), col("text"))
+    val offset = TextOps.snapRekeyOffsetShared(spark, dir)
+    val st = TextOps.snapshotDiffOf(a, TextOps.snapshotB(a, Some(offset)))
+      .filter(col("new_id").isNotNull)
+      .select(col("old_id"), col("new_id"), col("status"))
+      .localCheckpoint()
+    val carriedIds = st.filter(col("status").isin("unchanged", "moved"))
+      .select(col("old_id"), col("new_id"))
+    def remap(d: DataFrame) = d.withColumnRenamed("doc_id", "old_id")
+      .join(carriedIds, Seq("old_id")).drop("old_id")
+      .withColumnRenamed("new_id", "corpus_id")
+    val cSh = remap(TextOps.shingleRowsShared(spark, dir))
+    val cBands = remap(TextOps.bandRowsShared(spark, dir))
+    val cMd5 = remap(a.select(col("doc_id"), md5(col("text")).as("content_md5")))
+    val md5Min = cMd5.groupBy(col("content_md5"))
+      .agg(min(col("corpus_id")).as("exact_match")).localCheckpoint()
+    // per-carried-doc shingle SETS: the per-row stream verify needs the
+    // set adjacent to the candidate row (bounded per doc by text length —
+    // this IS the persisted index's natural row shape)
+    val sets = cSh.groupBy(col("corpus_id"))
+      .agg(collect_list(col("shash")).as("c_sh"), count(lit(1)).as("sz_c"))
+      .localCheckpoint()
+    val bands = cBands.localCheckpoint()
+    val bloom = bloomBytesOf(
+      bands.select(concat(col("band_idx").cast("string"), lit(":"),
+        col("band_sig")).as("band_key")),
+      "band_key", expectedItems = 100000L, fpp = 0.01)
+    val changed = TextOps.snapshotB(a, Some(offset))
+      .join(st.filter(col("status").isin("added", "modified"))
+        .select(col("new_id").as("doc_id"), col("status")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("status"))
+    (CarriedIndex(md5Min, bands, sets, bloom), changed)
+  }
+
+  /** q162 core over an arbitrary STREAMING changed slice (doc_id, text,
+    * status): q159's exact/near/new admission re-expressed as per-row
+    * stream-static work — md5 probe (distinct-key left join), Bloom band
+    * screen (no false negatives, so survivors are exactly q111's candidate
+    * superset), band-bucket candidate join, per-row exact-Jaccard verify
+    * against the carried shingle sets — then ONE tiny per-document reduce
+    * through `flatMapGroupsWithState` (append mode, no watermark needed:
+    * all of a document's candidate rows derive from its single source row,
+    * so each group completes within its micro-batch). The group state is
+    * the admission ledger: a document re-delivered in a LATER batch (crawl
+    * retries do this constantly) is suppressed instead of re-admitted —
+    * the cross-batch property IncrementalReplaySpec proves.
+    *
+    * 100 TB shape: the stream carries only the changed slice; the static
+    * sides are the persisted index artifacts (bucketed stream-static joins
+    * when they outgrow broadcast — q112's documented fallback); the only
+    * stateful operator keys on doc_id with a Boolean per admitted id. */
+  private[graft] def streamingIncrementalNearDedupOf(spark: SparkSession,
+      changed: DataFrame, idx: CarriedIndex): org.apache.spark.sql.Dataset[AdmVerdict] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bandStructs = TextOps.bandSigCols(col("sg")).zipWithIndex.map {
+      case (b, bi) => struct(lit(bi).as("band_idx"), b.as("band_sig"))
+    }
+    val enriched = changed
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("sh",
+        array_distinct(graft.functions.ShingleHashes(col("text"), 3, M31)))
+      .withColumn("sz_n", size(col("sh")))
+      .withColumn("sg",
+        graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms))
+      .withColumn("bands",
+        when(size(col("sg")) === MinHashPerms, array(bandStructs: _*))
+          .otherwise(array().cast("array<struct<band_idx:int,band_sig:string>>")))
+      .join(broadcast(idx.md5Min), Seq("content_md5"), "left")
+      .withColumn("suspect", exists(col("bands"), b =>
+        mightContain(idx.bloomBytes)(concat(
+          b.getField("band_idx").cast("string"), lit(":"), b.getField("band_sig")))))
+    // one base row per document (keeps no-candidate docs alive) ∪ verified
+    // candidate rows; scalars only past this point
+    val base = enriched.select(col("doc_id"), col("status"), col("exact_match"),
+      lit(null).cast("long").as("corpus_id"), lit(false).as("verified"))
+    val cands = enriched.filter(col("suspect"))
+      .select(col("doc_id"), col("status"), col("exact_match"), col("sh"),
+        col("sz_n"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("status"), col("exact_match"), col("sh"),
+        col("sz_n"), col("b.band_idx").as("band_idx"), col("b.band_sig").as("band_sig"))
+      .join(idx.bands, Seq("band_idx", "band_sig"))
+      .join(idx.shingleSets, Seq("corpus_id"))
+      .withColumn("n_inter", size(array_intersect(col("sh"), col("c_sh"))))
+      .select(col("doc_id"), col("status"), col("exact_match"),
+        col("corpus_id").cast("long").as("corpus_id"),
+        (col("n_inter") * 5 >= (col("sz_n") + col("sz_c") - col("n_inter")) * 4)
+          .as("verified"))
+    base.unionByName(cands).as[AdmRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, AdmVerdict](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[AdmRow], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // duplicate delivery: already admitted
+          else {
+            state.update(true)
+            val rs = rows.toSeq
+            val exact = rs.head.exact_match
+            val near = rs.filter(_.verified).flatMap(_.corpus_id)
+              .sorted.headOption
+            val verdict =
+              if (exact.isDefined) "exact"
+              else if (near.isDefined) "near" else "new"
+            Iterator(AdmVerdict(id, rs.head.status, verdict, exact.orElse(near)))
+          }
+      }
+  }
+
+  /** q162: q159's incremental near-dup admission as a CONTINUOUS stream —
+    * the changed slice of the snapshot diff arrives as an unbounded stream
+    * and is admitted against the carried (persisted) corpus index. Equals
+    * batch q159 on the same diff row-for-row (same oracle), at any
+    * micro-batch split, with re-deliveries suppressed by admission state. */
+  def streamingIncrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_neardedup_${counter.incrementAndGet()}"
+    val (idx, changedBatch) = carriedIndexFor(spark, dir)
+    val offset = TextOps.snapRekeyOffsetShared(spark, dir)
+    val changedStatus = changedBatch
+      .select(col("doc_id"), col("status")).localCheckpoint()
+    val bStream = TextOps.snapshotB(
+      Tables.readStreamTable(spark, dir, "documents")
+        .select(col("doc_id"), col("text")), Some(offset))
+    val changed = bStream.join(broadcast(changedStatus), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("status"))
+    val q = streamingIncrementalNearDedupOf(spark, changed, idx)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("doc_id"))
+  }
 
   /** The band-key strings of a document as an array column: band index
     * prefixed onto the SHARED batch band layout (TextOps.bandSigCols — one

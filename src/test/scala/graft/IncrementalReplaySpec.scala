@@ -500,6 +500,41 @@ class IncrementalReplaySpec extends SparkSpec {
     assert(snap() == batchTop, "a replayed micro-batch must be a merge no-op")
   }
 
+  test("q162 streaming admission equals batch q159 across micro-batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocsStream
+    import graft.operators.TextOps
+    val (idx, changedBatch) = DocsStream.carriedIndexFor(spark, sf001)
+    val rows = changedBatch.select(col("doc_id"), col("text"), col("status"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows.size > 3, "vacuous: changed slice too small to split")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val changed = ms.toDF.toDF("doc_id", "text", "status")
+    val name = s"inc_adm_${counter.incrementAndGet()}"
+    val q = DocsStream.streamingIncrementalNearDedupOf(spark, changed, idx)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // the slice arrives in THREE micro-batches — admission must not
+      // depend on the split
+      (0 to 2).foreach { b =>
+        ms.addData(rows.filter(_._1 % 3 == b): _*)
+        q.processAllAvailable()
+      }
+      // crawl retries: two documents re-delivered in a LATER batch — the
+      // admission ledger (fMGWS state) suppresses the duplicates
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).orderBy(col("doc_id"))
+      .collect().map(_.toString).toSeq
+    val want = TextOps.incrementalNearDedup(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(got.size == rows.size, "re-delivered documents must emit exactly once")
+    assert(got == want, "streamed admission must equal the batch q159 verdicts")
+  }
+
   test("flatMapGroupsWithState user state is bit-identical under RocksDBStateStoreProvider") {
     // completes the state-tier trilogy: windowed aggregate (r7), stream-
     // stream interval join (this round), and now ENCODER-SERIALIZED custom
