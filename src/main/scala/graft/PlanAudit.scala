@@ -677,6 +677,23 @@ object PlanAudit {
       (if (q159ok) "OK (keyed joins only, no product join in the admission pipeline)"
        else s"CHECK: cartesian=${q159plan.contains("CartesianProduct")} " +
             s"bnlj=${q159plan.contains("BroadcastNestedLoopJoin")}"))
+    // q161 docx template inventory: the corpus-sized work is the letters
+    // plane (q13's broadcast enrich join) into the 8-key value aggregate —
+    // the template parse itself is one driver-side artifact, so the plan
+    // must show no product joins and keep the tiny inventory joins broadcast
+    val q161 = SparkEntry.queries("q161_docx_template")(spark, dir)
+    q161.collect()
+    val q161plan = q161.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    val q161ok = q161plan.contains("BroadcastHashJoin") &&
+      q161plan.contains("HashAggregate") &&
+      !q161plan.contains("CartesianProduct") &&
+      !q161plan.contains("SortMergeJoin")
+    report(s"[audit] q161 docx template " +
+      (if (q161ok) "OK (broadcast joins + one small-key aggregate)"
+       else s"CHECK: bhj=${q161plan.contains("BroadcastHashJoin")} " +
+            s"smj=${q161plan.contains("SortMergeJoin")} " +
+            s"cartesian=${q161plan.contains("CartesianProduct")}"))
     // q156 incremental re-process: the composed diff→dedup pipeline stays
     // on id/content-hash exchange keys end to end (the q154 contract plus
     // the keeper hash aggregate); no product joins anywhere

@@ -85,7 +85,10 @@ object ScaleBench {
     "q155_html_extract", "q156_incremental_reprocess", "q52_media_features",
     "q157_audio_features",
     // round-15 additions
-    "q158_hot_shingle_index", "q159_incremental_neardup", "q160_url_dedup")
+    "q158_hot_shingle_index", "q159_incremental_neardup", "q160_url_dedup",
+    // round-16 additions (q161 is a driver-artifact parse + 8-key agg —
+    // covered by the all-surface sweeps, not a slope suspect)
+    "q162_stream_neardedup")
 
   private[graft] def selectedQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES") match {

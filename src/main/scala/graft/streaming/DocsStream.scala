@@ -128,14 +128,11 @@ object DocsStream {
     * sides are the persisted index artifacts (bucketed stream-static joins
     * when they outgrow broadcast — q112's documented fallback); the only
     * stateful operator keys on doc_id with a Boolean per admitted id. */
-  private[graft] def streamingIncrementalNearDedupOf(spark: SparkSession,
-      changed: DataFrame, idx: CarriedIndex): org.apache.spark.sql.Dataset[AdmVerdict] = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+  private[graft] def enrichedOf(changed: DataFrame, idx: CarriedIndex): DataFrame = {
     val bandStructs = TextOps.bandSigCols(col("sg")).zipWithIndex.map {
       case (b, bi) => struct(lit(bi).as("band_idx"), b.as("band_sig"))
     }
-    val enriched = changed
+    changed
       .withColumn("content_md5", md5(col("text")))
       .withColumn("sh",
         array_distinct(graft.functions.ShingleHashes(col("text"), 3, M31)))
@@ -149,22 +146,54 @@ object DocsStream {
       .withColumn("suspect", exists(col("bands"), b =>
         mightContain(idx.bloomBytes)(concat(
           b.getField("band_idx").cast("string"), lit(":"), b.getField("band_sig")))))
-    // one base row per document (keeps no-candidate docs alive) ∪ verified
-    // candidate rows; scalars only past this point
-    val base = enriched.select(col("doc_id"), col("status"), col("exact_match"),
-      lit(null).cast("long").as("corpus_id"), lit(false).as("verified"))
-    val cands = enriched.filter(col("suspect"))
+  }
+
+  private[graft] def candsOf(enriched: DataFrame, idx: CarriedIndex): DataFrame =
+    // the Bloom screen is applied INSIDE the band array (HOF filter →
+    // explode), not as a row predicate: a deterministic `.filter(suspect)`
+    // gets predicate-pushed below the changed-slice join into the corpus
+    // scan, where it evaluates the signature + 16 Bloom probes for EVERY
+    // corpus document in BOTH snapshot-B branches (measured 15 s vs 2 s at
+    // sf0.1). Screening the array keeps the probe per CHANGED document and
+    // drops non-matching bands before the candidate join; Bloom one-sided
+    // error means no true candidate band is ever dropped.
+    enriched
       .select(col("doc_id"), col("status"), col("exact_match"), col("sh"),
-        col("sz_n"), explode(col("bands")).as("b"))
+        col("sz_n"), explode(filter(col("bands"), b =>
+          mightContain(idx.bloomBytes)(concat(
+            b.getField("band_idx").cast("string"), lit(":"),
+            b.getField("band_sig"))))).as("b"))
       .select(col("doc_id"), col("status"), col("exact_match"), col("sh"),
         col("sz_n"), col("b.band_idx").as("band_idx"), col("b.band_sig").as("band_sig"))
-      .join(idx.bands, Seq("band_idx", "band_sig"))
-      .join(idx.shingleSets, Seq("corpus_id"))
+      // micro-batch plans get no AQE: left unhinted, the checkpointed index
+      // relations (unknown stats) sort-merge-join, shuffling the stream's
+      // array-carrying rows per batch — measured 17 s vs 2 s broadcast at
+      // sf0.1. The carried index is the SMALL side here by design (the
+      // stream probes it); when it outgrows broadcast, production switches
+      // to the bucketed stream-static join (q112's documented fallback)
+      .join(broadcast(idx.bands), Seq("band_idx", "band_sig"))
+      .join(broadcast(idx.shingleSets), Seq("corpus_id"))
       .withColumn("n_inter", size(array_intersect(col("sh"), col("c_sh"))))
       .select(col("doc_id"), col("status"), col("exact_match"),
         col("corpus_id").cast("long").as("corpus_id"),
         (col("n_inter") * 5 >= (col("sz_n") + col("sz_c") - col("n_inter")) * 4)
           .as("verified"))
+
+  private[graft] def profEnriched(spark: SparkSession, changed: DataFrame,
+      idx: CarriedIndex): DataFrame = enrichedOf(changed, idx)
+  private[graft] def profCands(spark: SparkSession, changed: DataFrame,
+      idx: CarriedIndex): DataFrame = candsOf(enrichedOf(changed, idx), idx)
+
+  private[graft] def streamingIncrementalNearDedupOf(spark: SparkSession,
+      changed: DataFrame, idx: CarriedIndex): org.apache.spark.sql.Dataset[AdmVerdict] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val enriched = enrichedOf(changed, idx)
+    // one base row per document (keeps no-candidate docs alive) ∪ verified
+    // candidate rows; scalars only past this point
+    val base = enriched.select(col("doc_id"), col("status"), col("exact_match"),
+      lit(null).cast("long").as("corpus_id"), lit(false).as("verified"))
+    val cands = candsOf(enriched, idx)
     base.unionByName(cands).as[AdmRow]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[Boolean, AdmVerdict](
