@@ -73,8 +73,24 @@ object DocsStream {
   /** Build the carried index for the dir-level q162 (id-remapped views of
     * the persisted corpus assets), plus the BATCH changed slice — returned
     * so IncrementalReplaySpec can replay the identical slice through a
-    * MemoryStream in arbitrary micro-batch splits. */
+    * MemoryStream in arbitrary micro-batch splits.
+    *
+    * Memoized per (session, corpus) when the asset layer is on — the
+    * carried index IS snapshot A's persisted index in production, built
+    * once per corpus version, and its frames are localCheckpointed (so
+    * they survive Bench's per-query clearCache). The probes run with
+    * assets off and keep re-building (the codebookAsset fairness rule:
+    * a ×10 re-run must not skip work its ×20 twin paid). */
+  private val carriedMemo =
+    new graft.assets.AssetStore.SessionMemo[String, (CarriedIndex, DataFrame)]
+
   private[graft] def carriedIndexFor(spark: SparkSession, dir: String)
+      : (CarriedIndex, DataFrame) =
+    if (graft.assets.AssetStore.assetsRoot(spark).isEmpty)
+      buildCarriedIndex(spark, dir)
+    else carriedMemo.getOrBuild(spark, dir)(buildCarriedIndex(spark, dir))
+
+  private def buildCarriedIndex(spark: SparkSession, dir: String)
       : (CarriedIndex, DataFrame) = {
     val a = Tables.documents(spark, dir).transform(Tables.fanout)
       .select(col("doc_id"), col("text"))
