@@ -116,10 +116,16 @@ object DocsStream {
       .agg(collect_list(col("shash")).as("c_sh"), count(lit(1)).as("sz_c"))
       .localCheckpoint()
     val bands = cBands.localCheckpoint()
+    // size the filter to the ACTUAL carried key count (a floor keeps tiny
+    // corpora from under-building): a fixed capacity would silently degrade
+    // the FPP — and with it the screen's pruning power — as the corpus
+    // grows (the ×20 sweep alone carries ~1.3M band keys). The count is a
+    // metadata read off the checkpoint just materialized.
+    val nKeys = bands.count()
     val bloom = bloomBytesOf(
       bands.select(concat(col("band_idx").cast("string"), lit(":"),
         col("band_sig")).as("band_key")),
-      "band_key", expectedItems = 100000L, fpp = 0.01)
+      "band_key", expectedItems = math.max(100000L, nKeys), fpp = 0.01)
     val changed = TextOps.snapshotB(a, Some(offset))
       .join(st.filter(col("status").isin("added", "modified"))
         .select(col("new_id").as("doc_id"), col("status")), Seq("doc_id"))
