@@ -937,8 +937,9 @@ object TextOps {
 
   /** Artifact layout version for the shingle-tier assets — bump whenever
     * [[shingleRows]] / [[hotDfIndex]] / the pair pipeline change what they
-    * compute, so stale artifacts from older code can never be served. */
-  private[graft] val ShingleAssetVersion = 1
+    * compute, so stale artifacts from older code can never be served.
+    * v2: the band index carries `source` (q143 consumes it). */
+  private[graft] val ShingleAssetVersion = 2
 
   /** Re-register caching if a `spark.catalog.clearCache()` since the asset
     * was built dropped it — Bench clears caches before EVERY timed query
@@ -997,10 +998,11 @@ object TextOps {
   private[graft] def bandRowsShared(spark: SparkSession, dir: String): DataFrame =
     memoAsset(spark, dir, "bands") {
       val sig = Tables.documents(spark, dir).transform(Tables.fanout)
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("source"),
           graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
         .filter(size(col("sg")) > 0)
-      sig.select(col("doc_id"), posexplode(array(bandSigCols(col("sg")): _*)))
+      sig.select(col("doc_id"), col("source"),
+          posexplode(array(bandSigCols(col("sg")): _*)))
         .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
     }
 
@@ -3245,12 +3247,9 @@ object TextOps {
     */
   def neardupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).transform(Tables.fanout)
-    val sig = d.select(col("doc_id"), col("source"),
-        graft.functions.MinHashSig(col("text"), 3, M31, MinHashPerms).as("sg"))
-      .filter(size(col("sg")) > 0)
-    val bands = sig.select(col("doc_id"), col("source"),
-        posexplode(array(bandSigCols(col("sg")): _*)))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_sig")
+    // the corpus band index is the SHARED asset (q111/q159/q162 probe the
+    // same relation) — value-identical to the inline sig→band projection
+    val bands = bandRowsShared(spark, dir)
     val evalBands = bands.filter(col("source") === "src0")
       .select(col("doc_id").as("eval_id"), col("band_idx"), col("band_sig"))
     val cand = bands.filter(col("source") =!= "src0")
