@@ -153,8 +153,45 @@ object AssetStore {
             fs.delete(tmp, true)
             require(complete,
               s"asset publish failed and no complete artifact at $path")
-          } else buildCount.incrementAndGet()
+          } else {
+            buildCount.incrementAndGet()
+            if (spark.conf.getOption("graft.assets.prune").forall(_.toBoolean))
+              markAndPrune(fs, new Path(root), sig, dir)
+          }
         }
         spark.read.parquet(path.toString)
     }
+
+  /** Retention: each signature dir carries a `_CORPUS` marker naming the
+    * corpus directory it was derived from; publishing an artifact under a
+    * NEW signature best-effort deletes this corpus's SUPERSEDED signature
+    * trees (the corpus was regenerated — their artifacts can never be
+    * served again, only leak disk). Conf `graft.assets.prune=false`
+    * disables (e.g. blue/green jobs intentionally pinned to an older
+    * corpus version mid-transition). */
+  private def markAndPrune(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      sig: String, dir: String): Unit = {
+    try {
+      val marker = new Path(root, s"$sig/_CORPUS")
+      if (!fs.exists(marker)) {
+        val out = fs.create(marker, true)
+        out.write(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      }
+      fs.listStatus(root).filter(_.isDirectory).foreach { s =>
+        val other = s.getPath.getName
+        if (other != sig) {
+          val m = new Path(s.getPath, "_CORPUS")
+          if (fs.exists(m)) {
+            val in = fs.open(m)
+            val b = new Array[Byte](math.min(65536L, fs.getFileStatus(m).getLen).toInt)
+            val n = in.read(b); in.close()
+            if (n > 0 && new String(b, 0, n,
+                java.nio.charset.StandardCharsets.UTF_8) == dir)
+              fs.delete(s.getPath, true)
+          }
+        }
+      }
+    } catch { case _: java.io.IOException => () } // best-effort only
+  }
 }

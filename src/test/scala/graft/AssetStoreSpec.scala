@@ -95,6 +95,31 @@ class AssetStoreSpec extends SparkSpec {
       s"cached-RDD count grew across bench passes: $sizes")
   }
 
+  test("retention: a regenerated corpus's superseded signature trees are pruned") {
+    val corpus = Files.createTempDirectory("graft_prune_corpus")
+    val f = corpus.resolve("documents.parquet")
+    Files.copy(Paths.get(s"$sf001/documents.parquet"), f,
+      StandardCopyOption.REPLACE_EXISTING)
+    val root = Files.createTempDirectory("graft_prune_root").toString
+    def buildOnce(s: org.apache.spark.sql.SparkSession): String = {
+      s.conf.set(AssetStore.DirConf, root)
+      val sig = AssetStore.corpusSignature(s, corpus.toString)
+      AssetStore.loadOrBuild(s, corpus.toString, "t", 1)(
+        s.range(3).toDF("doc_id")).collect()
+      sig
+    }
+    val sigA = buildOnce(spark.newSession())
+    assert(new java.io.File(root, sigA).exists)
+    // regenerate the corpus → new signature; publishing under it prunes A
+    Files.write(f, Files.readAllBytes(f) ++ Array[Byte](0))
+    f.toFile.setLastModified(f.toFile.lastModified() + 90000)
+    val sigB = buildOnce(spark.newSession())
+    assert(sigB != sigA)
+    assert(new java.io.File(root, sigB).exists)
+    assert(!new java.io.File(root, sigA).exists,
+      "superseded signature tree must be pruned on the next publish")
+  }
+
   test("SessionMemo lifecycle: context-stop removal releases a session's entries") {
     val memo = new AssetStore.SessionMemo[String, String]
     val s = spark.newSession()
