@@ -961,8 +961,14 @@ object SimilarityOps {
         }
         val rows = merged.select(col("cluster").cast("long"), col("cv"),
           col("n_vecs").cast("long")).collect()
-        require(rows.length <= 4096,
-          s"codebook artifact unexpectedly large: ${rows.length} rows")
+        // Bound the driver materialization by the REQUESTED k0, not a fixed
+        // constant: under the K ∝ n default (resolvedSemK) k0 itself grows
+        // with the corpus, and a fixed 4096 would hard-fail semanticDedup
+        // at ~5.1M embeddings — exactly the enabled-asset production mode
+        // this layer targets (ADVICE r16). A codebook has ≤ k0 clusters by
+        // construction, so anything larger is a corrupt/mismatched artifact.
+        require(rows.length <= math.max(k0, 1),
+          s"codebook artifact larger than its requested k0=$k0: ${rows.length} rows")
         val sorted = rows.sortBy(_.getLong(0))
         (sorted.map(_.getLong(0)),
          sorted.map(_.getSeq[Double](1).toArray),
@@ -982,13 +988,16 @@ object SimilarityOps {
     // K seed rows to the driver once — the same bounded materialization the
     // frame-per-iteration form paid via collectCodebook EVERY iteration.
     var (cids, cvs) = collectCodebook(seeds, "vec_id", "v")
-    // The per-iteration collect below is K·Dim rows; that stays a bounded
-    // driver materialization ONLY while the codebook constants stay small.
-    // Fail loudly if a future K or Dim growth would turn it into an
-    // unbounded driver collect (65536 rows ≈ 1.5 MB — still trivially
-    // driver-safe, an order of magnitude above today's 1024).
+    // The per-iteration collect below is K·Dim rows (~30 bytes each); that
+    // stays a bounded driver materialization only while K·Dim is bounded.
+    // Budget 2^20 rows ≈ 30 MB — trivially driver-safe, and under the
+    // K ∝ n default (resolvedSemK, width 1250) it covers corpora to ~20M
+    // embeddings at Dim=64 (K=16384). Fail loudly past that: the honest
+    // production lever beyond this budget is distributed centroid
+    // re-estimation (keep the (cluster, dim) aggregate as a relation and
+    // join it back), not a silently unbounded collect.
     val dim = cvs.headOption.map(_.length).getOrElse(0)
-    require(cids.length.toLong * dim <= 65536,
+    require(cids.length.toLong * dim <= (1L << 20),
       s"trainedCodebookOf: K*Dim = ${cids.length}*$dim exceeds the bounded " +
         "driver-collect budget for the per-iteration Lloyd aggregate")
     var lastAgg: Array[(Long, Int, Long, Long)] = Array.empty
@@ -1081,7 +1090,7 @@ object SimilarityOps {
     * the slice's lowest-[[IvfK]] vec_ids — on the dense full corpus that IS
     * the historical `vec_id < IvfK` rule, and on a slice it is what
     * [[trainedCodebookOf]] computes. */
-  def kmeansCteBodySqlOf(eWhere: String, k: Int = IvfK): String = {
+  def kmeansCteBodySqlOf(eWhere: String, kSql: String = IvfK.toString): String = {
     import graft.functions.PortableHash.proundSql
     val whereClause = if (eWhere.isEmpty) "" else s" WHERE $eWhere"
     val g = "(SELECT unnest(generate_series(1, 64)) AS i) g"
@@ -1107,7 +1116,7 @@ object SimilarityOps {
     }.mkString(",\n")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$whereClause),
        |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
-       |       WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
+       |       WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $kSql)),
        |$blocks""".stripMargin
   }
 
@@ -1326,14 +1335,13 @@ object SimilarityOps {
     * chosen so every harness SF (≤2000 vectors) keeps K = [[IvfK]] — the
     * sf0.01 oracle codebook is byte-identical to the pinned-K era — while
     * the ×10/×20 tiled probes (20k/40k vectors) resolve exactly the
-    * measured 16/32. The oracle renders the RECORDED K
-    * ([[semDedupKUsed]], the q36 dfCap discipline), so both engines train
-    * the same codebook at every corpus size. */
+    * measured 16/32. The oracle computes the SAME rule in-SQL
+    * (`GREATEST(IvfK, ceil(count(*)/width))` over its own `e` CTE —
+    * [[semDedupKSql]]), so both engines resolve identical K at every
+    * corpus size with no shared mutable record: rendering the oracle
+    * before/after runs over other corpora, or concurrently from two
+    * sessions, cannot skew it (ADVICE r16). */
   val SemDedupClusterWidth = 1250L
-
-  /** The K the LAST [[semanticDedup]] plan in this JVM resolved — its
-    * oracle renders against this record. */
-  @volatile private[graft] var semDedupKUsed: Option[Int] = None
 
   private val embCountMemo =
     new graft.assets.AssetStore.SessionMemo[String, java.lang.Long]
@@ -1346,11 +1354,8 @@ object SimilarityOps {
     math.max(IvfK, math.ceil(n.toDouble / SemDedupClusterWidth).toInt)
   }
 
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val k = resolvedSemK(spark, dir)
-    semDedupKUsed = Some(k)
-    semanticDedupK(spark, dir, k)
-  }
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupK(spark, dir, resolvedSemK(spark, dir))
 
   /** [[semanticDedup]] with an explicit codebook size — the K ∝ n scaling
     * rule factored so the spec can drive arbitrary K and the default form
@@ -1383,13 +1388,17 @@ object SimilarityOps {
     * recursive-CTE connected-components pass (q62's oracle pattern), and the
     * keep-best window — generated from the same constants as the Spark plan.
     */
+  /** The K ∝ n rule rendered as SQL over the oracle's own `e` CTE — the
+    * DuckDB mirror of [[resolvedSemK]]. Self-contained: no JVM-side record
+    * of the engine run is consulted, so the rendered oracle is correct for
+    * WHATEVER corpus it is later executed against. */
+  private def semDedupKSql: String =
+    s"GREATEST($IvfK, CAST(ceil((SELECT count(*) FROM e) / $SemDedupClusterWidth.0) AS BIGINT))"
+
   def semanticDedupSql: String = {
     import graft.functions.PortableHash.proundSql
     val fin = s"c$KmeansIters"
-    // render the K the query actually resolved (IvfK at every harness SF;
-    // larger only under the tiled scale probes, where no oracle runs)
-    val k = semDedupKUsed.getOrElse(IvfK)
-    s"""WITH RECURSIVE ${kmeansCteBodySqlOf("", k)},
+    s"""WITH RECURSIVE ${kmeansCteBodySqlOf("", semDedupKSql)},
        |cn AS (SELECT cluster, cv, sqrt(${dotSql("cv", "cv")}) AS cnorm FROM $fin),
        |vn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS norm FROM e),
        |asg AS (SELECT vec_id, v, norm, cluster,
