@@ -140,7 +140,17 @@ object Bench {
       s"\"$k\":{\"in_sequence\":$a,\"isolated\":$b}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"heavies":$hv,"errors":$errs,${LoadEvidence.json(loadBefore, gcAtBenchStart)},"sf":"$sfDir"}""")
+    // Asset-lifecycle cost, recorded rather than erased (VERDICT r16 #3):
+    // run 1's warm-up pass absorbs the artifact builds, so without these
+    // fields the recorded totals are pure steady-state and the ~12 s build
+    // cost is invisible in every BENCH artifact. builds_n/build_sec count
+    // every AssetStore publish this JVM performed (warm-up included).
+    val assetJson = {
+      val n = graft.assets.AssetStore.buildCount.get()
+      val sec = graft.assets.AssetStore.buildNanos.get() / 1e9
+      s""""asset_builds_n":$n,"asset_build_sec":${math.round(sec * 100) / 100.0}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"heavies":$hv,"errors":$errs,$assetJson,${LoadEvidence.json(loadBefore, gcAtBenchStart)},"sf":"$sfDir"}""")
     // The driver's artifact keeps only the TAIL of stdout, which truncates
     // the front-loaded total off the big line above (every r2–r7 BENCH
     // artifact has `parsed: null`). A second, tiny trailing line survives
@@ -149,7 +159,7 @@ object Bench {
     // keyed on it (renaming risks parsed:null again); `"tail":true` is the
     // discriminator for consumers that need to tell the twins apart — the
     // value is identical on both lines by construction either way.
-    println(s"""{"metric":"total","tail":true,"value":$total,"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},${LoadEvidence.json(loadBefore, gcAtBenchStart)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","tail":true,"value":$total,"unit":"sec","n_queries":${results.size},"errors_n":${errors.size},$assetJson,${LoadEvidence.json(loadBefore, gcAtBenchStart)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

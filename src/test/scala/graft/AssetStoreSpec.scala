@@ -120,6 +120,82 @@ class AssetStoreSpec extends SparkSpec {
       "superseded signature tree must be pruned on the next publish")
   }
 
+  test("publish race: the losing builder adopts the winner byte-identically") {
+    val corpus = Files.createTempDirectory("graft_race_corpus")
+    Files.copy(Paths.get(s"$sf001/documents.parquet"),
+      corpus.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val root = Files.createTempDirectory("graft_race_root").toString
+    val s1 = spark.newSession(); s1.conf.set(AssetStore.DirConf, root)
+    val s2 = spark.newSession(); s2.conf.set(AssetStore.DirConf, root)
+    val before = AssetStore.buildCount.get()
+    // deterministic interleaving: builder 1 enters loadOrBuild and blocks
+    // INSIDE its build until builder 2 has fully published — forcing
+    // builder 1 through the lost-race path (write tmp, re-check, adopt)
+    val b1Entered = new java.util.concurrent.CountDownLatch(1)
+    val b2Done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var r1: Array[String] = Array.empty
+    val t1 = new Thread(() => {
+      r1 = AssetStore.loadOrBuild(s1, corpus.toString, "race", 1) {
+        b1Entered.countDown()
+        b2Done.await()
+        s1.range(5).toDF("doc_id")
+      }.collect().map(_.toString).sorted
+    })
+    t1.start()
+    b1Entered.await()
+    val r2 = AssetStore.loadOrBuild(s2, corpus.toString, "race", 1)(
+      s2.range(5).toDF("doc_id")).collect().map(_.toString).sorted
+    b2Done.countDown()
+    t1.join(60000)
+    assert(r1.toSeq == r2.toSeq && r1.nonEmpty, "both sides must serve the same rows")
+    // exactly ONE publish counted: a build whose publish lost is not an artifact
+    assert(AssetStore.buildCount.get() == before + 1,
+      s"publish race must count one build, got ${AssetStore.buildCount.get() - before}")
+    // the loser's tmp must not leak INSIDE the published artifact (Hadoop
+    // rename-into-existing-directory semantics) nor beside it
+    val sig = AssetStore.corpusSignature(s2, corpus.toString)
+    val pub = new java.io.File(new java.io.File(root, sig), "race_v1")
+    assert(pub.listFiles().forall(f => !f.isDirectory),
+      s"nested dir leaked inside the published artifact: ${pub.listFiles().map(_.getName).mkString(",")}")
+    assert(new java.io.File(root, sig).listFiles()
+      .count(f => f.getName.startsWith(".race_v1.tmp")) == 0,
+      "stray tmp dir leaked beside the artifact")
+  }
+
+  test("manifest integrity: a reaped part file is detected and the artifact rebuilt") {
+    val corpus = Files.createTempDirectory("graft_reap_corpus")
+    Files.copy(Paths.get(s"$sf001/documents.parquet"),
+      corpus.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val root = Files.createTempDirectory("graft_reap_root").toString
+    val s = spark.newSession(); s.conf.set(AssetStore.DirConf, root)
+    def build = s.range(7).toDF("doc_id")
+    val orig = AssetStore.loadOrBuild(s, corpus.toString, "m", 1)(build)
+      .collect().map(_.toString).sorted
+    val sig = AssetStore.corpusSignature(s, corpus.toString)
+    val pub = new java.io.File(new java.io.File(root, sig), "m_v1")
+    // simulate a tmp-cleanup daemon: delete one parquet part file while
+    // _SUCCESS survives (the pre-manifest layer served the truncated scan)
+    val part = pub.listFiles().find(_.getName.endsWith(".parquet"))
+      .orElse(pub.listFiles().find(_.getName.startsWith("part-"))).get
+    assert(part.delete())
+    val before = AssetStore.buildCount.get()
+    val again = AssetStore.loadOrBuild(s, corpus.toString, "m", 1)(build)
+      .collect().map(_.toString).sorted
+    assert(AssetStore.buildCount.get() == before + 1,
+      "a manifest-mismatched artifact must be rebuilt, not served")
+    assert(again.toSeq == orig.toSeq && again.nonEmpty)
+  }
+
+  test("default asset root is user-scoped, never the bare shared tmpdir") {
+    val root = new java.io.File(AssetStore.defaultRoot)
+    val sharedTmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val userScoped = root.getPath.contains(".cache") ||
+      root.getName.contains(System.getProperty("user.name", "@"))
+    assert(userScoped, s"default root $root must be user-scoped")
+    assert(root.getPath != new java.io.File(sharedTmp, "graft_assets").getPath,
+      "default root must not be the pre-r17 world-writable tmpdir location")
+  }
+
   test("SessionMemo lifecycle: context-stop removal releases a session's entries") {
     val memo = new AssetStore.SessionMemo[String, String]
     val s = spark.newSession()
