@@ -685,15 +685,65 @@ object PlanAudit {
     q161.collect()
     val q161plan = q161.queryExecution.executedPlan.toString
       .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    // Exchange census pins q161's slope-probe exclusion ("driver-artifact
+    // parse + 8-key agg", ScaleBench) as a GATE rather than a comment: the
+    // only shuffles allowed are the 8-key aggregate's hash exchange and the
+    // presentation sort's range exchange — any new wide stage voids the
+    // exclusion and must fail here first.
+    val q161HashExch = "Exchange hashpartitioning".r.findAllIn(q161plan).size
+    val q161RangeExch = "Exchange rangepartitioning".r.findAllIn(q161plan).size
     val q161ok = q161plan.contains("BroadcastHashJoin") &&
       q161plan.contains("HashAggregate") &&
       !q161plan.contains("CartesianProduct") &&
-      !q161plan.contains("SortMergeJoin")
+      !q161plan.contains("SortMergeJoin") &&
+      q161HashExch <= 1 && q161RangeExch <= 1
     report(s"[audit] q161 docx template " +
-      (if (q161ok) "OK (broadcast joins + one small-key aggregate)"
+      (if (q161ok) "OK (broadcast joins + one small-key aggregate; " +
+        s"exchanges hash=$q161HashExch range=$q161RangeExch — narrow-plan " +
+        "slope exclusion holds)"
        else s"CHECK: bhj=${q161plan.contains("BroadcastHashJoin")} " +
             s"smj=${q161plan.contains("SortMergeJoin")} " +
-            s"cartesian=${q161plan.contains("CartesianProduct")}"))
+            s"cartesian=${q161plan.contains("CartesianProduct")} " +
+            s"hashExch=$q161HashExch rangeExch=$q161RangeExch"))
+    // q162 candidate join, size-gated (the round-16 `weak`, closed): force
+    // the gate SHUT and pin the beyond-broadcast plan — the corpus-sized
+    // carried index must not broadcast; the build laid the static sides out
+    // partitioned+sorted on their join keys (checkpoint-preserved), so the
+    // only hash exchanges in the candidate plan are the per-batch STREAM
+    // rows: one per join key (content_md5, band_idx+band_sig, corpus_id).
+    // AQE off mirrors the micro-batch planner (stream plans get no AQE).
+    locally {
+      val sGate = spark.newSession()
+      sGate.conf.set(graft.streaming.DocsStream.BroadcastMaxKeysConf, "0")
+      sGate.conf.set("spark.sql.adaptive.enabled", "false")
+      sGate.conf.set(graft.assets.AssetStore.DirConf, "")
+      val (gIdx, gChangedRaw) = graft.streaming.DocsStream.carriedIndexFor(sGate, dir)
+      val gChanged = gChangedRaw.localCheckpoint()
+      val gDf = graft.streaming.DocsStream.profCands(sGate, gChanged, gIdx)
+      gDf.collect()
+      val gPlan = gDf.queryExecution.executedPlan.toString
+      val nSmj = "SortMergeJoin".r.findAllIn(gPlan).size
+      val nExch = "Exchange hashpartitioning".r.findAllIn(gPlan).size
+      val keysOk = gPlan.contains("hashpartitioning(content_md5") &&
+        gPlan.contains("hashpartitioning(band_idx") &&
+        gPlan.contains("hashpartitioning(corpus_id")
+      val gOk = !gIdx.broadcastable && !gPlan.contains("BroadcastHashJoin") &&
+        nSmj == 3 && nExch == 3 && keysOk
+      report(s"[audit] q162 gated candidate join " +
+        (if (gOk) "OK (beyond-broadcast path: 3 sort-merge joins, 3 stream-side " +
+          "exchanges on content_md5/band keys/corpus_id, static index never moves)"
+         else s"CHECK: broadcastable=${gIdx.broadcastable} " +
+              s"bhj=${gPlan.contains("BroadcastHashJoin")} smj=$nSmj " +
+              s"exch=$nExch keysOk=$keysOk"))
+      // and the DEFAULT gate at harness SF sits open: the measured key
+      // count picks broadcast, the fast path the bench times
+      val sDefault = spark.newSession()
+      sDefault.conf.set(graft.assets.AssetStore.DirConf, "")
+      val (dIdx, _) = graft.streaming.DocsStream.carriedIndexFor(sDefault, dir)
+      report(s"[audit] q162 default gate " +
+        (if (dIdx.broadcastable) "OK (harness index under the broadcast threshold)"
+         else "CHECK: default gate unexpectedly closed at harness SF"))
+    }
     // q156 incremental re-process: the composed diff→dedup pipeline stays
     // on id/content-hash exchange keys end to end (the q154 contract plus
     // the keeper hash aggregate); no product joins anywhere

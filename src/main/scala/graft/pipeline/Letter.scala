@@ -79,7 +79,14 @@ object Letter {
   /** q13 / flagship: the full letter pipeline. Valid requests only, enriched
     * with the customer dimension, formatted, rendered.
     */
-  def letters(spark: SparkSession, dir: String): DataFrame = {
+  def letters(spark: SparkSession, dir: String): DataFrame =
+    lettersPlane(spark, dir).orderBy(col("request_id"))
+
+  /** The letters pipeline WITHOUT the presentation sort — the plane every
+    * aggregate/render consumer should read: a global sort feeding an
+    * explode+aggregate (q161) or a per-row render (q163) is pure wasted
+    * exchange work that Catalyst does not remove below a shuffle. */
+  def lettersPlane(spark: SparkSession, dir: String): DataFrame = {
     val r = requests(spark, dir).filter(step3Valid)
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
@@ -100,7 +107,6 @@ object Letter {
           fee = col("fee_formatted"),
           dueSigning = col("due_signing_pct"), dueCompletion = col("due_completion_pct"),
           property = col("pdf_filename"), parcelId = col("request_id").cast("string")))
-      .orderBy(col("request_id"))
   }
 
   /** The synthesized engagement-letter TEMPLATE as paragraph runs — the
@@ -154,7 +160,7 @@ object Letter {
     val inv = parsed.map(p => (p.ord.toLong, p.name, p.paragraphIdx.toLong,
         p.splitAcrossRuns, !UnsuppliedKeys.contains(p.name)))
       .toDF("ord", "placeholder", "paragraph_idx", "split_across_runs", "supplied")
-    val ctx = letters(spark, dir)
+    val ctx = lettersPlane(spark, dir)
     val valueFor: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "date" -> col("letter_date"),
       "name" -> col("client_name"),
@@ -178,8 +184,12 @@ object Letter {
       (n, sampleOpt.map(r => if (r.isNullAt(i)) "" else r.get(i).toString)
         .getOrElse(""))
     }.toDF("placeholder", "sample_value")
-    inv.join(counts, Seq("placeholder"), "left")
-      .join(sampleDf, Seq("placeholder"), "left")
+    // explicit broadcast hints: the counts side has no stats at initial
+    // planning (micro-sized but corpus-derived), so the unhinted initial
+    // plan exchanged BOTH sides for a sort-merge join and AQE's late BHJ
+    // conversion left a vestigial shuffle stage on the 12-row inventory
+    inv.join(broadcast(counts), Seq("placeholder"), "left")
+      .join(broadcast(sampleDf), Seq("placeholder"), "left")
       .select(col("ord"), col("placeholder"), col("paragraph_idx"),
         col("split_across_runs"), col("supplied"),
         coalesce(col("n_rendered_nonblank"), lit(0L)).as("n_rendered_nonblank"),

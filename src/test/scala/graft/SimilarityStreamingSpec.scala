@@ -216,6 +216,31 @@ class SimilarityStreamingSpec extends SparkSpec {
       s"fp=$fp of ${negatives.size} negatives")
   }
 
+  test("q162 size gate: beyond-broadcast path equals the broadcast path bit-for-bit") {
+    import graft.streaming.DocsStream
+    // broadcast path (the default at harness SF — the measured key count
+    // sits under the gate)
+    val sB = spark.newSession()
+    sB.conf.set(graft.assets.AssetStore.DirConf, "")
+    val (idxB, _) = DocsStream.carriedIndexFor(sB, sf001)
+    assert(idxB.broadcastable, "harness corpus must sit under the default gate")
+    val viaBroadcast = DocsStream.streamingIncrementalNearDedup(sB, sf001)
+      .collect().map(_.toString).toSeq
+    // forced beyond-broadcast path: threshold 0 closes the gate, so the
+    // static sides take the partitioned+sorted stream-static layout — the
+    // 100 TB form, which must admit IDENTICAL verdicts
+    val sP = spark.newSession()
+    sP.conf.set(graft.assets.AssetStore.DirConf, "")
+    sP.conf.set(DocsStream.BroadcastMaxKeysConf, "0")
+    val (idxP, _) = DocsStream.carriedIndexFor(sP, sf001)
+    assert(!idxP.broadcastable, "threshold 0 must close the gate")
+    val viaPartitioned = DocsStream.streamingIncrementalNearDedup(sP, sf001)
+      .collect().map(_.toString).toSeq
+    assert(viaBroadcast.nonEmpty, "vacuous law")
+    assert(viaPartitioned == viaBroadcast,
+      "the size-gated join strategies must be result-invisible")
+  }
+
   test("streaming admission equals the batch exact layer") {
     import graft.streaming.DocsStream
     val streamed = DocsStream.streamingAdmission(spark, sf001).collect()
