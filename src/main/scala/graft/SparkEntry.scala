@@ -137,6 +137,7 @@ object SparkEntry {
     "q160_url_dedup"         -> (TextOps.urlDedup _),
     "q161_docx_template"     -> (Letter.templateInventory _),
     "q162_stream_neardedup"  -> (graft.streaming.DocsStream.streamingIncrementalNearDedup _),
+    "q163_docx_roundtrip"    -> (Letter.docxRoundTrip _),
     "q39_embedding_dedup"    -> (SimilarityOps.embeddingDedup _),
     "q40_cosine_topk"        -> (SimilarityOps.cosineTopK _),
     "q41_lsh_neardup"        -> (SimilarityOps.lshNearDupPairs _),
@@ -1162,6 +1163,35 @@ object SparkEntry {
     // q162 = q159 as a stream: same diff, same verdicts, same oracle
     "q162_stream_neardedup" -> TextOps.incrementalNearDedupSql,
     "q160_url_dedup" -> TextOps.urlDedupSql,
+    // q163: every line recovered from the PARSED binary letter container
+    // must equal the line computed directly from the source tables (q13's
+    // fmt chain) — the S6 render → buildDocx → zip-parse → run-merge
+    // round-trip as an oracle row. The initials/signature literals pin
+    // docxtpl's absent-key "" render (SURVEY §1.3's unsupplied keys).
+    "q163_docx_roundtrip" ->
+      s"""$ReqCte,
+         |valid AS (SELECT * FROM requests WHERE $ValidPred),
+         |joined AS (SELECT v.*, c.c_name FROM valid v JOIN customer c ON v.cust_id = c.c_custkey),
+         |fmt AS (SELECT request_id,
+         |  ${dateSql("report_date")} AS letter_date,
+         |  c_name AS client_name,
+         |  ${curSql("fee")} AS fee_formatted,
+         |  ${pctSql("due_signing")} AS due_signing_pct,
+         |  ${pctSql("due_completion")} AS due_completion_pct,
+         |  'Engagement_Letter_' || translate(c_name, ' /', '__') || '.pdf' AS pdf_filename
+         |FROM joined)
+         |SELECT request_id, CAST(10 AS BIGINT) AS n_paragraphs,
+         |  'Date: ' || letter_date AS date_line,
+         |  'Client: ' || client_name AS client_line,
+         |  'Address: Segment ' || due_signing_pct AS address_line,
+         |  'Property under appraisal: ' || pdf_filename AS property_line,
+         |  'Parcel ID: ' || CAST(request_id AS VARCHAR) AS parcel_line,
+         |  'Fee: ' || fee_formatted AS fee_line,
+         |  'Due at signing: ' || due_signing_pct AS signing_line,
+         |  'Due at completion: ' || due_completion_pct AS completion_line,
+         |  'Initials:   ' AS initials_line,
+         |  'Signature: ' AS signature_line
+         |FROM fmt ORDER BY request_id""".stripMargin,
     // q161: the inventory CTE mirrors the DOCUMENTED template synthesis
     // layout (Letter.TemplateParagraphRuns — the engine side derives it by
     // actually parsing the built OOXML container); the render checks reuse

@@ -14,8 +14,12 @@ import graft.functions.Formatters
   *  - S10 email sink: side-effecting per-record delivery with
   *    skip-if-unconfigured (app.py:131-133) — `foreachPartition` with one
   *    client per partition (the executor-resource pattern; never per row).
-  *  - S6/S8 letter/artifact delivery: the rendered `letter_text` column
-  *    written as text/parquet.
+  *  - S6/S8 letter/artifact delivery: format-honest since round 17 — each
+  *    valid letter renders into a REAL binary `.docx` container
+  *    ([[graft.pipeline.Letter.renderedDocx]], built by the hand-written
+  *    OOXML codec exactly like the reference's per-record docx emit,
+  *    report_generator.py:88-89) riding the archive tree next to the
+  *    `letter_text` plane; q163 oracle-checks the parse-back round-trip.
   *
   * These are exercised by `SinksSpec` (they produce files/effects, not rows —
   * not part of the oracle query surface, per SURVEY §7.4 risk 5).
