@@ -212,10 +212,16 @@ object DocxCodec {
          |<w:body>$body</w:body></w:document>""".stripMargin
     val bos = new ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)
-    def put(name: String, text: String): Unit = {
+    // Per-record emit is the hot path (the S6 sink builds one container per
+    // letter): compression level is the WRITER'S choice under APPNOTE, and
+    // BEST_SPEED on a ~2 KB XML part costs ~½ the cycles of the default
+    // level for a few dozen bytes of size — the trade every bulk docx
+    // emitter makes. The parser handles any level (deflate is deflate).
+    z.setLevel(java.util.zip.Deflater.BEST_SPEED)
+    def put(name: String, text: String, asStored: Boolean): Unit = {
       val data = text.getBytes(UTF_8)
       val e = new ZipEntry(name)
-      if (store) {
+      if (asStored) {
         e.setMethod(ZipEntry.STORED)
         e.setSize(data.length.toLong)
         e.setCompressedSize(data.length.toLong)
@@ -223,9 +229,13 @@ object DocxCodec {
       }
       z.putNextEntry(e); z.write(data); z.closeEntry()
     }
-    put("[Content_Types].xml", ContentTypesXml)
-    put("_rels/.rels", RelsXml)
-    put("word/document.xml", documentXml)
+    // the two package-plumbing parts are CONSTANT across every letter —
+    // stored (method 0, valid OOXML) skips recompressing them per record;
+    // the document part itself stays deflate unless the caller asks for an
+    // all-stored container (spec coverage for both parse paths)
+    put("[Content_Types].xml", ContentTypesXml, asStored = true)
+    put("_rels/.rels", RelsXml, asStored = true)
+    put("word/document.xml", documentXml, asStored = store)
     z.close()
     bos.toByteArray
   }
