@@ -13,6 +13,10 @@ echo "=== GATES start $(date +%T) load=$(cut -d' ' -f1-3 /proc/loadavg)"
 # (AssetStore.defaultRoot); Bench now stamps asset_builds_n/asset_build_sec
 # so the build cost is recorded, not erased. Scale probes pin assets OFF.
 rm -rf /root/.cache/graft_assets /tmp/graft_assets
+# NOTE: /tmp/graft_sf1 and /tmp/graft_sf2 were re-tiled from the CURRENT
+# round's testdata immediately before this chain launched (the driver
+# regenerates testdata between rounds and ensureTiled's marker does not
+# track the source); the chain reuses those fresh tiles.
 
 sbt -batch test > /tmp/test_r17.log 2>&1
 echo "TEST=$? $(date +%T)"

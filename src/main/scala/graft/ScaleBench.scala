@@ -593,6 +593,41 @@ object SlopeProbe {
         probe.toSeq
       }
 
+    // Beyond-broadcast lever measurement (round 17): q162's size-gated
+    // candidate join. The in-sweep q162 row times the DEFAULT form (the
+    // harness index sits under the gate → broadcast); this row forces the
+    // gate SHUT (threshold 0) so the partitioned+sorted stream-static
+    // sort-merge path — the 100 TB form — is MEASURED at ×10/×20, not just
+    // spec-proven identical: it must stay data-linear on its own slope.
+    val scaledGate =
+      if (!ScaleBench.selectedQueries.contains("q162_stream_neardedup")) Seq.empty
+      else {
+        def timeGated(dir: String): Option[(Double, Long)] = {
+          spark.conf.set(graft.streaming.DocsStream.BroadcastMaxKeysConf, "0")
+          try {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries("q162_stream_neardedup")(spark, dir).count()
+            Some(((System.nanoTime() - t0) / 1e9, n))
+          } catch { case e: Throwable =>
+            errors += s"q162_scaled_gate: ${e.getClass.getSimpleName}"; None }
+          finally spark.conf.unset(graft.streaming.DocsStream.BroadcastMaxKeysConf)
+        }
+        val probe = for {
+          (r1, n10) <- timeGated(d10)
+          (t20, n20) <- timeGated(d20)
+          (r3, _)   <- timeGated(d10)
+        } yield {
+          val t10 = math.min(r1, r3)
+          val slope = t20 / t10
+          val verdict = if (slope <= SlopeThreshold) "pass" else "fail"
+          System.err.println(f"[slope] q162_scaled_gate (forced beyond-broadcast) t10=$t10%7.2f t20=$t20%7.2f slope=$slope%5.2f  $verdict")
+          ("q162_scaled_gate", t10, t20, n10, n20, slope, verdict)
+        }
+        if (probe.isEmpty) System.err.println(s"[slope] q162_scaled_gate FAILED to run")
+        probe.toSeq
+      }
+
     // Dense-index lever measurement: q142's production path
     // (graft.hybrid.denseIndex=true) feeds the dense arm from IVF-PQ
     // candidates instead of the exhaustive exact-cosine scan. Demonstrate
@@ -693,7 +728,7 @@ object SlopeProbe {
         graft.operators.TextOps.simhashEdgeVolume(spark, d)
       }
 
-    val all = rows ++ scaledRow ++ scaledBits ++ scaledIndex ++ volumeRows
+    val all = rows ++ scaledRow ++ scaledGate ++ scaledBits ++ scaledIndex ++ volumeRows
     val failed = all.filter(_._7 == "fail")
     val qs = all.map { case (n, t10, t20, n10, n20, s, v) =>
       s""""$n":{"t10":$t10,"t20":$t20,"rows10":$n10,"rows20":$n20,"slope":$s,"verdict":"$v"}"""
