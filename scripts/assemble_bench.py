@@ -21,6 +21,14 @@ out, paths = sys.argv[1], sys.argv[2:]
 runs = [big_line(p) for p in paths]
 best = min(runs, key=lambda r: r["value"])
 best["runs"] = [round(r["value"], 3) for r in runs]
+# lifecycle cost PER RUN (round 17): run 1 builds the scale-factor's asset
+# artifacts, later runs load — the min run usually reads 0, so the
+# per-run record keeps the build cost visible instead of erased
+best["asset_lifecycle"] = [
+    {"run": i + 1,
+     "asset_builds_n": r.get("asset_builds_n", 0),
+     "asset_build_sec": r.get("asset_build_sec", 0.0)}
+    for i, r in enumerate(runs)]
 best["note"] = ("min-of-%d full Bench runs on final HEAD; queries/heavies/load "
                 "from the min run; each run is itself a per-query min of two "
                 "timed passes after a JIT warm-up pass") % len(runs)
