@@ -229,24 +229,33 @@ object Letter {
     val iName = idx("client_name"); val iFee = idx("fee_formatted")
     val iSign = idx("due_signing_pct"); val iComp = idx("due_completion_pct")
     val iPdf = idx("pdf_filename")
-    // one template parse per PROCESS, shipped as merged paragraph texts —
-    // a tiny driver constant in the task closure
-    val templateParas = DocxCodec.paragraphTexts(
-      DocxCodec.documentXml(
-        DocxCodec.zipEntries(DocxCodec.buildDocx(TemplateParagraphRuns))))
+    // one template parse per PROCESS, COMPILED once (the docxtpl model —
+    // `DocxTemplate` parses on load, `report_generator.py:57`): the render
+    // plan ships as a tiny driver constant, so the per-row render is pure
+    // string concatenation and the per-row container build reuses one
+    // Deflater/CRC32/buffer set per partition ([[DocxCodec.DocxEmitter]] —
+    // a fresh ZipOutputStream per record was the first cut's dominant GC
+    // line: one native Deflater + Cleaner registration per letter)
+    val compiled = DocxCodec.compileTemplate(
+      DocxCodec.paragraphTexts(
+        DocxCodec.documentXml(
+          DocxCodec.zipEntries(DocxCodec.buildDocx(TemplateParagraphRuns)))))
     ctx.mapPartitions { rows =>
+      val emitter = new DocxCodec.DocxEmitter
       rows.map { r =>
-        val m = Map(
-          "date" -> r.getString(iDate),
-          "name" -> r.getString(iName),
-          "address" -> s"Segment ${r.getString(iSign)}",
-          "fee" -> r.getString(iFee),
-          "due_signing" -> r.getString(iSign),
-          "due_completion" -> r.getString(iComp),
-          "property_under_appraisal" -> r.getString(iPdf),
-          "parcel_id" -> r.getLong(iReq).toString)
-        val rendered = templateParas.map(p => DocxCodec.render(Seq(p), m))
-        Row.fromSeq(r.toSeq :+ DocxCodec.buildDocx(rendered.map(Seq(_))))
+        val lookup: String => String = {
+          case "date" => r.getString(iDate)
+          case "name" => r.getString(iName)
+          case "address" => s"Segment ${r.getString(iSign)}"
+          case "fee" => r.getString(iFee)
+          case "due_signing" => r.getString(iSign)
+          case "due_completion" => r.getString(iComp)
+          case "property_under_appraisal" => r.getString(iPdf)
+          case "parcel_id" => r.getLong(iReq).toString
+          case _ => "" // docxtpl absent-key semantics (SURVEY §1.3)
+        }
+        val rendered = compiled.renderParagraphs(lookup)
+        Row.fromSeq(r.toSeq :+ emitter.emitParagraphs(rendered))
       }
     }(Encoders.row(outSchema))
   }
@@ -274,10 +283,11 @@ object Letter {
       StructField("n_paragraphs", LongType, nullable = false) +:
       names.map(StructField(_, StringType, nullable = false)))
     val parsed = src.mapPartitions { rows =>
+      val reader = new DocxCodec.ZipReader // one Inflater per partition
       rows.map { r =>
         val texts = DocxCodec.paragraphTexts(
           DocxCodec.documentXml(
-            DocxCodec.zipEntries(r.getAs[Array[Byte]](iDocx))))
+            reader.entries(r.getAs[Array[Byte]](iDocx))))
         require(texts.length == names.length,
           s"letter container must carry ${names.length} paragraphs, got ${texts.length}")
         Row.fromSeq(r.getLong(iReq) +: texts.length.toLong +: texts)

@@ -97,6 +97,69 @@ class DocxCodecSpec extends AnyFunSuite {
       "Signature: ").mkString("\n"))
   }
 
+  test("compiled template render ≡ regex render for any context (incl. absent keys)") {
+    val paras = DocxCodec.paragraphTexts(DocxCodec.documentXml(
+      DocxCodec.zipEntries(DocxCodec.buildDocx(runs))))
+    val compiled = DocxCodec.compileTemplate(paras)
+    val ctxs = Seq(
+      Map("date" -> "2024-01-02", "name" -> "Acme & Sons", "address" -> "Segment 40",
+        "fee" -> "$1,200", "due_signing" -> "40", "due_completion" -> "60",
+        "property_under_appraisal" -> "a.pdf", "parcel_id" -> "77"),
+      Map.empty[String, String],                       // everything absent
+      Map("name" -> "{{date}}"))                       // value that LOOKS like a key: no re-scan
+    ctxs.foreach { m =>
+      val want = paras.map(p => DocxCodec.render(Seq(p), m))
+      val got = compiled.renderParagraphs(m.getOrElse(_, "")).toSeq
+      assert(got == want)
+    }
+  }
+
+  test("DocxEmitter ≡ buildDocx at entry level; deterministic; reusable") {
+    val emitter = new DocxCodec.DocxEmitter
+    // multi-run form against the general writer
+    val a = DocxCodec.zipEntries(emitter.emit(runs))
+    val b = DocxCodec.zipEntries(DocxCodec.buildDocx(runs))
+    assert(a.map(_.name) == b.map(_.name))
+    a.zip(b).foreach { case (x, y) => assert(x.data.sameElements(y.data), x.name) }
+    // single-run-paragraph form (the rendered-letter shape)
+    val paras = Array("Date: 2024-01-02", "Fee & <tax> \"quoted\"", "")
+    val c = DocxCodec.zipEntries(emitter.emitParagraphs(paras))
+    val d = DocxCodec.zipEntries(DocxCodec.buildDocx(paras.toSeq.map(Seq(_))))
+    c.zip(d).foreach { case (x, y) => assert(x.data.sameElements(y.data), x.name) }
+    assert(DocxCodec.paragraphTexts(DocxCodec.documentXml(c)) == paras.toSeq)
+    // deterministic bytes (fixed DOS timestamp — ZipOutputStream stamps clock)
+    assert(emitter.emitParagraphs(paras).sameElements(emitter.emitParagraphs(paras)))
+    // the JDK reads the emitter's container back (cross-implementation)
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(emitter.emitParagraphs(paras)))
+    val seen = Iterator.continually(zis.getNextEntry).takeWhile(_ != null).map { e =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      Iterator.continually(zis.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => bos.write(buf, 0, n))
+      e.getName -> bos.toByteArray
+    }.toMap
+    c.foreach(e => assert(seen(e.name).sameElements(e.data), e.name))
+  }
+
+  test("ZipReader ≡ zipEntries; one Inflater survives many containers and errors") {
+    val reader = new DocxCodec.ZipReader
+    val containers = Seq(
+      DocxCodec.buildDocx(runs),
+      DocxCodec.buildDocx(runs, store = true),
+      new DocxCodec.DocxEmitter().emitParagraphs(Array("a", "b & c")))
+    containers.foreach { bytes =>
+      val want = DocxCodec.zipEntries(bytes)
+      val got = reader.entries(bytes)
+      assert(got.map(_.name) == want.map(_.name))
+      got.zip(want).foreach { case (x, y) => assert(x.data.sameElements(y.data)) }
+    }
+    // a malformed container fails loudly AND leaves the reader usable
+    intercept[IllegalArgumentException](reader.entries(containers.head.dropRight(40)))
+    assert(reader.entries(containers.head).map(_.name) ==
+      Seq("[Content_Types].xml", "_rels/.rels", "word/document.xml"))
+  }
+
   test("the reference's real template.docx parses to the §1.3 schema") {
     val p = Paths.get("/root/reference/real_estate_backend/templates/template.docx")
     assume(Files.exists(p), "reference template not present in this environment")
