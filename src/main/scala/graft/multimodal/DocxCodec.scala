@@ -158,7 +158,8 @@ object DocxCodec {
   private val RunTextRe = "(?s)<w:t(?: [^>]*)?(?:/>|>(.*?)</w:t>)".r
 
   private def unescapeXml(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+    if (s.indexOf('&') < 0) s // no entities: the bulk-parse common case
+    else s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&") // amp LAST
 
   /** Per-paragraph RUN texts, in document order: the `<w:t>` contents of
@@ -211,7 +212,8 @@ object DocxCodec {
   // -------------------------------------------------------------------- //
 
   private def escapeXml(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) s
+    else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   private val ContentTypesXml =
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
