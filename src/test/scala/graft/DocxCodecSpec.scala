@@ -160,6 +160,38 @@ class DocxCodecSpec extends AnyFunSuite {
       Seq("[Content_Types].xml", "_rels/.rels", "word/document.xml"))
   }
 
+  test("emitter round-trip law over generated paragraphs (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // paragraph texts incl. XML specials, entities-looking text, unicode,
+    // empty paragraphs, and placeholder-looking tokens
+    val para: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.alphaNumStr,
+      Gen.const(""),
+      Gen.const("a & b < c > d"),
+      Gen.const("&amp; literal entity text &lt;"),
+      Gen.const("{{fee}} placeholder-looking"),
+      Gen.const("多字节 héllo wörld"),
+      Gen.const("x" * 500))
+    val docs: Seq[List[String]] = Gen.listOfN(60,
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, para)))
+      .pureApply(Gen.Parameters.default, Seed(17L))
+    val emitter = new DocxCodec.DocxEmitter
+    val reader = new DocxCodec.ZipReader
+    docs.foreach { paras =>
+      val bytes = emitter.emitParagraphs(paras.toArray)
+      // reusable reader parse == one-shot parse == original paragraphs
+      val got = DocxCodec.paragraphTexts(DocxCodec.documentXml(reader.entries(bytes)))
+      assert(got == paras, s"round-trip mismatch for $paras")
+      // entry-level equality with the general writer
+      val want = DocxCodec.zipEntries(DocxCodec.buildDocx(paras.map(Seq(_))))
+      reader.entries(bytes).zip(want).foreach { case (x, y) =>
+        assert(x.name == y.name && x.data.sameElements(y.data), x.name)
+      }
+    }
+  }
+
   test("the reference's real template.docx parses to the §1.3 schema") {
     val p = Paths.get("/root/reference/real_estate_backend/templates/template.docx")
     assume(Files.exists(p), "reference template not present in this environment")
