@@ -235,15 +235,7 @@ object DocxCodec {
     * across runs the way real writers do. `store` emits entries with
     * method 0 instead of deflate (spec coverage for both paths). */
   def buildDocx(paragraphRuns: Seq[Seq[String]], store: Boolean = false): Array[Byte] = {
-    val body = paragraphRuns.map { runs =>
-      val rs = runs.map(t =>
-        s"""<w:r><w:t xml:space="preserve">${escapeXml(t)}</w:t></w:r>""").mkString
-      s"<w:p>$rs</w:p>"
-    }.mkString
-    val documentXml =
-      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
-         |<w:body>$body</w:body></w:document>""".stripMargin
+    val documentXml = docXmlOf(paragraphRuns)
     val bos = new ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)
     // Per-record emit is the hot path (the S6 sink builds one container per
@@ -272,6 +264,19 @@ object DocxCodec {
     put("word/document.xml", documentXml, asStored = store)
     z.close()
     bos.toByteArray
+  }
+
+  /** The document part's XML for the given paragraph runs — shared by the
+    * general writer and the bulk emitter (entry equality by construction). */
+  private def docXmlOf(paragraphRuns: Seq[Seq[String]]): String = {
+    val body = paragraphRuns.map { runs =>
+      val rs = runs.map(t =>
+        s"""<w:r><w:t xml:space="preserve">${escapeXml(t)}</w:t></w:r>""").mkString
+      s"<w:p>$rs</w:p>"
+    }.mkString
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+       |<w:body>$body</w:body></w:document>""".stripMargin
   }
 
   // -------------------------------------------------------------------- //
@@ -357,17 +362,8 @@ object DocxCodec {
     private val crc = new CRC32
     private var docBytes = new Array[Byte](4096)
 
-    def emit(paragraphRuns: Seq[Seq[String]]): Array[Byte] = {
-      val body = paragraphRuns.map { runsP =>
-        val rs = runsP.map(t =>
-          s"""<w:r><w:t xml:space="preserve">${escapeXml(t)}</w:t></w:r>""").mkString
-        s"<w:p>$rs</w:p>"
-      }.mkString
-      emitDocumentXml(
-        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-           |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
-           |<w:body>$body</w:body></w:document>""".stripMargin)
-    }
+    def emit(paragraphRuns: Seq[Seq[String]]): Array[Byte] =
+      emitDocumentXml(docXmlOf(paragraphRuns))
 
     /** One run per paragraph — the rendered-letter shape, no Seq wrappers. */
     def emitParagraphs(paragraphs: Array[String]): Array[Byte] = {
