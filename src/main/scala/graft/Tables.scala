@@ -109,7 +109,7 @@ object Tables {
     * Default true (the local-harness shape). Use as `.transform(Tables.fanout)`.
     */
   def fanout(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.get("graft.fanout.enabled", "true").toBoolean)
+    if (GraftConf.bool(df.sparkSession, "graft.fanout.enabled", default = true))
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     else df
 }

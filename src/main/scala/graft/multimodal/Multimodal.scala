@@ -262,8 +262,7 @@ object Multimodal {
   val MediaMaxBucket = 32
 
   private[graft] def resolvedMediaCap(spark: SparkSession): Int =
-    spark.conf.getOption("graft.media.maxBucket").map(_.toInt)
-      .getOrElse(MediaMaxBucket)
+    graft.GraftConf.int(spark, "graft.media.maxBucket", MediaMaxBucket)
 
   /** Per-document 48-bit perceptual hash of the decoded first frame:
     * [[PpmCodec.phashOf]]'s row-luminance-profile quantization, computed

@@ -797,7 +797,7 @@ object Analytics {
     * form is hash-checked.
     */
   private[graft] def overlapAuditOn(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.overlap.exactAudit").exists(_.toBoolean)
+    graft.GraftConf.flag(spark, "graft.overlap.exactAudit")
 
   /** The audit mode the LAST [[sourceOverlapKmv]] plan built in this JVM
     * actually used. The oracle renders against THIS record (falling back to

@@ -937,8 +937,8 @@ object Relational {
     * so the default cap provably does not change the oracle-checked output.
     */
   def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val maxBlock = spark.conf.getOption("graft.fuzzy.maxBlock").map(_.toInt).getOrElse(64)
-    val window = spark.conf.getOption("graft.fuzzy.window").map(_.toInt).getOrElse(FuzzyWindow)
+    val maxBlock = graft.GraftConf.int(spark, "graft.fuzzy.maxBlock", 64)
+    val window = graft.GraftConf.int(spark, "graft.fuzzy.window", FuzzyWindow)
     fuzzyCandidatesOf(Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")),
       maxBlock, window)

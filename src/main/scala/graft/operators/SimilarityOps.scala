@@ -95,8 +95,8 @@ object SimilarityOps {
     * run would have silently diverged).
     */
   private def resolvedLshConf(spark: SparkSession): (Int, Int) =
-    (spark.conf.getOption("graft.lsh.bandBits").map(_.toInt).getOrElse(BandBits),
-     spark.conf.getOption("graft.lsh.maxBucket").map(_.toInt).getOrElse(MaxBucket))
+    (graft.GraftConf.int(spark, "graft.lsh.bandBits", BandBits),
+     graft.GraftConf.int(spark, "graft.lsh.maxBucket", MaxBucket))
 
   /** Sequential left-fold dot product (same op order as the oracle) — the
     * native codegen'd [[graft.functions.DotProduct]], proven value-identical
@@ -1172,7 +1172,7 @@ object SimilarityOps {
     * AnnPartitionSpec pins proof-on ≡ proof-off on the shared columns
     * (the q137 `graft.overlap.exactAudit` pattern). */
   private[graft] def rebuildProofOn(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.ann.verifyRebuild").exists(_.toBoolean)
+    graft.GraftConf.flag(spark, "graft.ann.verifyRebuild")
 
   /** The proof mode the LAST [[indexMaintenance]] plan built in this JVM
     * actually used — the oracle renders against THIS record (ambient conf
@@ -1471,7 +1471,7 @@ object SimilarityOps {
     * rows-only. At 100 TB the indexed arm reads ~nprobe/[[IvfK]] of the
     * corpus from codes instead of scoring every float vector per query. */
   private[graft] def hybridDenseIndexOn(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.hybrid.denseIndex").exists(_.toBoolean)
+    graft.GraftConf.flag(spark, "graft.hybrid.denseIndex")
 
   /** The hybrid dense arm's recall dials. q144's batch (vec_id < 10) sits
     * next to the vec_id < [[IvfK]] centroids, so nprobe=2/rerank=30 already

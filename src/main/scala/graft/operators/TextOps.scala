@@ -1212,7 +1212,7 @@ object TextOps {
   val DefaultDfCap = 128
 
   private[graft] def resolvedDfCap(spark: SparkSession): Int =
-    spark.conf.getOption("graft.minhash.dfCap").map(_.toInt).getOrElse(DefaultDfCap)
+    graft.GraftConf.int(spark, "graft.minhash.dfCap", DefaultDfCap)
 
   /** The df cap the LAST [[minhashLshPairs]] plan built in this JVM used —
     * q36's AND q38's oracles render against this record, so a result
@@ -1248,8 +1248,7 @@ object TextOps {
     new graft.assets.AssetStore.SessionMemo[(String, Int, Long), PairsAsset]
 
   private def pairsShared(spark: SparkSession, dir: String, cap: Int): DataFrame = {
-    val maxDriver = spark.conf.getOption("graft.minhash.hotListMaxDriver")
-      .map(_.toLong).getOrElse(HotListMaxDriver)
+    val maxDriver = graft.GraftConf.long(spark, "graft.minhash.hotListMaxDriver", HotListMaxDriver)
     def buildPairs(tracker: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame =
       if (cap > HotIndexMinDf) {
         // the SHARED frames are consumed inside the captured plan, so
@@ -1416,8 +1415,7 @@ object TextOps {
           .filter(col("df") > dfCap)
           .select(col("shash")))
     }
-    val maxDriver = spark.conf.getOption("graft.minhash.hotListMaxDriver")
-      .map(_.toLong).getOrElse(HotListMaxDriver)
+    val maxDriver = graft.GraftConf.long(spark, "graft.minhash.hotListMaxDriver", HotListMaxDriver)
     // strategy pick off the MEASURED hot-list size (see [[HotListMaxDriver]])
     val nHot = hotDf.count()
     val (sh, sig) = if (nHot == 0) {
@@ -1899,8 +1897,7 @@ object TextOps {
       .groupBy(col("lh")).agg(count(lit(1)).as("df"))
     val hotDf = dfs.filter(col("df") > BoilerDfThreshold)
       .select(col("lh")).cache()
-    val maxDriver = spark.conf.getOption("graft.boiler.hotListMaxDriver")
-      .map(_.toLong).getOrElse(HotListMaxDriver)
+    val maxDriver = graft.GraftConf.long(spark, "graft.boiler.hotListMaxDriver", HotListMaxDriver)
     val nHot = hotDf.count()
     val kept =
       if (nHot <= maxDriver) {

@@ -65,8 +65,7 @@ object DocsStream {
   val DefaultBroadcastMaxKeys = 1000000L
 
   private def broadcastMaxKeys(spark: SparkSession): Long =
-    spark.conf.getOption(BroadcastMaxKeysConf).map(_.trim.toLong)
-      .getOrElse(DefaultBroadcastMaxKeys)
+    graft.GraftConf.long(spark, BroadcastMaxKeysConf, DefaultBroadcastMaxKeys)
 
   /** Apply the picked strategy to one static side: a broadcast hint under
     * the gate (micro-batch plans get no AQE, and the checkpointed relations
