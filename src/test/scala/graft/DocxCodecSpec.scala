@@ -192,6 +192,24 @@ class DocxCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("emitter output-buffer growth: incompressible payload past the initial 4 KB") {
+    // pseudo-random chars barely compress, so the deflated document part
+    // exceeds the emitter's initial 4 KB buffer and must double (twice)
+    val rnd = new scala.util.Random(17)
+    val big = Array.fill(3)(Array.fill(8192)(
+      (33 + rnd.nextInt(94)).toChar).mkString)
+    val emitter = new DocxCodec.DocxEmitter
+    val bytes = emitter.emitParagraphs(big)
+    assert(bytes.length > 8192) // genuinely incompressible
+    val got = DocxCodec.paragraphTexts(DocxCodec.documentXml(
+      DocxCodec.zipEntries(bytes)))
+    assert(got == big.toSeq)
+    // and the grown buffer is reused correctly for a small follow-up emit
+    val small = emitter.emitParagraphs(Array("tiny"))
+    assert(DocxCodec.paragraphTexts(DocxCodec.documentXml(
+      DocxCodec.zipEntries(small))) == Seq("tiny"))
+  }
+
   test("the reference's real template.docx parses to the §1.3 schema") {
     val p = Paths.get("/root/reference/real_estate_backend/templates/template.docx")
     assume(Files.exists(p), "reference template not present in this environment")
