@@ -308,10 +308,18 @@ object DocsStream {
         .select(col("doc_id"), col("text")), Some(offset))
     val changed = bStream.join(broadcast(changedStatus), Seq("doc_id"))
       .select(col("doc_id"), col("text"), col("status"))
-    val q = streamingIncrementalNearDedupOf(spark, changed, idx)
-      .writeStream.format("memory").queryName(name).outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // the admission ledger (flatMapGroupsWithState) is this query's one
+    // stateful operator: run it at the streaming tier's state-partition
+    // count (graft.stream.statePartitions) like every EventsStream query —
+    // unlowered it inherited the session's batch shuffle width and paid a
+    // per-batch state commit/reload per partition for a ledger of a few
+    // thousand booleans (the ProfStream breakdown, OPTIMIZATION_r17.md)
+    EventsStream.withStatePartitions(spark) {
+      val q = streamingIncrementalNearDedupOf(spark, changed, idx)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).orderBy(col("doc_id"))
   }
 

@@ -31,27 +31,42 @@ object EventsStream {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Number of state-store partitions for the streaming queries below.
+  /** Number of state-store partitions for the streaming queries below
+    * (conf `graft.stream.statePartitions`).
     *
     * A stateful streaming operator fixes its state partitioning to
     * `spark.sql.shuffle.partitions` at first start, and every micro-batch
     * then reads+writes a delta file per partition per state store — for the
     * interval join that is 4 stores × partitions × batches of filesystem
     * round-trips, a pure fixed cost at local replay scale (the 100k-row
-    * replay fits comfortably in 8 partitions). On a real cluster this knob
-    * is sized to executor count × cores like any shuffle; it only needs to
-    * be smaller than the batch default here because the replayed state is
-    * tiny. Results are partitioning-independent.
+    * replay fits comfortably in a handful of partitions). On a real cluster
+    * this knob is sized to executor count × cores like any shuffle — set the
+    * conf there; it only needs to be small here because the replayed state
+    * is tiny. Results are partitioning-independent (spec-pinned by the
+    * replay suites, which run under several values).
+    *
+    * Default re-measured in the round-17 optimization pass with the
+    * StreamingQueryProgress breakdown (ProfStream): the per-batch state
+    * commit/reload walks every store instance (stores × partitions files
+    * per batch — the interval join runs FOUR stores), so at replay scale
+    * the wall cost of BOTH the data batch and the watermark-advance
+    * no-data batch scales with the partition count while the replayed
+    * state never needs the width. Measured warm walls over
+    * q58+q119+q123+q108+q110+q162: 17.3 s at 8, 14.3 s at 4, 15.3 s at 2
+    * — 2 under-parallelizes the 200k-row interval-join batch (q58 regressed
+    * 3.3 → 4.2 s), so 4 is the local optimum
+    * (OPTIMIZATION_r17.md §streaming).
     */
-  private val StatePartitions = 8
+  private[streaming] def statePartitions(spark: SparkSession): Int =
+    graft.GraftConf.int(spark, "graft.stream.statePartitions", 4)
 
   /** Run `f` with the session's shuffle partitioning lowered to
-    * [[StatePartitions]] (picked up by the streaming query at `.start()`),
+    * [[statePartitions]] (picked up by the streaming query at `.start()`),
     * restoring the caller's setting afterwards.
     */
-  private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+  private[streaming] def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions(spark))
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -379,9 +394,31 @@ object EventsStream {
     val merged = existing.unionByName(batch)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+    publishOver(sp, merged, target)
+  }
+
+  /** Publish `merged` over `target` when the plan READS the live target:
+    * write to a staging dir, then swap it into place with one filesystem
+    * rename (an in-place overwrite would clobber its own input mid-scan).
+    * The swap replaces the previous shape's second full write + read-back
+    * (staging → re-read → rewrite target), which paid an extra parquet
+    * round-trip of the whole table EVERY micro-batch — pure sink overhead
+    * at any scale (guide §1.2: remove passes that recompute what already
+    * exists). The windows between delete and rename are the same ones the
+    * read-back shape had (its `mode("overwrite")` also deleted first); a
+    * production deployment gets atomicity from a transactional table
+    * format, as the q132 scaladoc already documents.
+    */
+  private def publishOver(sp: SparkSession, merged: DataFrame, target: String): Unit = {
     val staging = target + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    sp.read.parquet(staging).write.mode("overwrite").parquet(target)
+    val conf = sp.sparkContext.hadoopConfiguration
+    val tPath = new org.apache.hadoop.fs.Path(target)
+    val sPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = tPath.getFileSystem(conf)
+    if (fs.exists(tPath)) fs.delete(tPath, true)
+    if (!fs.rename(sPath, tPath))
+      throw new java.io.IOException(s"failed to publish $staging over $target")
   }
 
   def foreachBatchUpsert(spark: SparkSession, dir: String, targetDir: String): DataFrame = {
@@ -569,9 +606,7 @@ object EventsStream {
       .dropDuplicates("event_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-    val staging = target + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    sp.read.parquet(staging).write.mode("overwrite").parquet(target)
+    publishOver(sp, merged, target)
   }
 
   /** q145: streaming top-k — the per-event_type top-[[TopkK]] events by
