@@ -516,23 +516,39 @@ object Analytics {
     val pairs = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
       .distinct()
-    val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
-      .union(pairs.select(col("sn").as("src"), col("cn").as("dst")))
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // hash-distribute the edge state on the JOIN key before materializing:
-    // LogicalRDD preserves the partitioning, so every rank⋈edges iteration
-    // reads the edge side co-located (zero edge exchanges in ALL blocks,
-    // not one reused exchange per 4-iteration block) — the in-memory twin
-    // of the bucketed-table layout BucketingSpec proves
-    val edgesDeg = edges.join(outdeg, Seq("src"))
-      .repartition(col("src")).localCheckpoint()
+    // Both edge directions from ONE pass over the distinct pairs (explode of
+    // a 2-struct array), not a self-union: the union's two branches each
+    // re-ran the distinct's reduce-side aggregate over the full pair set
+    // (ReusedExchange dedupes only the shuffle below it). Degree annotation
+    // is a count window on the partition key instead of groupBy + rejoin —
+    // one exchange, join-free (the q129 windowed-ownership lesson), and its
+    // output is already hash-distributed on `src`, which is exactly the
+    // layout the iteration joins need (LogicalRDD preserves it through the
+    // checkpoint) — the in-memory twin of the bucketed-table layout
+    // BucketingSpec proves. Net: 2 exchanges of the edge set (distinct +
+    // window) where the previous shape paid distinct + groupBy + join
+    // + an explicit repartition (plan evidence: plans/r17/q138_*.txt).
+    val edges = pairs.select(explode(array(
+        struct(col("cn").as("src"), col("sn").as("dst")),
+        struct(col("sn").as("src"), col("cn").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wDeg = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val edgesDeg = edges.withColumn("outdeg", count(lit(1)).over(wDeg))
+      .localCheckpoint()
     // every node has outdegree ≥ 1 (edges are symmetric), so distinct src IS
-    // the node set; n is the one driver scalar (the mass denominator)
-    val n = edgesDeg.select(col("src")).distinct().count()
+    // the node set — an exchange-free partial+final aggregate over the
+    // src-clustered checkpoint, materialized ONCE for both the mass
+    // denominator and the rank seed (the previous shape ran the distinct
+    // twice: once to count, once to seed)
+    val nodes = edgesDeg.select(col("src")).distinct().localCheckpoint()
+    val n = nodes.count()
     val r0 = PrScale / n
     val base = 15L * r0 / 100L
-    var rank = edgesDeg.select(col("src").as("node")).distinct()
-      .withColumn("rank", lit(r0)).localCheckpoint()
+    // narrow alias over the src-clustered node checkpoint: stays
+    // co-partitioned with the edge side (alias-aware output partitioning),
+    // so iteration 1 joins exchange-free like every later iteration
+    var rank = nodes.select(col("src").as("node"))
+      .withColumn("rank", lit(r0))
     // Checkpoint every `ckptEvery`-th iteration, not every one: a multi-
     // iteration lazy plan re-reads the checkpointed edge list through ONE
     // reused exchange (ReusedExchange dedupes the identical src-keyed
