@@ -496,13 +496,16 @@ object Analytics {
     * perturb a bit — the oracle's unrolled CTEs ([[pageRankSql]]) reproduce
     * it exactly, the same determinism contract as q116/q130.
     *
-    * Scale plan: the degree-annotated edge list is built once and
-    * checkpointed (the `persist(edges)` every production PageRank does);
-    * each iteration is ONE equi-join (node-sized rank table ⋈ edge list on
-    * src) + ONE hash aggregate on dst — both map-side-combinable uniform-key
-    * shuffles, state checkpointed per iteration so the plan stays
-    * iteration-shallow (q118's Lloyd-loop pattern). Nothing driver-sized:
-    * the only driver scalar is the node count. At 100 TB the edge list is
+    * Scale plan: the degree-annotated edge list is built once, pinned to a
+    * size-derived src-clustered layout and checkpointed (the
+    * `persist(edges)` every production PageRank does — see [[prEdgeFrames]]
+    * / [[prNoAqe]] for why the layout must be pinned outside AQE); each
+    * iteration is then ONE equi-join (node-sized rank table ⋈ edge list on
+    * src, edge side exchange-free and sort-free against the checkpoint) +
+    * ONE map-side-combinable hash aggregate on dst, state checkpointed per
+    * block so the plan stays iteration-shallow (q118's Lloyd-loop pattern).
+    * Nothing driver-sized: the only driver scalars are the pair and node
+    * counts. At 100 TB the edge list is
     * bucketed by src once and every iteration's join co-locates against it —
     * DEMONSTRATED, not just named: BucketingSpec's q138 test runs one
     * iteration against a src-bucketed edge table with broadcast disabled
@@ -510,38 +513,124 @@ object Analytics {
     * reappearing in the unbucketed control, and bit-identical rank values
     * through both layouts.
     */
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** Run `f` with AQE disabled on this session, restoring the caller's
+    * setting afterwards (serialized on the session — concurrent query
+    * builders on one session must not interleave set/restore). Used ONLY
+    * around q138's edge/node checkpoints: a checkpoint taken while the
+    * physical root is AdaptiveSparkPlanExec records UNKNOWN partitioning
+    * (AQE's root never exposes its final plan's partitioning to
+    * Dataset.checkpoint), so every iteration block re-exchanged the full
+    * edge set on src — the r17 plan comment claimed LogicalRDD preserved the
+    * layout, and the r18 executed-plan evidence
+    * (plans/r18/q138_pagerank_before.txt) shows it did not. With AQE off for
+    * just the checkpoint query, LogicalRDD captures hash(src, parts) + the
+    * window sort's ordering, and the iteration joins consume the edge state
+    * exchange-free AND sort-free. */
+  private def prNoAqe[A](spark: SparkSession)(f: => A): A =
+    withSessionConf(spark)("spark.sql.adaptive.enabled" -> "false")(f)
+
+  /** Run `f` with session confs temporarily overridden, restoring the
+    * caller's settings afterwards. Serialized on the session object so two
+    * concurrent query builders on one session cannot interleave set/restore
+    * (the ADVICE-r17 withStatePartitions hazard, fixed at the shared
+    * helper). */
+  private[graft] def withSessionConf[A](spark: SparkSession)(
+      kvs: (String, String)*)(f: => A): A = spark.synchronized {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** q138's edge-state build frames, pre-checkpoint — split out so the
+    * evidence dump ([[graft.DumpPr138]]) can explain the build phase that
+    * the checkpoint hides from ExplainMain. Returns (checkpointed distinct
+    * pair set, degree-annotated edge frame NOT yet checkpointed, pinned
+    * width). The caller must free the pair checkpoint once the edge frame
+    * is materialized.
+    *
+    * The width (conf `graft.pr.parts`) is derived from the MEASURED pair
+    * count the same way AQE sizes coalesced partitions — edge bytes over
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes`, clamped to the
+    * cluster's default parallelism — because the checkpoint boundary is
+    * exactly where AQE's own sizing cannot reach (guide §2: derive
+    * partitioning from input size, not from a constant tuned to local mode
+    * or to one cluster). At sf0.1 that is 1 partition (~6 MB of edges); at
+    * 100 TB it is edge-bytes/advisory capped at cluster parallelism. */
+  private[graft] def prEdgeFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Int) = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    // the distinct pair set is checkpointed FIRST so its row count can size
+    // the pinned edge layout without re-running the join+distinct; the
+    // window job below then reads the in-memory pairs instead of the scans
     val pairs = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
       .distinct()
+      .localCheckpoint()
+    val nPairs = pairs.count()
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    // 2 directions × 3 longs ≈ 32 B per unsafe edge row. The lower clamp is
+    // a minimum-parallelism floor (the same idea as
+    // spark.sql.files.minPartitionNum on scans): the iteration stages are
+    // latency-bound at small edge volumes, and sf0.1 measured width 1
+    // (pure size-derived) at 4.6 s vs 3.2 s at the floor of 4, with the
+    // curve flat from 4 to 8 and the session default (32) back at 4.5+ s.
+    val defPar = spark.sparkContext.defaultParallelism.toLong
+    val derived = math.max(math.min(defPar, 4L), math.min(defPar,
+      (2L * nPairs * 32L + advisory - 1L) / advisory)).toInt
+    val parts = graft.GraftConf.int(spark, "graft.pr.parts", derived)
     // Both edge directions from ONE pass over the distinct pairs (explode of
-    // a 2-struct array), not a self-union: the union's two branches each
-    // re-ran the distinct's reduce-side aggregate over the full pair set
-    // (ReusedExchange dedupes only the shuffle below it). Degree annotation
-    // is a count window on the partition key instead of groupBy + rejoin —
-    // one exchange, join-free (the q129 windowed-ownership lesson), and its
-    // output is already hash-distributed on `src`, which is exactly the
-    // layout the iteration joins need (LogicalRDD preserves it through the
-    // checkpoint) — the in-memory twin of the bucketed-table layout
-    // BucketingSpec proves. Net: 2 exchanges of the edge set (distinct +
-    // window) where the previous shape paid distinct + groupBy + join
-    // + an explicit repartition (plan evidence: plans/r17/q138_*.txt).
+    // a 2-struct array), not a self-union (the r17 lesson: the union's two
+    // branches re-ran the distinct's reduce-side aggregate). The explicit
+    // repartition REPLACES the degree window's own exchange (the window's
+    // clustering requirement is already satisfied), so the build still pays
+    // two edge exchanges total (distinct + this one) — but this one is
+    // width-pinned, which is what lets the checkpoint carry a usable layout.
     val edges = pairs.select(explode(array(
         struct(col("cn").as("src"), col("sn").as("dst")),
         struct(col("sn").as("src"), col("cn").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(parts, col("src"))
     val wDeg = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-    val edgesDeg = edges.withColumn("outdeg", count(lit(1)).over(wDeg))
-      .localCheckpoint()
-    // every node has outdegree ≥ 1 (edges are symmetric), so distinct src IS
-    // the node set — an exchange-free partial+final aggregate over the
-    // src-clustered checkpoint, materialized ONCE for both the mass
-    // denominator and the rank seed (the previous shape ran the distinct
-    // twice: once to count, once to seed)
-    val nodes = edgesDeg.select(col("src")).distinct().localCheckpoint()
+    (pairs, edges.withColumn("outdeg", count(lit(1)).over(wDeg)), parts)
+  }
+
+  /** q138's materialized edge state: (degree-annotated edges checkpointed
+    * src-clustered and src-sorted, checkpointed node set, node count). Both
+    * checkpoints are taken with AQE off so LogicalRDD records the layout —
+    * see [[prNoAqe]]. Every node has outdegree ≥ 1 (edges are symmetric),
+    * so distinct src IS the node set: an exchange-free partial+final
+    * aggregate over the src-clustered checkpoint, materialized ONCE for
+    * both the mass denominator and the rank seed. */
+  private[graft] def prEdgeState(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long, Int) = {
+    val (pairs, edgesDegFrame, parts) = prEdgeFrames(spark, dir)
+    val (edgesDeg, nodes) = prNoAqe(spark) {
+      val ed = edgesDegFrame.localCheckpoint()
+      (ed, ed.select(col("src")).distinct().localCheckpoint())
+    }
+    TextOps.freeMaterialized(pairs)
     val n = nodes.count()
+    (edgesDeg, nodes, n, parts)
+  }
+
+  /** One q138 power-iteration step — shared by the loop and the evidence
+    * dump so the dumped block plan is the production plan. */
+  private[graft] def prIterStep(edgesDeg: DataFrame, rank: DataFrame,
+                                base: Long): DataFrame =
+    edgesDeg.join(rank, edgesDeg("src") === rank("node"))
+      .select(col("dst"), expr("rank div outdeg").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("s"))
+      .select(col("dst").as("node"),
+        (lit(base) + expr("(s * 85) div 100")).as("rank"))
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val (edgesDeg, nodes, n, parts) = prEdgeState(spark, dir)
     val r0 = PrScale / n
     val base = 15L * r0 / 100L
     // narrow alias over the src-clustered node checkpoint: stays
@@ -549,15 +638,14 @@ object Analytics {
     // so iteration 1 joins exchange-free like every later iteration
     var rank = nodes.select(col("src").as("node"))
       .withColumn("rank", lit(r0))
-    // Checkpoint every `ckptEvery`-th iteration, not every one: a multi-
-    // iteration lazy plan re-reads the checkpointed edge list through ONE
-    // reused exchange (ReusedExchange dedupes the identical src-keyed
-    // subtree), so the measured cost is ~0.30 s per iteration vs 0.36 s
-    // checkpoint-per-step, while lineage depth stays bounded (the q118
-    // Lloyd-loop concern). Conf `graft.pr.ckptEvery` tunes the block size;
-    // 4 is the measured optimum at sf0.1 (round 15, warm clean-JVM min:
-    // 4.00 s at 4 vs 4.44 s at 2 vs 4.99 s at 8 — past 4 the deeper lazy
-    // plan's re-planned join tree costs more than the saved checkpoint).
+    // Checkpoint every `ckptEvery`-th iteration, not every one, so lineage
+    // depth stays bounded (the q118 Lloyd-loop concern) without paying a
+    // materialization per step. Since r18 the edge side of every iteration
+    // in a block is the bare checkpoint scan (no exchange, no sort — see
+    // prNoAqe), so the block's only exchanges are the node-sized rank
+    // aggregates. Conf `graft.pr.ckptEvery` tunes the block size; 4 was the
+    // r15 measured optimum and r18 re-measured 8 no better (one deep block
+    // re-plans a larger join tree than it saves in checkpoints).
     val ckptEvery = spark.conf.getOption("graft.pr.ckptEvery")
       .map { v =>
         val n = try v.toInt catch { case _: NumberFormatException =>
@@ -569,14 +657,20 @@ object Analytics {
         require(n >= 1, s"graft.pr.ckptEvery must be >= 1, got $n")
         n
       }.getOrElse(4)
-    for (k <- 1 to PrIters) {
-      val it = edgesDeg.join(rank, edgesDeg("src") === rank("node"))
-        .select(col("dst"), expr("rank div outdeg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("s"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(s * 85) div 100")).as("rank"))
-      rank = if (k % ckptEvery == 0 || k == PrIters) it.localCheckpoint() else it
+    // The iteration blocks EXECUTE (at their block-end checkpoints) with the
+    // session shuffle width lowered to the edge state's pinned width: every
+    // rank aggregate's exchange is then born hash(dst, parts), which is
+    // co-partitioned with the checkpointed hash(src, parts) edge list, so
+    // the next iteration's join needs NO realignment exchange on either
+    // side. At the session default (32 here) the static SortMergeJoin saw
+    // hash(src, parts) vs hash(node, 32), declared them incompatible, and
+    // re-exchanged the FULL edge set once per iteration — the r17 block
+    // plans' dominant cost (plans/r18/q138_pagerank_before.txt).
+    withSessionConf(spark)("spark.sql.shuffle.partitions" -> parts.toString) {
+      for (k <- 1 to PrIters) {
+        val it = prIterStep(edgesDeg, rank, base)
+        rank = if (k % ckptEvery == 0 || k == PrIters) it.localCheckpoint() else it
+      }
     }
     rank.select(col("node"), col("rank").as("rank_fp"),
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"))
