@@ -47,6 +47,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // replay-harness pin: the engine default for streaming state width is
+      // cluster parallelism (scale-safe); the measured tiny-replay optimum
+      // is 4 (see EventsStream.statePartitions) and belongs to the harness
+      .config("graft.stream.statePartitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

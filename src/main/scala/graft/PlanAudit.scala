@@ -20,6 +20,10 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // replay-harness pin: the engine default for streaming state width is
+      // cluster parallelism (scale-safe); the measured tiny-replay optimum
+      // is 4 (see EventsStream.statePartitions) and belongs to the harness
+      .config("graft.stream.statePartitions", "4")
       // audit the BUILD plans: with the asset layer on, the shingle-tier
       // pipelines collapse to artifact scans and every shape assertion
       // below would be vacuous

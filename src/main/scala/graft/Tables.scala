@@ -33,16 +33,27 @@ object Tables {
     * overwrite tmp tables in place) a memo MISS, never a stale schema; the
     * stat is one local filesystem call per read.
     */
-  private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, String, org.apache.spark.sql.types.StructType)]()
 
   private[graft] def tableSchema(spark: SparkSession, path: String)
       : org.apache.spark.sql.types.StructType = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(hPath)
-    val key = s"$path|${st.getModificationTime}|${st.getLen}"
-    schemaMemo.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
+    // Schema-affecting session confs belong in the memo's validity check
+    // (ADVICE r17): under nanosAsLong a NANOS ts column infers as LongType,
+    // and serving that schema to a session with the conf OFF (or vice versa)
+    // would silently change the scan type. The map is keyed by PATH alone so
+    // a rewritten fixture or flipped conf REPLACES the entry instead of
+    // accumulating one per (mtime, length) generation — bounded by the
+    // number of distinct table paths the process ever reads.
+    val nanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    schemaMemo.compute(path, (_, prev) =>
+      if (prev != null && prev._1 == st.getModificationTime &&
+          prev._2 == st.getLen && prev._3 == nanos) prev
+      else (st.getModificationTime, st.getLen, nanos,
+        spark.read.parquet(path).schema))._4
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

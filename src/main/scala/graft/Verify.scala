@@ -25,6 +25,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // replay-harness pin: the engine default for streaming state width is
+      // cluster parallelism (scale-safe); the measured tiny-replay optimum
+      // is 4 (see EventsStream.statePartitions) and belongs to the harness
+      .config("graft.stream.statePartitions", "4")
       // DuckDB/pyarrow-friendly timestamps in the dumped result parquet
       // (default INT96 is a legacy type some readers mis-handle).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

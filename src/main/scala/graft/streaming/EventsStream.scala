@@ -45,30 +45,40 @@ object EventsStream {
     * is tiny. Results are partitioning-independent (spec-pinned by the
     * replay suites, which run under several values).
     *
-    * Default re-measured in the round-17 optimization pass with the
-    * StreamingQueryProgress breakdown (ProfStream): the per-batch state
-    * commit/reload walks every store instance (stores × partitions files
-    * per batch — the interval join runs FOUR stores), so at replay scale
-    * the wall cost of BOTH the data batch and the watermark-advance
-    * no-data batch scales with the partition count while the replayed
-    * state never needs the width. Measured warm walls over
+    * The replay-scale value (4) was measured in the round-17 optimization
+    * pass with the StreamingQueryProgress breakdown (ProfStream): the
+    * per-batch state commit/reload walks every store instance (stores ×
+    * partitions files per batch — the interval join runs FOUR stores), so
+    * at replay scale the wall cost of BOTH the data batch and the
+    * watermark-advance no-data batch scales with the partition count while
+    * the replayed state never needs the width. Measured warm walls over
     * q58+q119+q123+q108+q110+q162: 17.3 s at 8, 14.3 s at 4, 15.3 s at 2
     * — 2 under-parallelizes the 200k-row interval-join batch (q58 regressed
-    * 3.3 → 4.2 s), so 4 is the local optimum
-    * (OPTIMIZATION_r17.md §streaming).
+    * 3.3 → 4.2 s), so 4 is the replay optimum (OPTIMIZATION_r17.md).
+    *
+    * Since r18 the DEFAULT is the cluster's own parallelism (VERDICT r17
+    * #7): a deployment that never sets the conf gets state partitioning
+    * sized like any shuffle, and it is the REPLAY HARNESS entry points
+    * (Bench / Verify / ScaleBench and the profiling mains) that pin the
+    * measured replay value 4 explicitly — a tiny-state constant belongs to
+    * the harness, not to the engine's default. Results are
+    * partitioning-independent (spec-pinned by the replay suites, which run
+    * under several values).
     */
   private[streaming] def statePartitions(spark: SparkSession): Int =
-    graft.GraftConf.int(spark, "graft.stream.statePartitions", 4)
+    graft.GraftConf.int(spark, "graft.stream.statePartitions",
+      spark.sparkContext.defaultParallelism)
 
   /** Run `f` with the session's shuffle partitioning lowered to
     * [[statePartitions]] (picked up by the streaming query at `.start()`),
-    * restoring the caller's setting afterwards.
+    * restoring the caller's setting afterwards. Serialized on the session
+    * (via the shared [[graft.operators.Analytics.withSessionConf]]) so two
+    * concurrent streaming starts cannot interleave set/restore and leave
+    * the session's batch width lowered (ADVICE r17).
     */
-  private[streaming] def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions(spark))
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private[streaming] def withStatePartitions[T](spark: SparkSession)(f: => T): T =
+    graft.operators.Analytics.withSessionConf(spark)(
+      "spark.sql.shuffle.partitions" -> statePartitions(spark).toString)(f)
 
   case class Ev(user_id: Long, ts_us: Long)
   case class Sess(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
@@ -388,8 +398,14 @@ object EventsStream {
     val existing =
       try sp.read.parquet(target)
       catch { case _: org.apache.spark.sql.AnalysisException =>
-        sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          batch.schema) }
+        // a crash inside publishOver's two-rename window leaves the last
+        // generation at target+".old" — recover from it rather than silently
+        // re-seeding an empty archive (ADVICE r17 / the round-9 reset class)
+        val aside = target + ".old"
+        try sp.read.parquet(aside)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema) } }
     val w = Window.partitionBy(keys.map(col): _*).orderBy(newestFirst: _*)
     val merged = existing.unionByName(batch)
       .withColumn("rn", row_number().over(w))
@@ -404,10 +420,14 @@ object EventsStream {
     * (staging → re-read → rewrite target), which paid an extra parquet
     * round-trip of the whole table EVERY micro-batch — pure sink overhead
     * at any scale (guide §1.2: remove passes that recompute what already
-    * exists). The windows between delete and rename are the same ones the
-    * read-back shape had (its `mode("overwrite")` also deleted first); a
-    * production deployment gets atomicity from a transactional table
-    * format, as the q132 scaladoc already documents.
+    * exists). The previous generation is renamed ASIDE (never deleted
+    * before the swap lands — ADVICE r17): a crash between the two renames
+    * leaves a readable `target + ".old"` generation instead of NO target,
+    * which the next run's empty-archive fallback would have silently
+    * re-seeded as empty (the round-9 silent-archive-reset class, reachable
+    * across process restarts under delete-then-rename). A production
+    * deployment gets true atomicity from a transactional table format, as
+    * the q132 scaladoc already documents.
     */
   private def publishOver(sp: SparkSession, merged: DataFrame, target: String): Unit = {
     val staging = target + ".staging"
@@ -415,10 +435,19 @@ object EventsStream {
     val conf = sp.sparkContext.hadoopConfiguration
     val tPath = new org.apache.hadoop.fs.Path(target)
     val sPath = new org.apache.hadoop.fs.Path(staging)
+    val aside = new org.apache.hadoop.fs.Path(target + ".old")
     val fs = tPath.getFileSystem(conf)
-    if (fs.exists(tPath)) fs.delete(tPath, true)
-    if (!fs.rename(sPath, tPath))
+    if (fs.exists(aside)) fs.delete(aside, true)
+    val hadPrev = fs.exists(tPath)
+    if (hadPrev && !fs.rename(tPath, aside))
+      throw new java.io.IOException(s"failed to set aside $target")
+    if (!fs.rename(sPath, tPath)) {
+      // put the previous generation back before failing — the caller must
+      // never observe a missing target with a live staging dir
+      if (hadPrev) fs.rename(aside, tPath)
       throw new java.io.IOException(s"failed to publish $staging over $target")
+    }
+    if (hadPrev) fs.delete(aside, true)
   }
 
   def foreachBatchUpsert(spark: SparkSession, dir: String, targetDir: String): DataFrame = {

@@ -10,6 +10,7 @@ object IsoQ {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("graft.stream.statePartitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional 4th arg: comma-separated k=v session confs (VerifyOne's form)

@@ -10,6 +10,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("graft.stream.statePartitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
