@@ -218,7 +218,7 @@ object PlanAudit {
     audit("q107_fuzzy_match", Seq("row_number(), 65, Partial", "row_number(), 65, Final"))
     val q107p = SparkEntry.queries("q107_fuzzy_match")(spark, dir)
     q107p.collect()
-    val q107blockEx = "Exchange hashpartitioning\\(vhash".r
+    val q107blockEx = "Exchange hashpartitioning\\(bkey".r
       .findAllMatchIn(q107p.queryExecution.executedPlan.toString
         .linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n"))
       .size

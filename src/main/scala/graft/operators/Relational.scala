@@ -954,10 +954,27 @@ object Relational {
     // (SymDeleteHashes) — the composed transform/substr/concat construction
     // built ~L²/2 variant strings per row through interpreted CodegenFallback
     // HOFs, the megamorphic-eval surface that made this query swing 62↔142 s
-    // run-to-run at 10× scale (see SymDeleteHashes scaladoc)
+    // run-to-run at 10× scale (see SymDeleteHashes scaladoc).
+    //
+    // The block key (variant, nation, segment) is PACKED into one xxhash64
+    // long BEFORE the exchange (r18, guide §2.3 shuffle fewer bytes): the
+    // variant-row shuffle+sort — q107's dominant stage, ~1.6M rows at
+    // sf0.1 — then carries (bkey, custkey) = 2 longs instead of 2 longs +
+    // nation + a segment STRING, and the window sort compares one long.
+    // Completeness is untouched (equal triples hash equal); a 64-bit
+    // collision can only MERGE two blocks, which (a) adds candidates that
+    // the re-verify below rejects and (b) could in principle push a merged
+    // block over the cap — but that needs ≥⌈cap/maxTrueBlock⌉ simultaneous
+    // collisions on one key (p < 1e-15 at any realistic block census), the
+    // same accepted-risk class as the 48-bit variant hash itself. Because
+    // the key is now lossy, nation+segment equality is RE-VERIFIED exactly
+    // on the joined rows below — the same verify-what-the-hash-proposed
+    // discipline the levenshtein check applies to the name.
     val keyedAll = c.select(col("c_custkey"), col("c_nationkey"),
         col("c_mktsegment"),
         explode(graft.functions.SymDeleteHashes(col("c_name"), window)).as("vhash"))
+      .select(col("c_custkey"),
+        xxhash64(col("vhash"), col("c_nationkey"), col("c_mktsegment")).as("bkey"))
     // Blocks materialize as bounded member lists in ONE exchange: rank rows
     // per block with a cap+1 limit — the rn filter plans a PARTIAL
     // WindowGroupLimit below the shuffle, so a pathological million-member
@@ -967,31 +984,31 @@ object Relational {
     // second exchange. A truncated hot block surfaces as df = cap+1 and the
     // between() filter drops it whole, exactly the anti-join semantics. The
     // average block is a SINGLETON (1.5M blocks over 1.6M variant rows at
-    // sf0.1), so the previous shape — count-aggregate + broadcast anti-join
-    // + cache materialization + shuffled self-join, i.e. three more passes
-    // over the variant rows — spent most of its 6.9 s on blocks that can
-    // never produce a pair; this shape is 3.8 s on the same data with a
-    // bit-identical pair set.
-    val w = Window.partitionBy(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
+    // sf0.1), so blocks that can never produce a pair cost one exchanged
+    // row each and nothing more.
+    val w = Window.partitionBy(col("bkey")).orderBy(col("c_custkey"))
     // candidate pairs as narrow id rows: near-identical names share HUNDREDS
     // of deletion variants, so the in-block pair expansion carries high
-    // multiplicity — dedupe on the 4 id columns BEFORE re-attaching names
+    // multiplicity — dedupe on the 2 id columns BEFORE re-attaching names
     val candIds = keyedAll
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBlock + 1)
-      .groupBy(col("vhash"), col("c_nationkey"), col("c_mktsegment"))
+      .groupBy(col("bkey"))
       .agg(collect_list(col("c_custkey")).as("ids"), count(lit(1)).as("df"))
       .filter(col("df").between(2, maxBlock))
       .withColumn("cust_a", explode(col("ids")))
       .withColumn("cust_b", explode(col("ids")))
       .filter(col("cust_a") < col("cust_b"))
-      .select(col("cust_a"), col("cust_b"),
-        col("c_nationkey").as("nationkey"), col("c_mktsegment").as("mktsegment"))
+      .select(col("cust_a"), col("cust_b"))
       .distinct()
     candIds
-      .join(c.select(col("c_custkey").as("cust_a"), col("c_name").as("x_name")), "cust_a")
-      .join(c.select(col("c_custkey").as("cust_b"), col("c_name").as("y_name")), "cust_b")
+      .join(c.select(col("c_custkey").as("cust_a"), col("c_name").as("x_name"),
+        col("c_nationkey").as("nationkey"), col("c_mktsegment").as("mktsegment")), "cust_a")
+      .join(c.select(col("c_custkey").as("cust_b"), col("c_name").as("y_name"),
+        col("c_nationkey").as("y_nationkey"), col("c_mktsegment").as("y_mktsegment")), "cust_b")
+      // exact re-verify of the predicates the packed key only hashed
+      .filter(col("nationkey") === col("y_nationkey") &&
+        col("mktsegment") === col("y_mktsegment"))
       .select(col("cust_a"), col("cust_b"), col("nationkey"), col("mktsegment"),
         col("x_name"), col("y_name"))
   }
