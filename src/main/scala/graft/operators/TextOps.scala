@@ -3255,21 +3255,29 @@ object TextOps {
       .select(col("doc_id"), col("eval_id"))
       .dropDuplicates("doc_id", "eval_id")
       .cache()
-    // eval-side shingles: derived from the eval slice ONLY (MB-bounded by
-    // the same argument as the bands) — never from the corpus-wide set
-    val evalSh = d.filter(col("source") === "src0")
-      .select(col("doc_id").as("eval_id"),
-        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
-      .distinct()
+    // Both verify-side shingle slices come from the SHARED distinct
+    // (doc_id, shash) asset (r18, VERDICT r17 #3): q143 previously re-ran
+    // the ShingleHashes explosion over the corpus text TWICE (eval slice +
+    // candidate slice) when the identical relation is already materialized
+    // once per corpus version for q35/q36/q38/q101/q102 — each side is now
+    // a bounded-id broadcast semi-restriction of one artifact scan. Values
+    // are identical by construction (same explode+distinct over the same
+    // fanned-out corpus builds the asset).
+    val sh = shingleRowsShared(spark, dir)
+    // eval-side shingles: derived from the eval id slice ONLY (MB-bounded
+    // by the same argument as the bands) — the id probe reads no text
+    val evalIds = Tables.documents(spark, dir)
+      .filter(col("source") === "src0").select(col("doc_id"))
+    val evalSh = sh
+      .join(broadcast(evalIds), Seq("doc_id"))
+      .select(col("doc_id").as("eval_id"), col("shash"))
       .cache()
-    // corpus-side shingles: computed only for candidate documents — the
+    // corpus-side shingles: restricted to candidate documents — the
     // candidate-id set is small (band collisions), so it broadcasts against
-    // the corpus scan and the corpus never shuffles for verification either
-    val candSh = d.filter(col("source") =!= "src0")
+    // the artifact scan and the corpus never shuffles for verification
+    val candSh = sh
       .join(broadcast(cand.select(col("doc_id")).distinct()), Seq("doc_id"))
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHashes(col("text"), 3, M31)).as("shash"))
-      .distinct()
+      .select(col("doc_id"), col("shash"))
       .cache()
     val sizes  = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val sizesE = evalSh.groupBy(col("eval_id")).agg(count(lit(1)).as("sz_e"))
@@ -3405,14 +3413,27 @@ object TextOps {
     val qterms = queries.select(col("term")).distinct()
     // broadcast-filter the exploded token stream BEFORE aggregating: the
     // (doc_id, term) tf exchange then carries only query-term occurrences,
-    // never the whole corpus vocabulary
+    // never the whole corpus vocabulary. The postings table is CHECKPOINTED
+    // (r18): it has two consumers — the df aggregate and the score join —
+    // and un-materialized each re-ran the full corpus token explode+agg
+    // (the dfq subtree rides inside a broadcast, where ReusedExchange
+    // cannot dedupe across the broadcast boundary). The checkpoint holds
+    // only query-term postings: bounded by the batch's term df, never
+    // corpus-sized (the §5 count-after-checkpoint rule applied to a
+    // two-consumer intermediate).
     val post = d.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .join(broadcast(qterms), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    // document frequency as a count window over the checkpointed postings
+    // (r18): the previous groupBy + broadcast rejoin re-scanned post and
+    // paid an extra broadcast build for a value every post row can carry in
+    // one term-keyed exchange of the tiny checkpointed relation (the q129
+    // windowed-ownership idiom)
+    val wTerm = Window.partitionBy(col("term"))
     post
-      .join(broadcast(dfq), Seq("term"))
+      .withColumn("df", count(lit(1)).over(wTerm))
       .join(broadcast(queries), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("tf") * expr(s"$RetrIdfC div df")).as("score"))
