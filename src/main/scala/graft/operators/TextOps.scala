@@ -2857,12 +2857,37 @@ object TextOps {
       transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))),
       array(lit("</w>")))
+    val spark = d.sparkSession
     var vs = d.select(explode(tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"), syms0.as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    // The merge rounds run with the session shuffle width lowered to a
+    // vocabulary-derived value and AQE off (r18, the q138 iteration-width
+    // lesson): every round's pair-count aggregate operates on the |V|-row
+    // state, so a corpus-scale width only buys per-round task-scheduling
+    // overhead, and AQE's per-round stage re-planning was the measured
+    // dominant fixed cost of the loop (8 rounds × replan ≈ 0.1 s each at
+    // sf0.1; warm q134 1.48 → 1.25 s, q135 1.84 → 1.53 s). The width is the
+    // q138 derivation — state bytes over advisoryPartitionSizeInBytes,
+    // clamped to a min-parallelism floor and cluster parallelism (conf
+    // `graft.bpe.parts`) — i.e. the sizing AQE would have picked, computed
+    // once from the measured vocabulary instead of re-planned per round.
+    // Counts are exact integer sums, so the merge list is
+    // partitioning-independent (the oracle re-proves it every run).
+    val nV = vs.count()
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    val defPar = spark.sparkContext.defaultParallelism.toLong
+    // ~64 B per (word, freq, syms) vocabulary row
+    val derived = math.max(math.min(defPar, 4L), math.min(defPar,
+      (nV * 64L + advisory - 1L) / advisory)).toInt
+    val bpeParts = graft.GraftConf.int(spark, "graft.bpe.parts", derived)
+    graft.operators.Analytics.withSessionConf(spark)(
+        "spark.sql.shuffle.partitions" -> bpeParts.toString,
+        "spark.sql.adaptive.enabled" -> "false") {
     for (k <- 1 to BpeMerges) {
       // pair counts over the vocabulary; guard the generator for words
       // collapsed to ONE symbol (sequence(1, 0) counts DOWN in Spark —
@@ -2897,6 +2922,7 @@ object TextOps {
         .localCheckpoint()
       freeMaterialized(vs)
       vs = next
+    }
     }
     (merges.toSeq, vs)
   }
