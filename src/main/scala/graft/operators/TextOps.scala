@@ -2641,12 +2641,22 @@ object TextOps {
     val d = Tables.documents(spark, dir)
       .transform(Tables.fanout)
     val toks = d.select(col("lang"), tokens(lower(col("text"))).as("w"))
-    // uni is read three times (totals + two unigram joins), biAll twice
-    // (ranking + totals) — cache the small count tables, not the corpus
-    val uni = toks.select(col("lang"), explode(col("w")).as("term"))
-      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c")).cache()
-    val biAll = toks.select(col("lang"), explode(shingles(col("w"), 2)).as("bg"))
-      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c_xy")).cache()
+    // ONE corpus pass for BOTH gram orders (r18): unigrams and bigrams
+    // explode together as (order, gram) structs into one hash aggregate —
+    // the previous shape tokenized and exploded the corpus twice, once per
+    // order. The combined count table is the thing cached (uni is read
+    // three times — totals + two unigram joins — and biAll twice); both
+    // per-order views below are filters over it, so the cached values are
+    // byte-identical to the old twin tables.
+    val grams = toks.select(col("lang"), explode(concat(
+        transform(col("w"), t => struct(lit(1).as("k"), t.as("g"))),
+        transform(shingles(col("w"), 2), b => struct(lit(2).as("k"), b.as("g"))))).as("e"))
+      .groupBy(col("lang"), col("e.k").as("k"), col("e.g").as("g"))
+      .agg(count(lit(1)).as("c")).cache()
+    val uni = grams.filter(col("k") === 1)
+      .select(col("lang"), col("g").as("term"), col("c"))
+    val biAll = grams.filter(col("k") === 2)
+      .select(col("lang"), col("g").as("bg"), col("c").as("c_xy"))
     val bi = biAll.filter(col("c_xy") >= CollocMinCount)
     val totals = uni.groupBy(col("lang")).agg(sum(col("c")).as("n_uni"))
       .join(biAll.groupBy(col("lang")).agg(sum(col("c_xy")).as("n_bi")), "lang")
